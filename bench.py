@@ -1,0 +1,60 @@
+"""Benchmark harness — times every registered query at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": "total_query_sec", "value": N, "unit": "sec",
+     "queries": {key: sec, ...}, "sf": 0.1}
+
+Protocol (BASELINE.md): warm SparkSession, median of 3 runs per query,
+results fully materialized via the noop sink (no driver collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bigdata1_spark import registry  # noqa: E402
+from bigdata1_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+RUNS = int(os.environ.get("BENCH_RUNS", "3"))
+
+
+def _materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0)
+    spark = get_spark(app_name="bigdata1-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM + parquet footer caches with one cheap action.
+    _materialize(spark.read.parquet(os.path.join(SF_DIR, "region.parquet")))
+
+    timings: dict[str, float] = {}
+    for key in sorted(registry.QUERIES):
+        fn = registry.QUERIES[key]
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            _materialize(fn(spark, SF_DIR))
+            samples.append(time.perf_counter() - t0)
+        timings[key] = round(statistics.median(samples), 4)
+
+    print(json.dumps({
+        "metric": "total_query_sec",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,61 @@
+"""SparkSession factory.
+
+One place to configure the engine the way the 100 TB posture demands:
+AQE on (runtime re-planning, skew-join splitting, partition coalescing),
+UTC session timezone (so timestamp results agree with external oracles),
+Arrow enabled (fast toPandas / pandas_udf), and a shuffle-partition count
+sized for the local test harness but overridable for a real cluster.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+# Conf that is correct at every scale; cluster-size-dependent knobs
+# (shuffle partitions, maxPartitionBytes) are parameters below.
+_BASE_CONF = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # dims (part/nation/region/supplier) stay broadcast-able well past sf1
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.files.maxPartitionBytes": str(256 * 1024 * 1024),
+    # silence the noisy progress bar in test output
+    "spark.ui.showConsoleProgress": "false",
+}
+
+
+def get_spark(
+    app_name: str = "bigdata1-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the configured SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (``local[*]`` when
+    unset) so the same entry points run on the driver harness and on a
+    cluster (where ``master`` is supplied by spark-submit and this arg is
+    ignored by passing ``master=""``).
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if master:
+        builder = builder.master(master)
+    conf = dict(_BASE_CONF)
+    conf["spark.sql.shuffle.partitions"] = str(
+        shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    )
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

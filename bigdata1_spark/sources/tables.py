@@ -1,0 +1,37 @@
+"""Parquet table readers for the driver testdata star schema.
+
+Canonical ingest path (SURVEY.md §2.1 S1): the reference scans schemaless
+text lines (``sc.textFile``); our engine's canonical storage is parquet so
+scans get columnar vectorized reads, predicate pushdown, and column pruning
+for free. The billing text format is still supported via
+:mod:`bigdata1_spark.sources.billing`.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any realistic scale factor.
+BROADCAST_DIMS = ("region", "nation", "supplier", "part")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table; parquet scan → pushdown/pruning apply."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; one of {TABLES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
