@@ -1,0 +1,279 @@
+"""Micro-operators: one registered query per SURVEY.md §2 inventory row.
+
+Each function is the smallest DataFrame plan that genuinely exercises the
+operator (scan pushdown, projection, explode, array surgery, set ops,
+sorts, limits, broadcast join...). Reference citations per function;
+semantics are the *intended* ones from the quirks ledger (SURVEY.md §8).
+
+Determinism: every query here has a total order or exact arithmetic so
+the DuckDB oracle hash matches bit-for-bit (see registry docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata1_spark.operators.basket import exact_sum, month_of
+from bigdata1_spark.sources.tables import load_table
+
+
+# --- S1: scan with pushdown (BD_hw1/src/spark/TopFive.java:46) -----------
+
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projected+filtered scan; filter and 3-column ReadSchema must reach
+    the parquet reader (predicate pushdown + column pruning)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 30)
+        .select("l_orderkey", "l_partkey", "l_quantity")
+    )
+
+
+# --- P1: field split (BD_hw1/src/spark/TopFive.java:64) ------------------
+
+def project_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = F.split(F.col("o_orderpriority"), "-")
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        toks.getItem(0).alias("prio_code"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
+
+
+# --- P2: month truncation (BD_hw1/src/spark/TopFive.java:65-66) ----------
+
+def project_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", month_of(F.col("o_orderdate")).alias("month")
+    )
+
+
+# --- P3: sub-split + cast (BD_hw1/src/spark/TotalPerMonth.java:69-74) ----
+
+def project_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Splits the 'N-NAME' priority into a numeric code; floor() before
+    the double→long cast because DuckDB CAST rounds while Spark truncates."""
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.split(F.col("o_orderpriority"), "-").getItem(0)
+        .cast("int").alias("prio_num"),
+        F.floor(F.col("o_totalprice")).cast("long").alias("price_floor"),
+    )
+
+
+# --- P4: predicate filter (BD_hw1/src/spark/TopFive.java:62) -------------
+
+def filter_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_returnflag") == "R")
+        & (F.col("l_quantity") > 25)
+        & (F.col("l_discount").between(0.02, 0.06))
+    ).select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+
+
+# --- P5: flatten billing → item rows (BD_hw1/src/spark/TopFive.java:59-73)
+
+def explode_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trips baskets through collect_set + explode — the reference's
+    universal flatMap step, equivalent to DISTINCT (orderkey, item)."""
+    per_basket = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("items"))
+    )
+    return per_basket.select(
+        "l_orderkey", F.explode("items").alias("item")
+    )
+
+
+# --- P6: array surgery (BD_hw1/src/spark/Utils.java:146-158) -------------
+
+def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted item array per order; drop-first mirrors removeOneItem
+    (antecedent derivation)."""
+    per_basket = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("items"))
+    )
+    return per_basket.select(
+        "l_orderkey",
+        F.size("items").cast("long").alias("n_items"),
+        F.element_at("items", 1).alias("first_item"),
+        F.array_join(
+            F.slice(F.col("items"), 2, F.size("items")), ","
+        ).alias("rest_csv"),
+    )
+
+
+# --- P7: rounding (BD_hw1/src/mapreduce/SupportAndConfidence.java:194) ---
+
+def scalar_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round via exact decimal arithmetic — rounding raw doubles is
+    engine-dependent at representation boundaries (70160.80499999…
+    rounds differently under HALF_UP on the decimal string vs the
+    double), so both engines cast to DECIMAL first."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,4)")
+    disc = F.col("l_discount").cast("decimal(18,4)")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(price * (F.lit(1) - disc), 2).cast("double")
+        .alias("net_price"),
+        F.round(disc * 100, 2).cast("double").alias("discount_pct"),
+    )
+
+
+# --- P8: string concat (BD_hw1/src/mapreduce/TotalPerMonth.java:115-123) -
+
+def scalar_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.concat_ws(
+            "|", F.col("l_returnflag"), F.col("l_linestatus"),
+            F.col("l_partkey"),
+        ).alias("tag"),
+    )
+
+
+# --- A1: count per (month, item) (BD_hw1/src/spark/TopFive.java:76-79) ---
+
+def groupby_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", month_of(F.col("o_orderdate")).alias("month")
+    )
+    return (
+        li.distinct()
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("month", F.col("l_partkey").alias("item"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# --- A4: global count (BD_hw1/src/spark/SupportAndConfidence.java:54-57) -
+
+def global_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row total-baskets count — replaces the reference's driver-side
+    Accumulator round-trip with a plain aggregate."""
+    return load_table(spark, sf_dir, "orders").agg(
+        F.count(F.lit(1)).alias("total_baskets")
+    )
+
+
+# --- A5: group-and-collect (BD_hw1/src/spark/TopFive.java:91) ------------
+
+def collect_list_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct items per month as a sorted CSV — the reference's
+    groupByKey materialization, made deterministic via sort."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", month_of(F.col("o_orderdate")).alias("month")
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("month")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("l_partkey")), ","
+            ).alias("items_csv"),
+            F.count_distinct("l_partkey").cast("long").alias("n_items"),
+        )
+    )
+
+
+# --- O1: sort desc (BD_hw1/src/mapreduce/Utils.java:18-39) ---------------
+
+def sort_desc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_partkey").alias("item"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("item"))
+    )
+
+
+# --- O3: chronological sort (BD_hw1/src/spark/Utils.java:170-185) --------
+
+def sort_asc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per month, ascending full 'yyyy-MM' key (fixes quirk Q4:
+    reference sorts by month token only, ignoring year)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", month_of(F.col("o_orderdate")).alias("month")
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("month")
+        .agg(exact_sum(F.col("l_extendedprice"), "revenue"))
+        .orderBy("month")
+    )
+
+
+# --- O4: ordered limit (SURVEY.md §2.4 O4 — absent in reference) ---------
+
+def limit_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total order before limit so the row set is deterministic
+    (TakeOrderedAndProject physical op)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_partkey")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+# --- J1: broadcast join (BD_hw1/src/spark/SupportAndConfidence.java:131-193)
+
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per brand — fact⋈dim with an explicit broadcast hint
+    (dim stays broadcastable far past sf1)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            exact_sum(F.col("l_extendedprice"), "revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# --- set ops (SURVEY.md §2.5 — one-liners with DuckDB oracles) -----------
+
+def _flag_items(spark: SparkSession, sf_dir: str, flag: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == flag)
+        .select(F.col("l_partkey").alias("item"))
+    )
+
+
+def setop_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _flag_items(spark, sf_dir, "R").union(
+        _flag_items(spark, sf_dir, "A")
+    ).distinct()
+
+
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _flag_items(spark, sf_dir, "R").intersect(
+        _flag_items(spark, sf_dir, "A")
+    )
+
+
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # subtract == EXCEPT DISTINCT (exceptAll would keep multiplicity
+    # leftovers, which is not ANSI EXCEPT semantics)
+    return _flag_items(spark, sf_dir, "R").subtract(
+        _flag_items(spark, sf_dir, "A")
+    )

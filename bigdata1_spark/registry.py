@@ -21,7 +21,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from bigdata1_spark.operators import basket
+from bigdata1_spark.operators import basket, micro
+from bigdata1_spark.sources import generator
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -127,3 +128,235 @@ register(
     CROSS JOIN total t
     """,
 )
+
+register(
+    "join_self_pairs",
+    basket.pair_counts,
+    """
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS i1, b.l_partkey AS i2, COUNT(*) AS pair_cnt
+    FROM baskets a JOIN baskets b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# Micro-operators (SURVEY.md §2.1/2.2/2.4/2.5)
+# ---------------------------------------------------------------------------
+
+register(
+    "scan_parquet",
+    micro.scan_parquet,
+    """
+    SELECT l_orderkey, l_partkey, l_quantity
+    FROM lineitem WHERE l_quantity >= 30
+    """,
+)
+
+register(
+    "project_split",
+    micro.project_split,
+    """
+    SELECT o_orderkey,
+           string_split(o_orderpriority, '-')[1] AS prio_code,
+           CAST(len(string_split(o_orderpriority, '-')) AS BIGINT)
+             AS n_tokens
+    FROM orders
+    """,
+)
+
+register(
+    "project_month",
+    micro.project_month,
+    """
+    SELECT o_orderkey, strftime(o_orderdate, '%Y-%m') AS month FROM orders
+    """,
+)
+
+register(
+    "project_cast",
+    micro.project_cast,
+    """
+    SELECT o_orderkey,
+           CAST(string_split(o_orderpriority, '-')[1] AS INTEGER)
+             AS prio_num,
+           CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor
+    FROM orders
+    """,
+)
+
+register(
+    "filter_predicate",
+    micro.filter_predicate,
+    """
+    SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+    FROM lineitem
+    WHERE l_returnflag = 'R' AND l_quantity > 25
+      AND l_discount BETWEEN 0.02 AND 0.06
+    """,
+)
+
+register(
+    "explode_items",
+    micro.explode_items,
+    """
+    SELECT DISTINCT l_orderkey, l_partkey AS item FROM lineitem
+    """,
+)
+
+register(
+    "array_ops",
+    micro.array_ops,
+    """
+    WITH b AS (
+      SELECT l_orderkey,
+             list_sort(list(DISTINCT l_partkey)) AS items
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_orderkey,
+           CAST(len(items) AS BIGINT) AS n_items,
+           items[1] AS first_item,
+           COALESCE(array_to_string(items[2:], ','), '') AS rest_csv
+    FROM b
+    """,
+)
+
+register(
+    "scalar_round",
+    micro.scalar_round,
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (1 - CAST(l_discount AS DECIMAL(18,4))), 2)
+                AS DOUBLE) AS net_price,
+           CAST(ROUND(CAST(l_discount AS DECIMAL(18,4)) * 100, 2)
+                AS DOUBLE) AS discount_pct
+    FROM lineitem
+    """,
+)
+
+register(
+    "scalar_concat",
+    micro.scalar_concat,
+    """
+    SELECT l_orderkey, l_linenumber,
+           concat_ws('|', l_returnflag, l_linestatus, l_partkey) AS tag
+    FROM lineitem
+    """,
+)
+
+register(
+    "groupby_count",
+    micro.groupby_count,
+    """
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT strftime(o.o_orderdate, '%Y-%m') AS month,
+           b.l_partkey AS item, COUNT(*) AS cnt
+    FROM baskets b JOIN orders o ON b.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+    """,
+)
+
+register(
+    "global_count",
+    micro.global_count,
+    """
+    SELECT COUNT(*) AS total_baskets FROM orders
+    """,
+)
+
+register(
+    "collect_list_agg",
+    micro.collect_list_agg,
+    """
+    SELECT strftime(o.o_orderdate, '%Y-%m') AS month,
+           array_to_string(list_sort(list(DISTINCT l.l_partkey)), ',')
+             AS items_csv,
+           CAST(COUNT(DISTINCT l.l_partkey) AS BIGINT) AS n_items
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+
+register(
+    "sort_desc",
+    micro.sort_desc,
+    """
+    SELECT l_partkey AS item, COUNT(*) AS cnt
+    FROM lineitem GROUP BY 1 ORDER BY cnt DESC, item ASC
+    """,
+)
+
+register(
+    "sort_asc",
+    micro.sort_asc,
+    """
+    SELECT strftime(o.o_orderdate, '%Y-%m') AS month,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+
+register(
+    "limit_n",
+    micro.limit_n,
+    """
+    SELECT l_orderkey, l_linenumber, l_partkey
+    FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100
+    """,
+)
+
+register(
+    "join_broadcast",
+    micro.join_broadcast,
+    """
+    SELECT p.p_brand AS brand,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS revenue,
+           COUNT(*) AS n
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1
+    """,
+)
+
+register(
+    "setop_union",
+    micro.setop_union,
+    """
+    SELECT l_partkey AS item FROM lineitem WHERE l_returnflag = 'R'
+    UNION
+    SELECT l_partkey AS item FROM lineitem WHERE l_returnflag = 'A'
+    """,
+)
+
+register(
+    "setop_intersect",
+    micro.setop_intersect,
+    """
+    SELECT l_partkey AS item FROM lineitem WHERE l_returnflag = 'R'
+    INTERSECT
+    SELECT l_partkey AS item FROM lineitem WHERE l_returnflag = 'A'
+    """,
+)
+
+register(
+    "setop_except",
+    micro.setop_except,
+    """
+    SELECT l_partkey AS item FROM lineitem WHERE l_returnflag = 'R'
+    EXCEPT
+    SELECT l_partkey AS item FROM lineitem WHERE l_returnflag = 'A'
+    """,
+)
+
+# Seeded generator round-trip — no SQL oracle (generated data lives only
+# in Spark); driver records the weaker rows-only check, properties are
+# asserted in tests/test_sources.py.
+register("gen_billings", generator.gen_billings_query)

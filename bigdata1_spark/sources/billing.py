@@ -1,0 +1,93 @@
+"""Billing text-line parser — the reference's native input format.
+
+Format A (item-only, generator output —
+``BD_hw1/src/generator/ItemBillingGenerator.java:25``)::
+
+    YYYY-M-D,item1,item2,...,itemK          e.g. 2015-3-12,pane,latte,uova
+
+Format B (costed, TotalPerMonth input —
+``BD_hw1/src/mapreduce/TotalPerMonth.java:53,93-95``)::
+
+    YYYY-M-D,COST NAME,COST NAME,...        e.g. 2015-3-12,15 pane,12 uova
+
+Dates are unpadded (quirk Q10) so we parse with the lenient 'y-M-d'
+pattern into a real DateType instead of doing string surgery. Blank lines
+are dropped before parsing (quirk Q8: the reference's Spark S&C counts
+them into the support denominator). Costs parse as double (quirk Q5: MR
+used int, Spark double; double is canonical).
+
+Everything is built-in column expressions — no Python UDFs — so parsing
+runs inside whole-stage codegen at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_billing_lines(spark: SparkSession, path: str) -> DataFrame:
+    """Raw text scan → one 'value' column per line (reference S1)."""
+    return spark.read.text(path)
+
+
+def _split_line(df: DataFrame) -> DataFrame:
+    nonblank = df.filter(
+        F.col("value").isNotNull() & (F.length(F.trim(F.col("value"))) > 0)
+    )
+    toks = F.split(F.col("value"), ",")
+    return nonblank.select(
+        F.to_date(toks.getItem(0), "y-M-d").alias("bill_date"),
+        F.slice(toks, 2, F.size(toks)).alias("raw_items"),
+    )
+
+
+def parse_billings_a(df: DataFrame) -> DataFrame:
+    """Format A lines → (bill_date DATE, items ARRAY<STRING>).
+
+    Items are deduped per billing (quirk Q9) but order is preserved
+    until a consumer sorts; empty item tokens are dropped.
+    """
+    return _split_line(df).select(
+        "bill_date",
+        F.array_distinct(
+            F.filter(F.col("raw_items"), lambda x: F.length(x) > 0)
+        ).alias("items"),
+    )
+
+
+def parse_billings_b(df: DataFrame) -> DataFrame:
+    """Format B lines → (bill_date DATE, items ARRAY<STRUCT<cost,name>>).
+
+    Cost-first parsing — the code is canonical over the reference's
+    wrong comment (quirk Q11).
+    """
+    item = lambda x: F.struct(  # noqa: E731
+        F.split(x, " ").getItem(0).cast("double").alias("cost"),
+        F.split(x, " ").getItem(1).alias("name"),
+    )
+    return _split_line(df).select(
+        "bill_date",
+        F.transform(
+            F.filter(F.col("raw_items"), lambda x: F.length(x) > 0), item
+        ).alias("items"),
+    )
+
+
+def normalize(parsed: DataFrame, costed: bool = False) -> DataFrame:
+    """Exploded line-item view (FIXTURES.md §1):
+    (bill_id, bill_date, item, cost) — one row per item per billing."""
+    with_id = parsed.withColumn("bill_id", F.monotonically_increasing_id())
+    if costed:
+        ex = with_id.select(
+            "bill_id", "bill_date", F.explode("items").alias("ci")
+        )
+        return ex.select(
+            "bill_id", "bill_date",
+            F.col("ci.name").alias("item"),
+            F.col("ci.cost").alias("cost"),
+        )
+    ex = with_id.select(
+        "bill_id", "bill_date", F.explode("items").alias("item")
+    )
+    return ex.withColumn("cost", F.lit(None).cast("double"))

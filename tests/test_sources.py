@@ -1,0 +1,72 @@
+"""Generator-parity and billing-parser tests (SURVEY.md §5 item 3)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata1_spark.sources import billing, generator
+
+
+def test_generator_properties(spark):
+    df = generator.gen_billings(spark, n=2000, seed=7).cache()
+    stats = df.select(
+        F.min(F.size("items")).alias("min_k"),
+        F.max(F.size("items")).alias("max_k"),
+        F.min(F.year("bill_date")).alias("min_y"),
+        F.max(F.year("bill_date")).alias("max_y"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    assert stats["n"] == 2000
+    assert 1 <= stats["min_k"] and stats["max_k"] <= 8  # vocab has 8 words
+    assert stats["min_y"] == 2015 and stats["max_y"] == 2015
+    # items unique within each billing
+    dup = df.filter(F.size("items") != F.size(F.array_distinct("items")))
+    assert dup.count() == 0
+    df.unpersist()
+
+
+def test_generator_deterministic(spark):
+    a = generator.gen_billings(spark, n=500, seed=42).collect()
+    b = generator.gen_billings(spark, n=500, seed=42).collect()
+    assert sorted(map(repr, a)) == sorted(map(repr, b))
+    c = generator.gen_billings(spark, n=500, seed=43).collect()
+    assert sorted(map(repr, a)) != sorted(map(repr, c))
+
+
+def test_format_a_roundtrip(spark):
+    src = generator.gen_billings(spark, n=300, seed=1)
+    lines = generator.billing_lines(src)
+    parsed = billing.parse_billings_a(lines)
+    back = parsed.select(
+        "bill_date", F.array_join(F.array_sort("items"), ",").alias("csv")
+    )
+    orig = src.select(
+        "bill_date", F.array_join(F.array_sort("items"), ",").alias("csv")
+    )
+    assert back.subtract(orig).count() == 0
+    assert orig.subtract(back).count() == 0
+
+
+def test_format_b_parse_and_normalize(spark):
+    lines = spark.createDataFrame(
+        [("2015-3-12,15 pane,12.5 uova",), ("",), ("2015-10-2,3 vino",)],
+        ["value"],
+    )
+    parsed = billing.parse_billings_b(lines)
+    rows = billing.normalize(parsed, costed=True).collect()
+    assert len(rows) == 3  # blank line dropped (quirk Q8)
+    by_item = {r["item"]: r for r in rows}
+    assert by_item["pane"]["cost"] == 15.0
+    assert by_item["uova"]["cost"] == 12.5
+    assert str(by_item["vino"]["bill_date"]) == "2015-10-02"  # unpadded ok
+
+
+def test_format_a_blank_and_dedup(spark):
+    lines = spark.createDataFrame(
+        [("2015-1-1,pane,pane,latte",), ("   ",), ("2015-2-2,vino",)],
+        ["value"],
+    )
+    parsed = billing.parse_billings_a(lines).collect()
+    assert len(parsed) == 2
+    items = {tuple(r["items"]) for r in parsed}
+    assert ("pane", "latte") in items  # deduped, order preserved
