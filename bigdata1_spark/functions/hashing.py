@@ -1,0 +1,99 @@
+"""Hash-sketch column expressions: MinHash signatures, LSH band keys,
+SimHash fingerprints.
+
+Everything rides on ``xxhash64`` (JVM-side, codegen) with integer salts,
+so sketches are deterministic functions of the input strings — no Python,
+no RNG state, reproducible across runs and cluster layouts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def minhash_signature(shingles: Column, k: int = 32, seed: int = 0) -> Column:
+    """ARRAY<BIGINT> of k min-hashes over the shingle set.
+
+    h_i(s) = xxhash64(s, seed, i); signature[i] = min over shingles.
+    Standard MinHash estimator: P[sig_a[i] == sig_b[i]] = J(a, b).
+    """
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    shingles, lambda s: F.xxhash64(s, F.lit(seed), F.lit(i))
+                )
+            )
+            for i in range(k)
+        ]
+    )
+
+
+def band_keys(sig: Column, bands: int, rows: int) -> Column:
+    """ARRAY<BIGINT> of per-band bucket keys (banding for LSH).
+
+    Band b's key hashes rows [b*rows, (b+1)*rows) of the signature
+    together with the band index, so buckets never collide across bands.
+    Docs sharing ≥1 band key are candidate pairs; with k=bands*rows the
+    candidate probability is 1-(1-J^rows)^bands (S-curve around the
+    similarity threshold).
+    """
+    return F.array(
+        *[
+            F.xxhash64(
+                F.lit(b), *[F.element_at(sig, b * rows + r + 1) for r in range(rows)]
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def simhash64(shingles: Column) -> Column:
+    """64-bit SimHash of a shingle set as BIGINT.
+
+    bit b of the fingerprint = majority vote of bit b across
+    xxhash64(shingle) values. Near-identical documents differ in few
+    bits (small Hamming distance).
+    """
+    hashes = F.transform(shingles, lambda s: F.xxhash64(s))
+    n = F.size(hashes)
+
+    def bit_majority(b: int) -> Column:
+        ones = F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + F.shiftright(h, b).bitwiseAND(F.lit(1)),
+        )
+        # majority (ties → 1): 2*ones >= n
+        return F.when(ones * 2 >= n, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+
+    fp = F.lit(0).cast("long")
+    for b in range(64):
+        fp = fp + F.shiftleft(bit_majority(b), b)
+    return fp
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit fingerprints."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_block_keys(fp: Column, blocks: int = 4) -> Column:
+    """Split a 64-bit fingerprint into ``blocks`` equal bit-blocks and key
+    each (block_idx, block_value). Two fingerprints within Hamming
+    distance < blocks share at least one identical block (pigeonhole) —
+    the classic Charikar/Manku near-dup blocking scheme."""
+    width = 64 // blocks
+    mask = (1 << width) - 1
+    return F.array(
+        *[
+            F.xxhash64(
+                F.lit(i),
+                F.shiftright(fp, i * width).bitwiseAND(F.lit(mask)),
+            )
+            for i in range(blocks)
+        ]
+    )

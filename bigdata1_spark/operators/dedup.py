@@ -1,0 +1,210 @@
+"""Deduplication operators over the ``documents`` table (north-star
+extensions, SURVEY.md §2.9 X1/X2).
+
+Scale design: every variant is inverted-index- or bucket-join-shaped —
+no O(n²) cartesian anywhere. The exact-Jaccard query joins docs through
+shared shingles (pairs that share nothing never meet); MinHash-LSH and
+SimHash bucket by sketch keys so candidate generation is a hash shuffle
+on bounded keys; embedding near-dup blocks on the label column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata1_spark.functions import hashing, textfns, vectors
+from bigdata1_spark.sources.tables import load_table
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: keep the lowest doc_id per identical text.
+
+    Hash-groupBy on the text (at 100 TB: group on sha2(text) to shrink
+    shuffle keys; here the text column itself keeps the oracle trivial).
+    Columns: doc_id, n_dups.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("text")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+        .select("doc_id", "n_dups")
+    )
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.select(
+        "doc_id",
+        textfns.word_shingles(textfns.tokens(F.col("text")), n).alias("shingles"),
+    )
+
+
+def dedup_jaccard(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram (3-word shingle) Jaccard near-dup pairs.
+
+    Inverted-index self-join: explode distinct shingles, join on the
+    shingle, count common per pair, J = common/(n1+n2-common). This is
+    the exact counterpart the MinHash pipeline approximates, and the
+    oracle-checkable scale path (pairs sharing no shingle never meet).
+    Columns: id1, id2, jaccard.
+    """
+    sh = _doc_shingles(spark, sf_dir).cache()
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    ex = sh.select("doc_id", F.explode("shingles").alias("sh"))
+    common = (
+        ex.alias("a")
+        .join(ex.alias("b"),
+              (F.col("a.sh") == F.col("b.sh"))
+              & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    j = (
+        common.join(F.broadcast(sizes).alias("s1"),
+                    F.col("id1") == F.col("s1.doc_id"))
+        .join(F.broadcast(sizes.alias("s2")),
+              F.col("id2") == F.col("s2.doc_id"))
+        .select(
+            "id1",
+            "id2",
+            (F.col("common").cast("double")
+             / (F.col("s1.n_sh") + F.col("s2.n_sh") - F.col("common"))
+             .cast("double")).alias("jaccard"),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold)
+
+
+def minhash_candidates(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """MinHash+LSH candidate pairs (doc ids sharing ≥1 band bucket).
+
+    shingle → k-minhash signature → band keys → explode → bucket
+    groupBy → array-local pair generation (same combination pattern as
+    the basket operators — no self-join shuffle). Candidates are
+    distinct (id1 < id2). Columns: id1, id2.
+    """
+    rows = k // bands
+    sh = _doc_shingles(spark, sf_dir)
+    sig = sh.select(
+        "doc_id",
+        hashing.band_keys(
+            hashing.minhash_signature(F.col("shingles"), k=k), bands, rows
+        ).alias("bks"),
+    )
+    buckets = (
+        sig.select("doc_id", F.explode("bks").alias("bk"))
+        .groupBy("bk")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    # 2-combinations inside each bucket (bounded: bucket size is tiny for
+    # honest thresholds; a skew guard would cap pathological buckets).
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ids"), i + F.lit(2), F.size("ids")),
+                        lambda y: F.struct(x.alias("id1"), y.alias("id2")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.id1", "p.id2").distinct()
+
+
+def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs, verified with exact Jaccard ≥ 0.5.
+
+    The LSH pass prunes the pair space; the verify pass joins candidates
+    back to shingle sets and keeps true near-dups (no false positives;
+    recall governed by the band S-curve — asserted against the exact
+    query in tests). Rows-only driver check (sketches aren't
+    SQL-expressible in DuckDB). Columns: id1, id2, jaccard.
+    """
+    cand = minhash_candidates(spark, sf_dir)
+    sh = _doc_shingles(spark, sf_dir)
+    a = sh.select(F.col("doc_id").alias("id1"), F.col("shingles").alias("sh1"))
+    b = sh.select(F.col("doc_id").alias("id2"), F.col("shingles").alias("sh2"))
+    joined = cand.join(a, "id1").join(b, "id2")
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    union = F.size("sh1") + F.size("sh2") - inter
+    return (
+        joined.select(
+            "id1", "id2",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints + near-dup pairs within Hamming distance 3.
+
+    Charikar fingerprint per doc; candidate generation via 4-block
+    pigeonhole keys (any pair within distance 3 shares a block), then
+    exact Hamming verify. Rows-only check. Columns: id1, id2, hamming.
+    """
+    sh = _doc_shingles(spark, sf_dir)
+    fp = sh.select(
+        "doc_id", hashing.simhash64(F.col("shingles")).alias("fp")
+    )
+    keyed = fp.select(
+        "doc_id", "fp",
+        F.explode(hashing.simhash_block_keys(F.col("fp"))).alias("bk"),
+    )
+    pairs = (
+        keyed.alias("a")
+        .join(keyed.alias("b"),
+              (F.col("a.bk") == F.col("b.bk"))
+              & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("id1"),
+            F.col("b.doc_id").alias("id2"),
+            hashing.hamming64(F.col("a.fp"), F.col("b.fp")).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= 3)
+
+
+def dedup_embedding(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.3
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by the label column.
+
+    Candidate generation joins only within a block (label = coarse
+    cluster id; at scale this is an LSH/IVF bucket id), so the join is
+    |block|²-bounded, not n². Cosine computed as deterministic double
+    folds → oracle-hashable. Columns: id1, id2, cos_sim.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", vectors.as_double(F.col("embedding")).alias("v")
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    return (
+        a.join(b,
+               (F.col("a.label") == F.col("b.label"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.vec_id").alias("id1"),
+            F.col("b.vec_id").alias("id2"),
+            vectors.cosine(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

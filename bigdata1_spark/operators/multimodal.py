@@ -1,0 +1,114 @@
+"""Multimodal binary-column plumbing (north-star: image/audio/video as
+opaque binary + typed metadata).
+
+The container has no image/audio codecs, so the decode step is STUBBED
+(deterministic fake "decode" clearly marked below); everything Spark-side
+is real and tested: schema, Arrow batch shape, ``mapInPandas`` iteration,
+partition behavior. Swapping ``_fake_decode`` for PIL/ffmpeg is a
+one-function change.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),       # image|audio|video
+        StructField("payload", BinaryType()),    # opaque encoded bytes
+        StructField("meta_w", LongType()),       # typed metadata columns
+        StructField("meta_h", LongType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("feat_mean", LongType()),    # stub feature: mean byte
+        StructField("thumb_w", LongType()),
+        StructField("thumb_h", LongType()),
+    ]
+)
+
+
+def synth_media(spark: SparkSession, n: int = 256, seed: int = 42) -> DataFrame:
+    """Deterministic fake media rows: payload = seeded pseudo-random bytes
+    derived from xxhash64 (stands in for real encoded frames)."""
+    kinds = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(3)) + 1).cast("int"),
+    )
+    payload = F.sha2(F.concat_ws(":", F.col("id"), F.lit(seed)), 512).cast("binary")
+    return spark.range(n).select(
+        F.col("id").alias("media_id"),
+        kinds.alias("kind"),
+        payload.alias("payload"),
+        (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1920)) + 1).alias("meta_w"),
+        (F.pmod(F.xxhash64("id", F.lit(2)), F.lit(1080)) + 1).alias("meta_h"),
+    )
+
+
+def _fake_decode(payload: bytes) -> bytes:
+    """STUB decode. A real deployment decodes image/audio bytes here
+    (PIL / torchaudio / ffmpeg — not installed in this container).
+    The fake is deterministic: the payload bytes themselves."""
+    return payload
+
+
+def decode_and_featurize(media: DataFrame, thumb: int = 64) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads.
+
+    Real plumbing: Arrow batches stream through Python once, output is a
+    fresh typed schema, rows stay partition-local (no shuffle). The
+    per-row work (decode → resize → feature) is the stubbed part.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = pdf["payload"].map(_fake_decode)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": decoded.map(len).astype("int64"),
+                    "feat_mean": decoded.map(
+                        lambda b: int(sum(b) // max(len(b), 1))
+                    ).astype("int64"),
+                    # thumbnail dims: clamp aspect-preserving to thumb px
+                    "thumb_w": pdf[["meta_w", "meta_h"]]
+                    .apply(lambda r: min(int(r.meta_w), thumb), axis=1)
+                    .astype("int64"),
+                    "thumb_h": pdf[["meta_w", "meta_h"]]
+                    .apply(lambda r: min(int(r.meta_h), thumb), axis=1)
+                    .astype("int64"),
+                }
+            )
+
+    return media.mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
+def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry (rows-only): synth media → mapInPandas featurize →
+    per-kind aggregate (exercises binary columns end-to-end)."""
+    feats = decode_and_featurize(synth_media(spark))
+    return feats.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.min("feat_mean").alias("min_feat"),
+        F.max("feat_mean").alias("max_feat"),
+    )

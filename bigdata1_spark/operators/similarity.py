@@ -1,0 +1,112 @@
+"""Similarity search over the ``embeddings`` table (north-star X3/X5).
+
+Brute-force cosine top-k is the exact baseline (one scan, one top-k —
+``TakeOrderedAndProject``, no shuffle of the data itself). The scale
+path is LSH bucketing: random-hyperplane signs → bucket key → search
+only the query's bucket (probed against brute force in tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata1_spark.functions import vectors
+from bigdata1_spark.sources.tables import load_table
+
+QUERY_VEC_ID = 0  # deterministic query: the embedding of vec_id 0
+TOP_K = 20
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", vectors.as_double(F.col("embedding")).alias("v")
+    )
+
+
+def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k vs the vec_id=0 embedding.
+
+    1-row query side cross-joined (broadcast) into the scan; global
+    ordered limit → TakeOrderedAndProject (top-k without a full sort).
+    Columns: vec_id, label, cos_sim.
+    """
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("v").alias("qv")
+    )
+    return (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id", "label",
+            vectors.cosine(F.col("v"), F.col("qv")).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+def _hyperplane_sign_key(v: Column, n_planes: int, dim: int, seed: int) -> Column:
+    """LSH bucket key: sign pattern of dot products with pseudo-random
+    hyperplanes. Plane p's component j = xxhash64(seed, p, j) scaled to
+    [-1, 1] — deterministic, generated inline, no driver-side RNG state.
+    """
+    key = F.lit(0).cast("long")
+    for p in range(n_planes):
+        plane = F.array(
+            *[
+                (F.xxhash64(F.lit(seed), F.lit(p), F.lit(j)) % 10_000_001)
+                .cast("double") / 10_000_001.0
+                for j in range(dim)
+            ]
+        )
+        bit = F.when(vectors.dot(v, plane) >= 0, F.lit(1)).otherwise(F.lit(0))
+        key = key * 2 + bit
+    return key
+
+
+def sim_topk_lsh(
+    spark: SparkSession,
+    sf_dir: str,
+    n_planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: search only vectors in the query's LSH bucket.
+
+    At 100 TB the bucket key is a partition/cluster column and this scan
+    prunes to ~1/2^planes of the data; recall vs exact top-k is probed
+    in tests. Rows-only driver check. Columns: vec_id, label, cos_sim.
+    """
+    emb = _emb(spark, sf_dir).withColumn(
+        "bucket", _hyperplane_sign_key(F.col("v"), n_planes, dim, seed=7)
+    )
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("v").alias("qv"), F.col("bucket").alias("qb")
+    )
+    return (
+        emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("bucket") == F.col("qb"))
+        .select(
+            "vec_id", "label",
+            vectors.cosine(F.col("v"), F.col("qv")).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings joined to their documents (vec_id = doc_id): typed
+    array column + text metadata side by side — the multimodal-row
+    shape. Columns: doc_id, lang, source, n_chars, label, dim."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        emb.join(docs, emb.vec_id == docs.doc_id)
+        .select(
+            "doc_id", "lang", "source", "n_chars", "label",
+            F.size("embedding").cast("long").alias("dim"),
+        )
+    )

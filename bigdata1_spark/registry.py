@@ -360,3 +360,194 @@ register(
 # in Spark); driver records the weaker rows-only check, properties are
 # asserted in tests/test_sources.py.
 register("gen_billings", generator.gen_billings_query)
+
+# ---------------------------------------------------------------------------
+# North-star extensions (SURVEY.md §2.9): dedup, similarity, text analysis
+# ---------------------------------------------------------------------------
+
+from bigdata1_spark.functions.textfns import LANG_MARKERS, STOPWORDS  # noqa: E402
+from bigdata1_spark.operators import (  # noqa: E402
+    dedup,
+    multimodal,
+    similarity,
+    text_analysis,
+)
+
+# DuckDB fragments kept in sync with functions/textfns.py by generating
+# them from the same Python constants.
+_DUCK_TOKENS = r"list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)"
+_DUCK_STOPLIST = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+_DUCK_MARKERS = ", ".join(
+    f"('{lang}', '{w}')" for lang, ws in sorted(LANG_MARKERS.items()) for w in ws
+)
+_DUCK_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+register(
+    "dedup_exact",
+    dedup.dedup_exact,
+    """
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
+    FROM documents GROUP BY text
+    """,
+)
+
+register(
+    "dedup_jaccard",
+    dedup.dedup_jaccard,
+    f"""
+    WITH words AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents
+    ), sh AS (
+      SELECT doc_id, array_to_string(w[i:i+2], ' ') AS s
+      FROM words,
+           (SELECT unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i)
+    ), d AS (
+      SELECT DISTINCT doc_id, s FROM sh
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM d GROUP BY 1
+    ), common AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+      FROM d a JOIN d b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id1, id2,
+           CAST(c AS DOUBLE) / CAST(s1.n + s2.n - c AS DOUBLE) AS jaccard
+    FROM common
+    JOIN sizes s1 ON id1 = s1.doc_id
+    JOIN sizes s2 ON id2 = s2.doc_id
+    WHERE CAST(c AS DOUBLE) / CAST(s1.n + s2.n - c AS DOUBLE) >= 0.5
+    """,
+)
+
+# Sketch-based near-dup (MinHash-LSH, SimHash): xxhash64 sketches are not
+# reproducible in DuckDB → rows-only driver check; recall vs the exact
+# Jaccard query is asserted in tests/test_dedup.py.
+register("dedup_near", dedup.dedup_near)
+register("dedup_simhash", dedup.dedup_simhash)
+
+register(
+    "dedup_embedding",
+    dedup.dedup_embedding,
+    f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    )
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           {_DUCK_COS.format(a='a.v', b='b.v')} AS cos_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_DUCK_COS.format(a='a.v', b='b.v')} >= 0.3
+    """,
+)
+
+register(
+    "sim_topk",
+    similarity.sim_topk,
+    f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), q AS (
+      SELECT v AS qv FROM e WHERE vec_id = 0
+    )
+    SELECT e.vec_id, e.label,
+           {_DUCK_COS.format(a='e.v', b='q.qv')} AS cos_sim
+    FROM e, q WHERE e.vec_id <> 0
+    ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 20
+    """,
+)
+
+register("sim_topk_lsh", similarity.sim_topk_lsh)
+
+register(
+    "multimodal_join",
+    similarity.multimodal_join,
+    """
+    SELECT d.doc_id, d.lang, d.source, d.n_chars, e.label,
+           CAST(len(e.embedding) AS BIGINT) AS dim
+    FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+    """,
+)
+
+register("multimodal_pipeline", multimodal.multimodal_pipeline)
+
+register(
+    "text_stats",
+    text_analysis.text_stats,
+    f"""
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(len({_DUCK_TOKENS})) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS avg_chars
+    FROM documents GROUP BY 1, 2
+    """,
+)
+
+register(
+    "token_count",
+    text_analysis.token_count,
+    rf"""
+    SELECT doc_id,
+           CAST(len({_DUCK_TOKENS}) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(
+             text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT)
+             AS bpe_tokens
+    FROM documents
+    """,
+)
+
+register(
+    "quality_score",
+    text_analysis.quality_score,
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents
+    ), s AS (
+      SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_tokens,
+             CAST(len(w) AS DOUBLE) AS nt,
+             CAST(len(list_filter(
+               w, x -> list_contains({_DUCK_STOPLIST}, x))) AS DOUBLE) AS ns,
+             CAST(list_sum(list_transform(w, x -> len(x))) AS DOUBLE)
+               AS total_len
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CASE WHEN nt > 0 THEN total_len / nt ELSE 0.0 END
+             AS mean_token_len,
+           CASE WHEN nt > 0 THEN ns / nt ELSE 0.0 END AS stop_ratio,
+           (CASE WHEN nt > 0 THEN ns / nt ELSE 0.0 END) * 0.5
+             + least(nt / 100, 1.0) * 0.5 AS score
+    FROM s
+    """,
+)
+
+register(
+    "lang_id",
+    text_analysis.lang_id,
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_DUCK_TOKENS}) AS tok FROM documents
+    ), markers(m_lang, m_word) AS (
+      VALUES {_DUCK_MARKERS}
+    ), hits AS (
+      SELECT doc_id, m_lang AS pred_lang, COUNT(*) AS hits
+      FROM tok JOIN markers ON tok = m_word GROUP BY 1, 2
+    ), best AS (
+      SELECT doc_id, pred_lang, hits,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY hits DESC, pred_lang ASC) AS rn
+      FROM hits
+    )
+    SELECT d.doc_id,
+           COALESCE(b.pred_lang, 'und') AS pred_lang,
+           CAST(COALESCE(b.hits, 0) AS BIGINT) AS hits
+    FROM documents d
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+    """,
+)
+
+register("fingerprint", text_analysis.fingerprint)
