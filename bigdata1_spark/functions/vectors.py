@@ -35,3 +35,10 @@ def norm(a: Column) -> Column:
 def cosine(a: Column, b: Column) -> Column:
     """dot/(|a|*|b|) — single IEEE division of two deterministic doubles."""
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def scaled(a: Column, divisor: Column) -> Column:
+    """v / s elementwise. Pass a *materialized column reference* as the
+    divisor (project the norm in a prior select) — inlining norm(a) here
+    would re-evaluate the whole fold once per element."""
+    return F.transform(a, lambda x: x / divisor)

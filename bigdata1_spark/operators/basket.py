@@ -140,6 +140,21 @@ def _pair_combinations(items: Column) -> Column:
     )
 
 
+def basket_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(l_orderkey, items) — sorted distinct item array per basket.
+
+    The single shared upstream of every itemset computation: one scan +
+    one distinct + one grouping; callers that fan out (assoc_rules)
+    cache it, mirroring the reference's cache of the reduced itemset RDD
+    (``BD_hw1/src/spark/SupportAndConfidence.java:112``).
+    """
+    return (
+        baskets(spark, sf_dir)
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("items"))
+    )
+
+
 def itemset_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequencies of 1- and 2-itemsets over order baskets.
 
@@ -149,11 +164,7 @@ def itemset_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream consumers (and the SQL oracle) share one key shape.
     Columns: itemset, n_items, freq.
     """
-    per_basket = (
-        baskets(spark, sf_dir)
-        .groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_partkey")).alias("items"))
-    )
+    per_basket = basket_items(spark, sf_dir)
     singles = per_basket.select(
         F.explode("items").alias("item")
     ).select(
@@ -179,11 +190,10 @@ def pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Columns: i1, i2, pair_cnt with i1 < i2 (canonical order — reference
     sorts combinations, ``BD_hw1/src/spark/Utils.java:74-77``).
     """
-    per_basket = (
-        baskets(spark, sf_dir)
-        .groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_partkey")).alias("items"))
-    )
+    return _pair_counts_from(basket_items(spark, sf_dir))
+
+
+def _pair_counts_from(per_basket: DataFrame) -> DataFrame:
     return (
         per_basket.select(F.explode(_pair_combinations(F.col("items"))).alias("p"))
         .groupBy(F.col("p.i1").alias("i1"), F.col("p.i2").alias("i2"))
@@ -203,20 +213,23 @@ def assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Columns: antecedent, consequent, pair_cnt, support, confidence.
 
-    Plan shape: pair counts (2 shuffles, array-local pair gen) →
-    union both rule directions → broadcast join to item counts →
-    scalar total via 1-row cross join (Catalyst broadcasts it; replaces
-    the reference's driver-side Accumulator round-trip,
-    ``BD_hw1/src/spark/SupportAndConfidence.java:54-57``).
+    Plan shape: the shared per-basket item table is built ONCE and
+    cached (it fans out to total/item-counts/pair-counts — mirroring the
+    reference's cache at ``BD_hw1/src/spark/SupportAndConfidence.java:
+    112``); total is a plain count of cached baskets (replaces the
+    reference's driver-side Accumulator round-trip, ``:54-57``); both
+    rule directions union; the antecedent join and the 1-row total are
+    broadcast. Net: 2 shuffles to build the cache + 2 aggregation
+    shuffles, vs 4 full recomputations without the reuse.
     """
-    b = baskets(spark, sf_dir)
-    item_counts = b.groupBy(F.col("l_partkey").alias("item")).agg(
-        F.count(F.lit(1)).alias("item_cnt")
+    per_basket = basket_items(spark, sf_dir).cache()
+    item_counts = (
+        per_basket.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("item_cnt"))
     )
-    total = b.select(
-        F.count_distinct(F.col("l_orderkey")).alias("total_baskets")
-    )
-    pc = pair_counts(spark, sf_dir)
+    total = per_basket.agg(F.count(F.lit(1)).alias("total_baskets"))
+    pc = _pair_counts_from(per_basket)
     directed = pc.select(
         F.col("i1").alias("antecedent"),
         F.col("i2").alias("consequent"),

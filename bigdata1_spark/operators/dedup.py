@@ -161,9 +161,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact Hamming verify. Rows-only check. Columns: id1, id2, hamming.
     """
     sh = _doc_shingles(spark, sf_dir)
+    # cache: the 64-bit-majority sketch is the expensive part and the
+    # self-join below would otherwise compute it on both sides
     fp = sh.select(
         "doc_id", hashing.simhash64(F.col("shingles")).alias("fp")
-    )
+    ).cache()
     keyed = fp.select(
         "doc_id", "fp",
         F.explode(hashing.simhash_block_keys(F.col("fp"))).alias("bk"),
@@ -190,11 +192,22 @@ def dedup_embedding(
 
     Candidate generation joins only within a block (label = coarse
     cluster id; at scale this is an LSH/IVF bucket id), so the join is
-    |block|²-bounded, not n². Cosine computed as deterministic double
-    folds → oracle-hashable. Columns: id1, id2, cos_sim.
+    |block|²-bounded, not n². Vectors are L2-normalized BEFORE the join
+    (norms are O(n), not O(pairs)); cosine is then a single dot fold per
+    pair — deterministic order → oracle-hashable. Columns: id1, id2,
+    cos_sim.
     """
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", vectors.as_double(F.col("embedding")).alias("v")
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id", "label",
+            vectors.as_double(F.col("embedding")).alias("v"),
+        )
+        .withColumn("nrm", vectors.norm(F.col("v")))
+        .select(
+            "vec_id", "label",
+            vectors.scaled(F.col("v"), F.col("nrm")).alias("vn"),
+        )
     )
     a, b = emb.alias("a"), emb.alias("b")
     return (
@@ -204,7 +217,7 @@ def dedup_embedding(
         .select(
             F.col("a.vec_id").alias("id1"),
             F.col("b.vec_id").alias("id2"),
-            vectors.cosine(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+            vectors.dot(F.col("a.vn"), F.col("b.vn")).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

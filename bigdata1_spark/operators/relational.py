@@ -1,0 +1,132 @@
+"""Extended relational surface beyond the reference's operator set.
+
+The reference has no joins at all (SURVEY.md §2.5) — its one implicit
+equi-join is re-expressed in basket.py. A user switching engines still
+expects the full relational algebra, so these register the remaining
+join flavors, window functions, distinct aggregation, and rollup as
+first-class oracle-checked queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdata1_spark.operators.basket import exact_sum, month_of
+from bigdata1_spark.sources.tables import load_table
+
+
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders having at least one high-quantity line (LEFT SEMI — the
+    EXISTS pattern; no row multiplication, build side only hashes keys)."""
+    orders = load_table(spark, sf_dir, "orders")
+    big = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") >= 45
+    )
+    return orders.join(
+        big, orders.o_orderkey == big.l_orderkey, "left_semi"
+    ).select("o_orderkey", "o_orderstatus")
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders (LEFT ANTI — the NOT EXISTS pattern)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_mktsegment")
+
+
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every customer with their order count/revenue (LEFT OUTER keeps
+    order-less customers with zero counts)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum(F.col("o_totalprice"), "total_spent"),
+        )
+    )
+    return (
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.coalesce(F.col("n_orders"), F.lit(0).cast("long"))
+            .alias("n_orders"),
+            F.coalesce(F.col("total_spent"), F.lit(0.0)).alias("total_spent"),
+        )
+    )
+
+
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative spend per customer in order-date order — running-total
+    window (rows unbounded preceding), decimal-exact accumulation.
+    Total order inside each partition via (o_orderdate, o_orderkey)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w)
+        .cast("double").alias("running_spent"),
+    )
+
+
+def window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue delta per item (lag window) — the
+    classic trend query over the TotalPerMonth output."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_partkey").alias("item"), "l_extendedprice"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", month_of(F.col("o_orderdate")).alias("month")
+    )
+    monthly = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("item", "month")
+        .agg(exact_sum(F.col("l_extendedprice"), "revenue"))
+    )
+    w = Window.partitionBy("item").orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "item", "month", "revenue",
+        (F.col("revenue") - F.coalesce(prev, F.lit(0.0))).alias("delta"),
+    )
+
+
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-aggregate: unique parts and suppliers per return flag."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").cast("long").alias("n_parts"),
+        F.count_distinct("l_suppkey").cast("long").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def groupby_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus): subtotals + grand total in
+    one pass (Catalyst expands to grouping sets, single shuffle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            exact_sum(F.col("l_extendedprice"), "revenue"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "n",
+            "revenue",
+        )
+    )

@@ -1,0 +1,76 @@
+"""Physical-plan assertions — guards for the 100 TB posture.
+
+Parse ``explain(formatted)`` output and assert the plan properties that
+matter at scale: bounded exchange (shuffle) counts, broadcast joins
+where a dim side must never sort-merge, parquet predicate pushdown, and
+rank-limit pushdown for window top-k. Regression here means a query got
+silently slower at scale even though correctness tests stay green.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Shuffle exchanges (unique plan nodes, broadcast excluded).
+
+    Counts the '(N) Exchange' node-detail headers so each node is seen
+    once even though formatted output prints tree + details."""
+    plan = formatted_plan(df)
+    final = plan.split("== Initial Plan ==")[0]
+    return len(set(re.findall(r"^\((\d+)\) Exchange\s*$", final, re.M)))
+
+
+def assert_max_exchanges(df: DataFrame, n: int, what: str = "plan") -> None:
+    got = count_exchanges(df)
+    assert got <= n, f"{what}: {got} shuffle exchanges, expected <= {n}"
+
+
+def assert_broadcast_join(df: DataFrame, what: str = "plan") -> None:
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, (
+        f"{what}: no broadcast join in plan"
+    )
+
+
+def assert_pushed_filter(df: DataFrame, fragment: str, what: str = "plan") -> None:
+    """The parquet scan node must carry a PushedFilters entry containing
+    ``fragment`` (predicate reached the reader, not a post-scan Filter)."""
+    plan = formatted_plan(df)
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any(fragment in p for p in pushed), (
+        f"{what}: filter {fragment!r} not pushed to scan; "
+        f"pushed={pushed}"
+    )
+
+
+def assert_read_schema_only(
+    df: DataFrame, columns: set[str], what: str = "plan"
+) -> None:
+    """Every parquet ReadSchema must be a subset of ``columns`` —
+    column pruning reached the scan."""
+    plan = formatted_plan(df)
+    for schema in re.findall(r"ReadSchema: struct<([^>]*)>", plan):
+        read = {
+            c.split(":")[0].strip() for c in schema.split(",") if c.strip()
+        }
+        assert read <= columns, (
+            f"{what}: scan reads {sorted(read - columns)} beyond {columns}"
+        )
+
+
+def assert_window_group_limit(df: DataFrame, what: str = "plan") -> None:
+    """Top-k windows must push the rank filter below the shuffle
+    (WindowGroupLimit — Spark 3.5+ rank-limit pushdown)."""
+    assert "WindowGroupLimit" in formatted_plan(df), (
+        f"{what}: WindowGroupLimit missing — top-k sorts whole partitions"
+    )

@@ -431,14 +431,20 @@ register("dedup_simhash", dedup.dedup_simhash)
 register(
     "dedup_embedding",
     dedup.dedup_embedding,
-    f"""
+    """
     WITH e AS (
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), withnorm AS (
+      SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+    ), n AS (
+      SELECT vec_id, label,
+             list_transform(v, x -> x / nrm) AS vn
+      FROM withnorm
     )
     SELECT a.vec_id AS id1, b.vec_id AS id2,
-           {_DUCK_COS.format(a='a.v', b='b.v')} AS cos_sim
-    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE {_DUCK_COS.format(a='a.v', b='b.v')} >= 0.3
+           list_dot_product(a.vn, b.vn) AS cos_sim
+    FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.vn, b.vn) >= 0.3
     """,
 )
 
@@ -551,3 +557,117 @@ register(
 )
 
 register("fingerprint", text_analysis.fingerprint)
+
+# ---------------------------------------------------------------------------
+# Extended relational surface + batch form of the streaming window
+# ---------------------------------------------------------------------------
+
+from bigdata1_spark.operators import relational  # noqa: E402
+from bigdata1_spark.streaming import events as streaming_events  # noqa: E402
+
+register(
+    "join_semi",
+    relational.join_semi,
+    """
+    SELECT o_orderkey, o_orderstatus FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
+    """,
+)
+
+register(
+    "join_anti",
+    relational.join_anti,
+    """
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+
+register(
+    "join_outer",
+    relational.join_outer,
+    """
+    WITH per_cust AS (
+      SELECT o_custkey, COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS total_spent
+      FROM orders GROUP BY 1
+    )
+    SELECT c.c_custkey, c.c_mktsegment,
+           COALESCE(p.n_orders, 0) AS n_orders,
+           COALESCE(p.total_spent, 0.0) AS total_spent
+    FROM customer c LEFT JOIN per_cust p ON c.c_custkey = p.o_custkey
+    """,
+)
+
+register(
+    "window_running_sum",
+    relational.window_running_sum,
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_spent
+    FROM orders
+    """,
+)
+
+register(
+    "window_lag",
+    relational.window_lag,
+    """
+    WITH monthly AS (
+      SELECT l.l_partkey AS item,
+             strftime(o.o_orderdate, '%Y-%m') AS month,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS revenue
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    )
+    SELECT item, month, revenue,
+           revenue - COALESCE(
+             LAG(revenue) OVER (PARTITION BY item ORDER BY month), 0.0)
+             AS delta
+    FROM monthly
+    """,
+)
+
+register(
+    "agg_distinct",
+    relational.agg_distinct,
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY 1
+    """,
+)
+
+register(
+    "groupby_rollup",
+    relational.groupby_rollup,
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS revenue
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+
+register(
+    "events_window",
+    streaming_events.events_window,
+    """
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)

@@ -1,0 +1,87 @@
+"""Structured Streaming over the ``events`` table (SURVEY.md §7 phase 4).
+
+The reference declares spark-streaming but never uses it (SURVEY.md
+§2.8); this module is the engine's streaming surface: the same windowed
+aggregation runs in batch (oracle-checked via ``events_window`` in the
+registry) and as a stream (watermark + tumbling window), proving the
+logical plan is mode-agnostic.
+
+Stream inputs are parquet-directory sources: at scale this is the
+standard file-drop ingestion pattern (object-store prefix, exactly-once
+per file); tests materialize a temp directory from the testdata file.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata1_spark.sources.tables import load_table
+
+WINDOW = "1 hour"
+WATERMARK = "1 day"
+
+
+def _windowed(events: DataFrame) -> DataFrame:
+    """Tumbling-window aggregation shared by batch and streaming:
+    per (hour, event_type): event count + exact value sum."""
+    return (
+        events.groupBy(
+            F.window(F.col("ts"), WINDOW).alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss")
+            .alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form — registry entry with a DuckDB time_bucket oracle."""
+    return _windowed(load_table(spark, sf_dir, "events"))
+
+
+def events_window_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """Streaming form: parquet file source → watermark → same windowed
+    agg. Returns the (unstarted) streaming DataFrame; callers attach a
+    sink (tests use the memory sink with outputMode=complete)."""
+    stream = (
+        _read_events_stream(spark, source_dir)
+        .withWatermark("ts", WATERMARK)
+    )
+    return _windowed(stream)
+
+
+def _read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """Parquet-dir streaming source; ts arrives as TIMESTAMP(NANOS) →
+    read as long and rebuilt at micros (same dance as load_table)."""
+    schema = (
+        "event_id BIGINT, ts BIGINT, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING"
+    )
+    return (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def user_running_counts_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """Custom stateful operator demo: per-user running event count via
+    update-mode streaming aggregation (state store backed). The
+    DataFrame aggregation keeps per-key state across micro-batches —
+    the Spark-native replacement for hand-rolled stateful operators."""
+    stream = _read_events_stream(spark, source_dir)
+    return stream.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("ts").alias("last_seen"),
+    )

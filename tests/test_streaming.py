@@ -1,0 +1,67 @@
+"""Structured Streaming demos: the batch-checked windowed aggregation
+must produce identical results when run as a stream, and the stateful
+per-user aggregation must hold state across the source."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from bigdata1_spark.streaming import events as se
+
+
+@pytest.fixture()
+def stream_dir(tmp_path, sf_dir):
+    """Parquet-directory source materialized from the events table
+    (file-drop ingestion shape)."""
+    d = tmp_path / "events_stream"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", d / "part-000.parquet")
+    return str(d)
+
+
+def _run_stream(df, name: str):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_stream_matches_batch(spark, sf_dir, stream_dir):
+    batch = {
+        tuple(r)
+        for r in se.events_window(spark, sf_dir).collect()
+    }
+    q = _run_stream(se.events_window_stream(spark, stream_dir), "win_stream")
+    try:
+        got = {tuple(r) for r in spark.sql("SELECT * FROM win_stream").collect()}
+    finally:
+        q.stop()
+    assert got == batch
+
+
+def test_stateful_user_counts(spark, sf_dir, stream_dir):
+    q = _run_stream(
+        se.user_running_counts_stream(spark, stream_dir), "user_counts"
+    )
+    try:
+        rows = spark.sql("SELECT * FROM user_counts").collect()
+    finally:
+        q.stop()
+    assert len(rows) > 0
+    from bigdata1_spark.sources.tables import load_table
+    import pyspark.sql.functions as F
+
+    expect = {
+        (r["user_id"], r["n"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    got = {(r["user_id"], r["n_events"]) for r in rows}
+    assert got == expect
