@@ -46,41 +46,61 @@ def _doc_shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
 def dedup_jaccard(
     spark: SparkSession, sf_dir: str, threshold: float = 0.5
 ) -> DataFrame:
-    """Exact n-gram (3-word shingle) Jaccard near-dup pairs.
+    """Exact n-gram (3-word shingle) Jaccard near-dup pairs via prefix
+    filtering (Bayardo et al., All-Pairs/PPJoin).
 
-    Inverted-index self-join: explode distinct shingles, join on the
-    shingle, count common per pair, J = common/(n1+n2-common). This is
-    the exact counterpart the MinHash pipeline approximates, and the
-    oracle-checkable scale path (pairs sharing no shingle never meet).
-    Columns: id1, id2, jaccard.
+    A naive inverted-index count explodes on hot shingles (a shingle in
+    d docs yields d² pair rows). Prefix filtering is exact and bounded:
+    order each doc's shingles by a global canonical order (xxhash64),
+    index only the first ⌊(1-t)·n⌋+1 — any pair with J ≥ t provably
+    shares a prefix element — then verify candidates with one
+    array_intersect per pair. Same result set as the quadratic oracle
+    SQL, sub-quadratic candidate generation. Columns: id1, id2, jaccard.
     """
-    sh = _doc_shingles(spark, sf_dir).cache()
-    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
-    ex = sh.select("doc_id", F.explode("shingles").alias("sh"))
-    common = (
-        ex.alias("a")
-        .join(ex.alias("b"),
+    sh = _doc_shingles(spark, sf_dir)
+    # shingles in global hash order; prefix = the first ⌊(1-t)n⌋+1
+    ordered = sh.select(
+        "doc_id",
+        F.transform(
+            F.array_sort(
+                F.transform(
+                    F.col("shingles"),
+                    lambda s: F.struct(F.xxhash64(s).alias("h"), s.alias("s")),
+                )
+            ),
+            lambda x: x.getField("s"),
+        ).alias("shingles"),
+    ).cache()
+    prefix_len = (
+        F.floor(F.size("shingles") * (1.0 - threshold)).cast("int") + 1
+    )
+    prefixes = ordered.select(
+        "doc_id",
+        F.explode(F.slice(F.col("shingles"), 1, prefix_len)).alias("sh"),
+    )
+    cand = (
+        prefixes.alias("a")
+        .join(prefixes.alias("b"),
               (F.col("a.sh") == F.col("b.sh"))
               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
+        .select(
             F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2")
         )
-        .agg(F.count(F.lit(1)).alias("common"))
+        .distinct()
     )
-    j = (
-        common.join(F.broadcast(sizes).alias("s1"),
-                    F.col("id1") == F.col("s1.doc_id"))
-        .join(F.broadcast(sizes.alias("s2")),
-              F.col("id2") == F.col("s2.doc_id"))
+    a = ordered.select(F.col("doc_id").alias("id1"), F.col("shingles").alias("sh1"))
+    b = ordered.select(F.col("doc_id").alias("id2"), F.col("shingles").alias("sh2"))
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    union = F.size("sh1") + F.size("sh2") - inter
+    return (
+        cand.join(a, "id1")
+        .join(b, "id2")
         .select(
-            "id1",
-            "id2",
-            (F.col("common").cast("double")
-             / (F.col("s1.n_sh") + F.col("s2.n_sh") - F.col("common"))
-             .cast("double")).alias("jaccard"),
+            "id1", "id2",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
         )
+        .filter(F.col("jaccard") >= threshold)
     )
-    return j.filter(F.col("jaccard") >= threshold)
 
 
 def minhash_candidates(
