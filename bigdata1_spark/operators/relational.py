@@ -130,3 +130,73 @@ def groupby_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue",
         )
     )
+
+
+def pivot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: revenue per month × return flag as columns (fixed pivot
+    values keep the schema static — required at scale and for oracles;
+    relationally equivalent to per-flag conditional aggregation)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", month_of(F.col("o_orderdate")).alias("month")
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("month")
+        .pivot("l_returnflag", ["R", "A", "N"])
+        .agg(exact_sum(F.col("l_extendedprice"), "rev"))
+        .select(
+            "month",
+            F.coalesce(F.col("R"), F.lit(0.0)).alias("rev_r"),
+            F.coalesce(F.col("A"), F.lit(0.0)).alias("rev_a"),
+            F.coalesce(F.col("N"), F.lit(0.0)).alias("rev_n"),
+        )
+    )
+
+
+def groupby_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all grouping-set combinations
+    in one pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "n",
+        )
+    )
+
+
+def sessionize(spark: SparkSession, sf_dir: str, gap_min: int = 30) -> DataFrame:
+    """Sessionization via gaps-and-islands: a new session starts when a
+    user's inter-event gap exceeds ``gap_min`` minutes. lag → flag →
+    running sum → group. One shuffle on user_id; every window and the
+    final groupBy share that partitioning, so Catalyst plans a single
+    exchange. Columns: user_id, session_start, session_end, n_events."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", F.unix_micros(F.col("ts")).alias("us")
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gap_us = gap_min * 60 * 1_000_000
+    new_sess = F.when(
+        F.lag("us").over(w).isNull()
+        | ((F.col("us") - F.lag("us").over(w)) > gap_us),
+        1,
+    ).otherwise(0)
+    sess = ev.withColumn(
+        "sess_id",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sess.groupBy("user_id", "sess_id").agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .alias("session_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).select("user_id", "session_start", "session_end", "n_events")

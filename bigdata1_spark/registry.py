@@ -671,3 +671,58 @@ register(
     FROM events GROUP BY 1, 2
     """,
 )
+
+register(
+    "pivot_agg",
+    relational.pivot_revenue,
+    """
+    SELECT strftime(o.o_orderdate, '%Y-%m') AS month,
+           COALESCE(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)))
+             FILTER (l.l_returnflag = 'R') AS DOUBLE), 0.0) AS rev_r,
+           COALESCE(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)))
+             FILTER (l.l_returnflag = 'A') AS DOUBLE), 0.0) AS rev_a,
+           COALESCE(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)))
+             FILTER (l.l_returnflag = 'N') AS DOUBLE), 0.0) AS rev_n
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+
+register(
+    "groupby_cube",
+    relational.groupby_cube,
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+
+register(
+    "sessionize",
+    relational.sessionize,
+    """
+    WITH ev AS (
+      SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events
+    ), flagged AS (
+      SELECT user_id, event_id, ts, us,
+             CASE WHEN LAG(us) OVER w IS NULL
+                    OR us - LAG(us) OVER w > 30 * 60 * 1000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS sess_id
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sess_id
+    """,
+)

@@ -34,6 +34,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table; parquet scan → pushdown/pruning apply."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; one of {TABLES}")
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS), which Spark rejects
+        # unless nanos surface as long. Set at runtime (it is a dynamic
+        # SQL conf) so the engine also works under a vanilla session the
+        # driver harness creates, not just our own get_spark().
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read as long (see session conf): integer-divide

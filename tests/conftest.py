@@ -26,8 +26,18 @@ def sf_dir() -> str:
 
 
 @pytest.fixture(scope="session")
-def spark():
-    spark = get_spark(app_name="bigdata1-tests", shuffle_partitions=8)
+def spark(tmp_path_factory):
+    spark = get_spark(
+        app_name="bigdata1-tests",
+        shuffle_partitions=8,
+        extra_conf={
+            # static conf — must be set before the JVM starts (the
+            # bucketing tests create managed tables)
+            "spark.sql.warehouse.dir": str(
+                tmp_path_factory.mktemp("spark-warehouse")
+            ),
+        },
+    )
     yield spark
 
 

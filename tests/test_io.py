@@ -1,0 +1,76 @@
+"""Source/sink coverage (reference S2 `saveAsTextFile` → typed sinks):
+round-trip equality through parquet/csv/json, and bucketed tables
+co-locating a join with zero shuffle (the 100 TB co-location story)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from bigdata1_spark.operators import basket
+from bigdata1_spark.plans import checks
+
+
+@pytest.fixture()
+def small_df(spark, sf_dir):
+    return basket.revenue_per_item_month(spark, sf_dir).limit(500)
+
+
+def _collected(df):
+    return sorted(map(repr, df.collect()))
+
+
+def test_parquet_roundtrip(spark, small_df, tmp_path):
+    path = str(tmp_path / "out_parquet")
+    small_df.write.parquet(path)
+    assert _collected(spark.read.parquet(path)) == _collected(small_df)
+
+
+def test_csv_roundtrip(spark, small_df, tmp_path):
+    path = str(tmp_path / "out_csv")
+    small_df.write.option("header", True).csv(path)
+    back = spark.read.option("header", True).schema(small_df.schema).csv(path)
+    assert _collected(back) == _collected(small_df)
+
+
+def test_json_roundtrip(spark, small_df, tmp_path):
+    path = str(tmp_path / "out_json")
+    small_df.write.json(path)
+    back = spark.read.schema(small_df.schema).json(path)
+    assert _collected(back) == _collected(small_df)
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """Both sides bucketed+sorted on the join key → sort-merge join with
+    ZERO exchanges: the physical property that makes repeated big-big
+    joins viable at 100 TB (bucket pruning + no shuffle per query)."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS buckdemo")
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_partkey", "l_extendedprice"
+        )
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_orderdate"
+        )
+        (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+         .mode("overwrite").saveAsTable("buckdemo.li_b"))
+        (o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+         .mode("overwrite").saveAsTable("buckdemo.o_b"))
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = (
+                spark.table("buckdemo.li_b")
+                .join(spark.table("buckdemo.o_b"),
+                      F.col("l_orderkey") == F.col("o_orderkey"))
+                .groupBy("l_orderkey")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            # join itself shuffle-free; the groupBy reuses the bucketing
+            # (grouping key == bucket key) → zero exchanges end-to-end
+            checks.assert_max_exchanges(joined, 0, "bucketed join")
+            assert joined.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS buckdemo CASCADE")
