@@ -8,25 +8,47 @@ no RNG state, reproducible across runs and cluster layouts.
 
 from __future__ import annotations
 
+from typing import Callable
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+
+def let(value: Column, body: Callable[[Column], Column]) -> Column:
+    """Bind ``value`` once, reference it many times.
+
+    Emulates a let-binding with ``transform`` over a single-element
+    array: the element is evaluated once per row and bound to the lambda
+    variable, so every reference inside ``body`` reads the bound value.
+    Without this, Catalyst's projection collapse inlines a sub-expression
+    into each of its N references and re-evaluates it N times (lambda
+    expressions sit outside codegen's common-subexpression elimination)
+    — measured 22× slowdown on the MinHash band-key projection.
+    """
+    return F.element_at(F.transform(F.array(value), body), 1)
 
 
 def minhash_signature(shingles: Column, k: int = 32, seed: int = 0) -> Column:
     """ARRAY<BIGINT> of k min-hashes over the shingle set.
 
-    h_i(s) = xxhash64(s, seed, i); signature[i] = min over shingles.
+    Base-hash each shingle string once, then derive the k hash families
+    by re-hashing the 8-byte base value with the family index (strings
+    are hashed once, not k times). signature[i] = min over shingles.
     Standard MinHash estimator: P[sig_a[i] == sig_b[i]] = J(a, b).
     """
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    shingles, lambda s: F.xxhash64(s, F.lit(seed), F.lit(i))
+    base = F.transform(shingles, lambda s: F.xxhash64(s))
+    return let(
+        base,
+        lambda hs: F.array(
+            *[
+                F.array_min(
+                    F.transform(
+                        hs, lambda h: F.xxhash64(h, F.lit(seed), F.lit(i))
+                    )
                 )
-            )
-            for i in range(k)
-        ]
+                for i in range(k)
+            ]
+        ),
     )
 
 
@@ -39,13 +61,17 @@ def band_keys(sig: Column, bands: int, rows: int) -> Column:
     candidate probability is 1-(1-J^rows)^bands (S-curve around the
     similarity threshold).
     """
-    return F.array(
-        *[
-            F.xxhash64(
-                F.lit(b), *[F.element_at(sig, b * rows + r + 1) for r in range(rows)]
-            )
-            for b in range(bands)
-        ]
+    return let(
+        sig,
+        lambda s: F.array(
+            *[
+                F.xxhash64(
+                    F.lit(b),
+                    *[F.element_at(s, b * rows + r + 1) for r in range(rows)],
+                )
+                for b in range(bands)
+            ]
+        ),
     )
 
 
@@ -56,24 +82,29 @@ def simhash64(shingles: Column) -> Column:
     xxhash64(shingle) values. Near-identical documents differ in few
     bits (small Hamming distance).
     """
-    hashes = F.transform(shingles, lambda s: F.xxhash64(s))
-    n = F.size(hashes)
+    def body(hashes: Column) -> Column:
+        n = F.size(hashes)
 
-    def bit_majority(b: int) -> Column:
-        ones = F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc + F.shiftright(h, b).bitwiseAND(F.lit(1)),
-        )
-        # majority (ties → 1): 2*ones >= n
-        return F.when(ones * 2 >= n, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+        def bit_majority(b: int) -> Column:
+            ones = F.aggregate(
+                hashes,
+                F.lit(0).cast("long"),
+                lambda acc, h: acc + F.shiftright(h, b).bitwiseAND(F.lit(1)),
+            )
+            # majority (ties → 1): 2*ones >= n
+            return F.when(ones * 2 >= n, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
 
-    fp = F.lit(0).cast("long")
-    for b in range(64):
-        fp = fp + F.shiftleft(bit_majority(b), b)
-    return fp
+        fp = F.lit(0).cast("long")
+        for b in range(64):
+            fp = fp + F.shiftleft(bit_majority(b), b)
+        return fp
+
+    # let-bind the per-shingle hashes: referenced by all 64 bit
+    # majorities (and F.size), which would otherwise each re-hash every
+    # shingle string after projection collapse.
+    return let(F.transform(shingles, lambda s: F.xxhash64(s)), body)
 
 
 def hamming64(a: Column, b: Column) -> Column:

@@ -37,12 +37,21 @@ def word_shingles(toks: Column, n: int = 3) -> Column:
     Documents shorter than n tokens yield a single shingle of the whole
     document so every doc has ≥1 shingle (keeps minhash total).
     """
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
-    return F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j) for j in range(n)]
-            ),
+    from bigdata1_spark.functions.hashing import let
+
+    def body(tk: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.greatest(F.size(tk) - (n - 1), F.lit(1)))
+        return F.array_distinct(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(tk, i + j) for j in range(n)]
+                ),
+            )
         )
-    )
+
+    # let-bind the token array: ``toks`` is usually an inlined
+    # split-of-text expression, and it is referenced n times inside the
+    # per-shingle lambda — without the binding the whole document gets
+    # re-tokenized once per shingle per position.
+    return let(toks, body)

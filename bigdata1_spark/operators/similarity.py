@@ -49,17 +49,18 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _hyperplane_sign_key(v: Column, n_planes: int, dim: int, seed: int) -> Column:
     """LSH bucket key: sign pattern of dot products with pseudo-random
-    hyperplanes. Plane p's component j = xxhash64(seed, p, j) scaled to
-    [-1, 1] — deterministic, generated inline, no driver-side RNG state.
+    hyperplanes. Plane components are seeded-deterministic doubles in
+    [-1, 1] computed on the driver and shipped as plain literals (an
+    inline-hash formulation burned ~2 s of analyzer time on 256
+    constant-foldable xxhash64 nodes per query).
     """
+    import random
+
+    rng = random.Random(seed)
     key = F.lit(0).cast("long")
-    for p in range(n_planes):
+    for _ in range(n_planes):
         plane = F.array(
-            *[
-                (F.xxhash64(F.lit(seed), F.lit(p), F.lit(j)) % 10_000_001)
-                .cast("double") / 10_000_001.0
-                for j in range(dim)
-            ]
+            *[F.lit(rng.uniform(-1.0, 1.0)) for _ in range(dim)]
         )
         bit = F.when(vectors.dot(v, plane) >= 0, F.lit(1)).otherwise(F.lit(0))
         key = key * 2 + bit

@@ -16,6 +16,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from bigdata1_spark.functions.hashing import let
 from bigdata1_spark.functions.textfns import LANG_MARKERS, STOPWORDS, tokens
 from bigdata1_spark.sources.tables import load_table
 
@@ -62,26 +63,42 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     enough length). All ratios are single divisions of exact ints.
     """
     docs = load_table(spark, sf_dir, "documents")
-    t = _toks()
     stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
-    n_tok = F.size(t).cast("double")
-    n_stop = F.size(
-        F.filter(t, lambda x: F.array_contains(stop_arr, x))
-    ).cast("double")
-    stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
-    mean_tok_len = F.when(
-        n_tok > 0,
-        F.aggregate(
-            t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
-        ).cast("double") / n_tok,
-    ).otherwise(F.lit(0.0))
-    return docs.select(
-        "doc_id",
-        F.size(t).cast("long").alias("n_tokens"),
-        mean_tok_len.alias("mean_token_len"),
-        stop_ratio.alias("stop_ratio"),
-        (stop_ratio * 0.5
-         + F.least(n_tok / 100, F.lit(1.0)) * 0.5).alias("score"),
+
+    def from_feats(f: Column) -> Column:
+        n_tok = f.getField("n_tokens").cast("double")
+        n_stop = f.getField("n_stop").cast("double")
+        stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
+        mean_tok_len = F.when(
+            n_tok > 0, f.getField("char_sum").cast("double") / n_tok
+        ).otherwise(F.lit(0.0))
+        return F.struct(
+            f.getField("n_tokens").alias("n_tokens"),
+            mean_tok_len.alias("mean_token_len"),
+            stop_ratio.alias("stop_ratio"),
+            (stop_ratio * 0.5
+             + F.least(n_tok / 100, F.lit(1.0)) * 0.5).alias("score"),
+        )
+
+    # Nested let-bindings: tokenize once, reduce to three integer
+    # features once, then derive the ratio outputs — inlining would
+    # re-tokenize per reference (5×) after projection collapse.
+    row = let(
+        _toks(),
+        lambda t: let(
+            F.struct(
+                F.size(t).cast("long").alias("n_tokens"),
+                F.size(F.filter(t, lambda x: F.array_contains(stop_arr, x)))
+                .cast("long").alias("n_stop"),
+                F.aggregate(
+                    t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+                ).alias("char_sum"),
+            ),
+            from_feats,
+        ),
+    )
+    return docs.select("doc_id", row.alias("r")).select(
+        "doc_id", "r.n_tokens", "r.mean_token_len", "r.stop_ratio", "r.score"
     )
 
 
