@@ -277,3 +277,45 @@ def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _flag_items(spark, sf_dir, "R").subtract(
         _flag_items(spark, sf_dir, "A")
     )
+
+
+# --- scalar-function breadth (engine completeness; no reference analog
+# beyond P7/P8 string surgery) ---------------------------------------------
+
+def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from the events ``props`` column (semi-
+    structured payloads are first-class in a pipeline engine)."""
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+
+
+def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime function surface: year/quarter/month/day-of-week
+    extraction, date arithmetic, month truncation. dow is normalized to
+    Sunday=1 (Spark convention; the oracle shifts DuckDB's Sunday=0)."""
+    d = F.col("o_orderdate")
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year(d).cast("long").alias("yr"),
+        F.quarter(d).cast("long").alias("qtr"),
+        F.dayofweek(d).cast("long").alias("dow"),
+        F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("due_date"),
+        F.datediff(d, F.lit("1995-01-01").cast("date"))
+        .cast("long").alias("days_since_epoch"),
+        F.date_format(F.trunc(d, "month"), "yyyy-MM-dd").alias("month_start"),
+    )
+
+
+def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function surface: case, substring, regexp extraction,
+    padding, replacement."""
+    return load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 5).alias("name_head"),
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("key_padded"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+    )

@@ -200,3 +200,32 @@ def sessionize(spark: SparkSession, sf_dir: str, gap_min: int = 30) -> DataFrame
         .alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
     ).select("user_id", "session_start", "session_end", "n_events")
+
+
+def groupby_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quantiles (median + quartiles). Spark's exact
+    ``percentile`` interpolates identically to DuckDB's quantile_cont
+    (verified bit-for-bit). The approximate scale path is
+    approx_sketch."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("med_qty"),
+        F.expr("percentile(l_extendedprice, 0.25)").alias("price_q25"),
+        F.expr("percentile(l_extendedprice, 0.75)").alias("price_q75"),
+    )
+
+
+def approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates: HyperLogLog++ distinct count and KLL-style
+    approximate percentile per return flag — the single-pass,
+    fixed-memory forms that replace exact distinct/percentile at 100 TB
+    (exact versions shuffle every distinct value; sketches merge
+    partial states). Rows-only check: sketch outputs are
+    implementation-defined, bounded-error (asserted in tests against
+    the exact values)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("apx_parts"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 1000)")
+        .alias("apx_med_price"),
+    )

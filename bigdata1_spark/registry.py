@@ -726,3 +726,101 @@ register(
     FROM sess GROUP BY user_id, sess_id
     """,
 )
+
+# ---------------------------------------------------------------------------
+# Temporal operators + scalar-function breadth + quantiles/sketches
+# ---------------------------------------------------------------------------
+
+from bigdata1_spark.operators import temporal  # noqa: E402
+
+register(
+    "asof_join",
+    temporal.asof_join,
+    """
+    WITH purchases AS (
+      SELECT user_id, ts, MAX(value) AS pvalue
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ), clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT c.event_id, c.user_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+           COALESCE(strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f'), '')
+             AS purchase_ts,
+           COALESCE(p.pvalue, -1.0) AS purchase_value
+    FROM clicks c ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+
+register(
+    "join_range",
+    temporal.join_range,
+    """
+    WITH bands(band, lo, hi) AS (
+      VALUES (0, 0.0, 100.0), (1, 100.0, 200.0), (2, 200.0, 300.0),
+             (3, 300.0, 400.0), (4, 400.0, 500.0)
+    )
+    SELECT CAST(b.band AS BIGINT) AS band, COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY 1
+    """,
+)
+
+register(
+    "scalar_json",
+    micro.scalar_json,
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+)
+
+register(
+    "scalar_datetime",
+    micro.scalar_datetime,
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+           CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+           CAST(datediff('day', DATE '1995-01-01', o_orderdate) AS BIGINT)
+             AS days_since_epoch,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d')
+             AS month_start
+    FROM orders
+    """,
+)
+
+register(
+    "scalar_string",
+    micro.scalar_string,
+    """
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           p_name[1:5] AS name_head,
+           regexp_extract(p_name, '^(\\w+)', 1) AS first_word,
+           lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded,
+           replace(p_name, ' ', '_') AS name_snake
+    FROM part
+    """,
+)
+
+register(
+    "groupby_quantiles",
+    relational.groupby_quantiles,
+    """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS med_qty,
+           quantile_cont(l_extendedprice, 0.25) AS price_q25,
+           quantile_cont(l_extendedprice, 0.75) AS price_q75
+    FROM lineitem GROUP BY 1
+    """,
+)
+
+# sketch outputs are implementation-defined → rows-only driver check;
+# bounded error vs exact values is asserted in tests.
+register("approx_sketch", relational.approx_sketch)

@@ -85,3 +85,87 @@ def user_running_counts_stream(spark: SparkSession, source_dir: str) -> DataFram
         F.count(F.lit(1)).alias("n_events"),
         F.max("ts").alias("last_seen"),
     )
+
+
+def sessionize_stream(
+    spark: SparkSession, source_dir: str, gap_min: int = 30
+) -> DataFrame:
+    """Custom stateful streaming operator: per-user sessionization via
+    ``applyInPandasWithState``.
+
+    Arbitrary per-key state (open-session start/end/count) is held in
+    the state store across micro-batches; a session closes when the
+    event-time watermark passes its gap timeout. This is the engine's
+    pattern for stateful logic that windowed aggregation can't express
+    (the batch twin is the gaps-and-islands ``sessionize`` query,
+    oracle-checked in the registry). Emits only CLOSED sessions.
+    Columns: user_id, session_start, session_end, n_events.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_ms = gap_min * 60 * 1000
+    out_schema = (
+        "user_id BIGINT, session_start TIMESTAMP, "
+        "session_end TIMESTAMP, n_events BIGINT"
+    )
+    state_schema = "start BIGINT, end BIGINT, n BIGINT"
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            start, end, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [pd.Timestamp(start, unit="ms")],
+                    "session_end": [pd.Timestamp(end, unit="ms")],
+                    "n_events": [n],
+                }
+            )
+            return
+        closed = []
+        cur = state.get if state.exists else None
+        ts_all = []
+        for pdf in pdfs:
+            ts_all.extend(
+                int(t.value // 1_000_000) for t in pdf["ts"]
+            )
+        for t in sorted(ts_all):
+            if cur is None:
+                cur = (t, t, 1)
+            elif t - cur[1] > gap_ms:
+                closed.append(cur)
+                cur = (t, t, 1)
+            else:
+                cur = (cur[0], t, cur[2] + 1)
+        if cur is not None:
+            state.update(cur)
+            state.setTimeoutTimestamp(cur[1] + gap_ms)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(closed),
+                    "session_start": [
+                        pd.Timestamp(c[0], unit="ms") for c in closed
+                    ],
+                    "session_end": [
+                        pd.Timestamp(c[1], unit="ms") for c in closed
+                    ],
+                    "n_events": [c[2] for c in closed],
+                }
+            )
+
+    stream = (
+        _read_events_stream(spark, source_dir)
+        .withWatermark("ts", "1 hour")
+        .select("user_id", "ts")
+    )
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -73,3 +73,30 @@ def test_fingerprint_deterministic_and_distinct(spark, sf_dir):
     # distinct texts → (overwhelmingly) distinct fingerprints
     n_docs = len(a)
     assert len(set(a.values())) == n_docs
+
+
+def test_approx_sketch_bounded_error(spark, sf_dir):
+    """HLL distinct counts within 5% of exact; approx median within 1%
+    of the exact percentile (sketches trade exactness for single-pass
+    fixed memory — the error bound is the contract)."""
+    from bigdata1_spark.operators import relational
+
+    apx = {
+        r["l_returnflag"]: r
+        for r in relational.approx_sketch(spark, sf_dir).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r
+        for r in relational.agg_distinct(spark, sf_dir).collect()
+    }
+    med = {
+        r["l_returnflag"]: r
+        for r in relational.groupby_quantiles(spark, sf_dir).collect()
+    }
+    for flag, row in apx.items():
+        assert abs(row["apx_parts"] - exact[flag]["n_parts"]) <= (
+            0.05 * exact[flag]["n_parts"]
+        )
+        lo = min(med[flag]["price_q25"], med[flag]["price_q75"])
+        hi = max(med[flag]["price_q25"], med[flag]["price_q75"])
+        assert lo * 0.9 <= row["apx_med_price"] <= hi * 1.1

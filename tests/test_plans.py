@@ -46,3 +46,19 @@ def test_revenue_column_pruning(spark, sf_dir):
          "o_orderkey", "o_orderdate"},
         "groupby_sum",
     )
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    """The as-of join's union-merge formulation must shuffle exactly
+    once (on user_id) — a range self-join shape would blow up at scale."""
+    from bigdata1_spark.operators import temporal
+
+    df = temporal.asof_join(spark, sf_dir)
+    checks.assert_max_exchanges(df, 1, "asof_join")
+
+
+def test_range_join_broadcasts_dim(spark, sf_dir):
+    from bigdata1_spark.operators import temporal
+
+    df = temporal.join_range(spark, sf_dir)
+    checks.assert_broadcast_join(df, "join_range")

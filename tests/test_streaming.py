@@ -65,3 +65,37 @@ def test_stateful_user_counts(spark, sf_dir, stream_dir):
     }
     got = {(r["user_id"], r["n_events"]) for r in rows}
     assert got == expect
+
+
+def test_stateful_sessionize_stream(spark, sf_dir, stream_dir):
+    """applyInPandasWithState sessionization: closed sessions from the
+    stream must be a subset of (and consistent with) the batch
+    gaps-and-islands sessionization; sessions still open at end-of-
+    stream are withheld by the watermark."""
+    from bigdata1_spark.operators.relational import sessionize
+
+    q = (
+        se.sessionize_stream(spark, stream_dir)
+        .writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["user_id"], str(r["session_start"]), r["n_events"])
+        for r in spark.sql("select * from sess_stream").collect()
+    }
+    batch = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in sessionize(spark, sf_dir).collect()
+    }
+    # string formats differ (batch uses micros suffix) — compare on the
+    # (user, start-to-seconds, count) projection
+    batch_proj = {(u, s[:19], n) for (u, s, n) in batch}
+    got_proj = {(u, s[:19], n) for (u, s, n) in got}
+    assert got_proj, "stream produced no closed sessions"
+    assert got_proj <= batch_proj, (
+        f"stream sessions not in batch set: {sorted(got_proj - batch_proj)[:5]}"
+    )
