@@ -82,28 +82,52 @@ def simhash64(shingles: Column) -> Column:
     xxhash64(shingle) values. Near-identical documents differ in few
     bits (small Hamming distance).
     """
+    # Bit-count packing: one fold per GROUP of 8 bits, accumulating the
+    # 8 per-bit counts in 8-bit lanes of a single long (lane capacity
+    # 255 > any realistic shingle count per doc). 8 folds instead of 64
+    # — lambda folds are interpreted, so fold count is the cost driver.
+    LANE_MASK = 0x0101010101010101  # bit0 of each of the 8 lanes
+
     def body(hashes: Column) -> Column:
         n = F.size(hashes)
 
-        def bit_majority(b: int) -> Column:
-            ones = F.aggregate(
+        def lane_counts(group: int) -> Column:
+            # spread bits (group, group+8, ..., group+56) of h into the
+            # low bit of each 8-bit lane, then add lane-wise (capacity
+            # 255 shingles/doc; use 16-bit lanes beyond that)
+            return F.aggregate(
                 hashes,
                 F.lit(0).cast("long"),
-                lambda acc, h: acc + F.shiftright(h, b).bitwiseAND(F.lit(1)),
+                lambda acc, h: acc
+                + F.shiftright(h, group).bitwiseAND(F.lit(LANE_MASK)),
             )
-            # majority (ties → 1): 2*ones >= n
-            return F.when(ones * 2 >= n, F.lit(1).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
+
+        def group_bits(g: int) -> Column:
+            # let-bind the fold result: each group's counts feed 8 lane
+            # extractions, which must not re-run the fold
+            def unpack(counts: Column) -> Column:
+                contrib = F.lit(0).cast("long")
+                for lane in range(8):
+                    ones = (
+                        F.shiftright(counts, lane * 8).bitwiseAND(F.lit(0xFF))
+                    )
+                    # majority (ties → 1) of bit position g + 8*lane
+                    bit = F.when(
+                        ones * 2 >= n, F.lit(1).cast("long")
+                    ).otherwise(F.lit(0).cast("long"))
+                    contrib = contrib + F.shiftleft(bit, g + 8 * lane)
+                return contrib
+
+            return let(lane_counts(g), unpack)
 
         fp = F.lit(0).cast("long")
-        for b in range(64):
-            fp = fp + F.shiftleft(bit_majority(b), b)
+        for g in range(8):
+            fp = fp + group_bits(g)
         return fp
 
-    # let-bind the per-shingle hashes: referenced by all 64 bit
-    # majorities (and F.size), which would otherwise each re-hash every
-    # shingle string after projection collapse.
+    # let-bind the per-shingle hashes: referenced by all 8 lane folds
+    # (and F.size), which would otherwise each re-hash every shingle
+    # string after projection collapse.
     return let(F.transform(shingles, lambda s: F.xxhash64(s)), body)
 
 

@@ -54,7 +54,11 @@ def synth_media(spark: SparkSession, n: int = 256, seed: int = 42) -> DataFrame:
         (F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(3)) + 1).cast("int"),
     )
     payload = F.sha2(F.concat_ws(":", F.col("id"), F.lit(seed)), 512).cast("binary")
-    return spark.range(n).select(
+    # numPartitions sized to the demo row count: mapInPandas forks a
+    # Python worker per partition, so 32 near-empty partitions would pay
+    # 32 interpreter startups for 256 rows. At scale, partition count
+    # follows data volume, not core count.
+    return spark.range(0, n, 1, numPartitions=max(2, n // 128)).select(
         F.col("id").alias("media_id"),
         kinds.alias("kind"),
         payload.alias("payload"),
