@@ -62,3 +62,42 @@ def test_range_join_broadcasts_dim(spark, sf_dir):
 
     df = temporal.join_range(spark, sf_dir)
     checks.assert_broadcast_join(df, "join_range")
+
+
+def test_salted_count_matches_plain(spark, sf_dir):
+    """Skew-safe two-stage aggregation must agree with the direct
+    groupBy; the partial stage bounds any single task's share of a hot
+    key to ~1/n_salts of its rows."""
+    from bigdata1_spark.plans.skew import salted_count
+    from bigdata1_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    plain = {
+        (r["l_returnflag"], r["n"])
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    salted = {
+        (r["l_returnflag"], r["n"])
+        for r in salted_count(li, ["l_returnflag"]).collect()
+    }
+    assert salted == plain
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    """Hive-style partitionBy layout + partition pruning: a month
+    filter must reach the scan as a PartitionFilter touching one
+    directory — the layout that turns a 100 TB scan into a 100 GB one."""
+    from bigdata1_spark.operators.basket import month_of
+    from bigdata1_spark.plans import checks
+    from bigdata1_spark.sources.tables import load_table
+
+    path = str(tmp_path / "orders_by_month")
+    (load_table(spark, sf_dir, "orders")
+     .withColumn("month", month_of(F.col("o_orderdate")))
+     .write.partitionBy("month").parquet(path))
+    back = spark.read.parquet(path).filter(F.col("month") == "1995-03")
+    plan = checks.formatted_plan(back)
+    assert "PartitionFilters" in plan and "1995-03" in plan
+    n = back.count()
+    assert 0 < n < load_table(spark, sf_dir, "orders").count()
