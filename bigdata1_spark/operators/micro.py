@@ -319,3 +319,34 @@ def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("key_padded"),
         F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
     )
+
+
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — multiplicity-preserving difference (each occurrence
+    on the right cancels one on the left)."""
+    return _flag_items(spark, sf_dir, "R").exceptAll(
+        _flag_items(spark, sf_dir, "A")
+    )
+
+
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — multiplicity-preserving intersection."""
+    return _flag_items(spark, sf_dir, "R").intersectAll(
+        _flag_items(spark, sf_dir, "A")
+    )
+
+
+def posexplode_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode of the per-order sorted item array (ordinal
+    UNNEST — the position column is what plain explode loses)."""
+    b = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("items"))
+    )
+    return b.select(
+        "l_orderkey",
+        F.posexplode("items").alias("pos", "item"),
+    ).select(
+        "l_orderkey", (F.col("pos") + 1).cast("long").alias("pos"), "item"
+    )

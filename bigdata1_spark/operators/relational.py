@@ -229,3 +229,69 @@ def approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("approx_percentile(l_extendedprice, 0.5, 1000)")
         .alias("apx_med_price"),
     )
+
+
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function surface: rank / dense_rank / percent_rank /
+    ntile over a deterministic total order (month is unique per item)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_partkey").alias("item"), "l_extendedprice"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", month_of(F.col("o_orderdate")).alias("month")
+    )
+    monthly = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("item", "month")
+        .agg(exact_sum(F.col("l_extendedprice"), "revenue"))
+    )
+    w = Window.partitionBy("item").orderBy(F.desc("revenue"), F.asc("month"))
+    return monthly.select(
+        "item", "month", "revenue",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (variance, stddev, covariance,
+    correlation) computed from DECIMAL-exact power sums.
+
+    Native corr/covar accumulate in engine-specific order and differ in
+    final ulps between Spark and DuckDB; the sums-of-products form over
+    exact decimals followed by ONE identically-parenthesized double
+    expression is bit-reproducible on both. At scale the decimal sums
+    partial-aggregate exactly like any other sum."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(18,4)")
+    y = F.col("l_extendedprice").cast("decimal(18,4)")
+    # power sums exact in decimal, rounded to 2 dp before the double
+    # cast (>17-significant-digit decimal→double conversion differs
+    # across engines; see tpch.py note)
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(x), 2).alias("sx"),
+        F.round(F.sum(y), 2).alias("sy"),
+        F.round(F.sum((x * y).cast("decimal(38,8)")), 2).alias("sxy"),
+        F.round(F.sum((x * x).cast("decimal(38,8)")), 2).alias("sxx"),
+        F.round(F.sum((y * y).cast("decimal(38,8)")), 2).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    var_x = (sxx - sx * sx / n) / (n - 1)
+    var_y = (syy - sy * sy / n) / (n - 1)
+    covar = (sxy - sx * sy / n) / (n - 1)
+    return agg.select(
+        "l_returnflag",
+        "n",
+        var_x.alias("var_qty"),
+        F.sqrt(var_x).alias("sd_qty"),
+        covar.alias("covar_qp"),
+        (covar / F.sqrt(var_x * var_y)).alias("corr_qp"),
+    )

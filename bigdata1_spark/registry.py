@@ -824,3 +824,195 @@ register(
 # sketch outputs are implementation-defined → rows-only driver check;
 # bounded error vs exact values is asserted in tests.
 register("approx_sketch", relational.approx_sketch)
+
+# ---------------------------------------------------------------------------
+# Classic TPC-H query shapes + ranking/statistical breadth
+# ---------------------------------------------------------------------------
+
+from bigdata1_spark.operators import tpch  # noqa: E402
+
+register(
+    "tpch_q1",
+    tpch.tpch_q1,
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_base_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (CAST(1 AS DECIMAL(18,4))
+                       - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+             AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(19,4))
+                    * (CAST(1 AS DECIMAL(8,4))
+                       - CAST(l_discount AS DECIMAL(8,4))
+                       + CAST(l_tax AS DECIMAL(8,4))
+                       - CAST(l_discount AS DECIMAL(8,4))
+                         * CAST(l_tax AS DECIMAL(8,4)))), 2) AS DOUBLE)
+             AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY 1, 2
+    """,
+)
+
+register(
+    "tpch_q3",
+    tpch.tpch_q3,
+    """
+    SELECT l.l_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_orderpriority,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                    * (CAST(1 AS DECIMAL(18,4))
+                       - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+             AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < DATE '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, l.l_orderkey ASC
+    LIMIT 10
+    """,
+)
+
+register(
+    "tpch_q5",
+    tpch.tpch_q5,
+    """
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                    * (CAST(1 AS DECIMAL(18,4))
+                       - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+             AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= DATE '1996-01-01'
+      AND o.o_orderdate < DATE '1997-01-01'
+    GROUP BY 1
+    """,
+)
+
+register(
+    "tpch_q6",
+    tpch.tpch_q6,
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+             AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+
+register(
+    "window_rank",
+    relational.window_rank,
+    """
+    WITH monthly AS (
+      SELECT l.l_partkey AS item,
+             strftime(o.o_orderdate, '%Y-%m') AS month,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS revenue
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    )
+    SELECT item, month, revenue,
+           CAST(RANK() OVER w AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+           PERCENT_RANK() OVER w AS prnk,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+    FROM monthly
+    WINDOW w AS (PARTITION BY item ORDER BY revenue DESC, month ASC)
+    """,
+)
+
+register(
+    "agg_stats",
+    relational.agg_stats,
+    """
+    WITH sums AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS sx,
+             ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS sy,
+             ROUND(SUM(CAST(CAST(l_quantity AS DECIMAL(19,4))
+                      * CAST(l_extendedprice AS DECIMAL(19,4))
+                      AS DECIMAL(38,8))), 2) AS sxy,
+             ROUND(SUM(CAST(CAST(l_quantity AS DECIMAL(19,4))
+                      * CAST(l_quantity AS DECIMAL(19,4))
+                      AS DECIMAL(38,8))), 2) AS sxx,
+             ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(19,4))
+                      * CAST(l_extendedprice AS DECIMAL(19,4))
+                      AS DECIMAL(38,8))), 2) AS syy
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag, n,
+           (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+              / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS var_qty,
+           sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+              / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)) AS sd_qty,
+           (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+              / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS covar_qp,
+           ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+              / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))
+             / sqrt(((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                      * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                     / (CAST(n AS DOUBLE) - 1))
+                    * ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+                        * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                       / (CAST(n AS DOUBLE) - 1))) AS corr_qp
+    FROM sums
+    """,
+)
+
+register(
+    "setop_except_all",
+    micro.setop_except_all,
+    "SELECT l_partkey AS item FROM lineitem WHERE l_returnflag = 'R' "
+    "EXCEPT ALL "
+    "SELECT l_partkey AS item FROM lineitem WHERE l_returnflag = 'A'",
+)
+
+register(
+    "setop_intersect_all",
+    micro.setop_intersect_all,
+    "SELECT l_partkey AS item FROM lineitem WHERE l_returnflag = 'R' "
+    "INTERSECT ALL "
+    "SELECT l_partkey AS item FROM lineitem WHERE l_returnflag = 'A'",
+)
+
+register(
+    "posexplode_items",
+    micro.posexplode_items,
+    """
+    WITH b AS (
+      SELECT l_orderkey, list_sort(list(DISTINCT l_partkey)) AS items
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_orderkey,
+           CAST(unnest(range(1, len(items) + 1)) AS BIGINT) AS pos,
+           unnest(items) AS item
+    FROM b
+    """,
+)
