@@ -1,0 +1,96 @@
+"""API-surface operators: SQL-text entry, Python UDTF, grouped-map
+``applyInPandas``.
+
+The reference exposes exactly one calling convention (a ``main()`` per
+query); a complete engine exposes the DataFrame API (everything else in
+``operators/``), the SQL API (temp views + ``spark.sql``), table
+functions, and grouped-map pandas transforms. Each gets one
+oracle-checked registry entry so the surface itself is under test.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata1_spark.sources.tables import load_table
+
+
+def sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure SQL-text execution over registered temp views — proves the
+    engine's SQL surface end-to-end (view registration, parsing,
+    Catalyst planning of textual SQL)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT o.o_orderpriority AS priority,
+               COUNT(DISTINCT o.o_orderkey) AS n_orders,
+               CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                 AS total_qty
+        FROM v_lineitem l JOIN v_orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_returnflag = 'R'
+        GROUP BY o.o_orderpriority
+        """
+    )
+
+
+def udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function): one row per '-'-token of the order
+    priority with its ordinal — the lateral-view shape via the UDTF API.
+    Python is acceptable here (API-surface demo, tiny input); the bulk
+    path for the same shape is ``posexplode_items``.
+    """
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="pos: bigint, token: string")
+    class SplitTokens:
+        def eval(self, key: int, text: str):  # noqa: ANN001
+            for i, tok in enumerate(str(text).split("-")):
+                yield i + 1, tok
+
+    spark.udtf.register("split_tokens", SplitTokens)
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_u")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, t.pos, t.token
+        FROM v_orders_u o,
+        LATERAL split_tokens(o.o_orderkey, o.o_orderpriority) t
+        """
+    )
+
+
+def grouped_map_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map ``applyInPandas``: per-returnflag min-max
+    normalization of quantities.
+
+    The pandas function sees each group as one DataFrame (state that
+    windowed SQL can also express — which is exactly why it is
+    oracle-checkable: min/max are exact, the normalization is one IEEE
+    division). Partition-local per group; at scale group count >>
+    executor count keeps this balanced.
+    """
+    out_schema = (
+        "l_orderkey bigint, l_linenumber bigint, l_returnflag string, "
+        "qnorm double"
+    )
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        q = pdf["l_quantity"]
+        lo, hi = q.min(), q.max()
+        span = hi - lo
+        return pd.DataFrame(
+            {
+                "l_orderkey": pdf["l_orderkey"],
+                "l_linenumber": pdf["l_linenumber"],
+                "l_returnflag": pdf["l_returnflag"],
+                "qnorm": (q - lo) / span if span > 0 else q * 0.0,
+            }
+        )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+    )
+    return li.groupBy("l_returnflag").applyInPandas(normalize, out_schema)

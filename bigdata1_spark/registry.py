@@ -1016,3 +1016,49 @@ register(
     FROM b
     """,
 )
+
+# ---------------------------------------------------------------------------
+# API-surface operators (SQL text, UDTF, grouped-map pandas)
+# ---------------------------------------------------------------------------
+
+from bigdata1_spark.operators import api_surface  # noqa: E402
+
+register(
+    "sql_api",
+    api_surface.sql_api,
+    """
+    SELECT o.o_orderpriority AS priority,
+           COUNT(DISTINCT o.o_orderkey) AS n_orders,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+             AS total_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY o.o_orderpriority
+    """,
+)
+
+register(
+    "udtf_tokens",
+    api_surface.udtf_tokens,
+    """
+    SELECT o_orderkey,
+           CAST(unnest(range(1, len(string_split(o_orderpriority, '-')) + 1))
+                AS BIGINT) AS pos,
+           unnest(string_split(o_orderpriority, '-')) AS token
+    FROM orders
+    """,
+)
+
+register(
+    "grouped_map_normalize",
+    api_surface.grouped_map_normalize,
+    """
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           CASE WHEN MAX(l_quantity) OVER w > MIN(l_quantity) OVER w
+                THEN (l_quantity - MIN(l_quantity) OVER w)
+                     / (MAX(l_quantity) OVER w - MIN(l_quantity) OVER w)
+                ELSE l_quantity * 0.0 END AS qnorm
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_returnflag)
+    """,
+)

@@ -101,3 +101,37 @@ def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan and "1995-03" in plan
     n = back.count()
     assert 0 < n < load_table(spark, sf_dir, "orders").count()
+
+
+def test_tpch_q5_broadcasts_dims(spark, sf_dir):
+    """The 5-way join must broadcast supplier/nation/region (dim sides)
+    rather than sort-merge them."""
+    from bigdata1_spark.operators import tpch
+
+    df = tpch.tpch_q5(spark, sf_dir)
+    checks.assert_broadcast_join(df, "tpch_q5")
+
+
+def test_tpch_q6_full_pushdown(spark, sf_dir):
+    """Q6 is THE pushdown query: every predicate must reach the parquet
+    reader and the scan must read only the 4 needed columns."""
+    from bigdata1_spark.operators import tpch
+
+    df = tpch.tpch_q6(spark, sf_dir)
+    checks.assert_pushed_filter(df, "GreaterThanOrEqual(l_shipdate", "tpch_q6")
+    checks.assert_pushed_filter(df, "LessThan(l_quantity", "tpch_q6")
+    checks.assert_read_schema_only(
+        df,
+        {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"},
+        "tpch_q6",
+    )
+
+
+def test_tpch_q3_take_ordered(spark, sf_dir):
+    """Top-10 must plan as TakeOrderedAndProject (partial top-k per
+    partition + merge), never a global sort."""
+    from bigdata1_spark.operators import tpch
+    from bigdata1_spark.plans.checks import formatted_plan
+
+    plan = formatted_plan(tpch.tpch_q3(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
