@@ -70,3 +70,65 @@ def test_format_a_blank_and_dedup(spark):
     assert len(parsed) == 2
     items = {tuple(r["items"]) for r in parsed}
     assert ("pane", "latte") in items  # deduped, order preserved
+
+
+def test_reference_queries_over_billing_text(spark, tmp_path):
+    """End-to-end parity on the reference's OWN input format: generate
+    Format A text lines, parse, run all three reference queries
+    (TopFive / TotalPerMonth-shape / SupportAndConfidence), check
+    against DuckDB over the exploded line-item table."""
+    import duckdb
+
+    from pyspark.sql import Window
+
+    lines = generator.billing_lines(generator.gen_billings(spark, n=400, seed=9))
+    path = str(tmp_path / "billings.txt")
+    lines.coalesce(1).write.mode("overwrite").text(path)
+
+    parsed = billing.parse_billings_a(billing.read_billing_lines(spark, path))
+    norm = billing.normalize(parsed).select(
+        "bill_id", F.date_format("bill_date", "yyyy-MM").alias("month"), "item"
+    ).cache()
+    con = duckdb.connect()
+    con.register("norm", norm.toPandas())
+
+    # TopFive (intended semantics, quirks Q1/Q2): top-5 items per month
+    cnt = norm.groupBy("month", "item").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("month").orderBy(F.desc("cnt"), F.asc("item"))
+    top5 = cnt.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    got = {tuple(r) for r in top5.select("month", "item", "cnt").collect()}
+    want = {tuple(r) for r in con.execute("""
+        SELECT month, item, cnt FROM (
+          SELECT month, item, COUNT(*) cnt,
+                 ROW_NUMBER() OVER (PARTITION BY month
+                                    ORDER BY COUNT(*) DESC, item) rn
+          FROM norm GROUP BY month, item)
+        WHERE rn <= 5""").fetchall()}
+    assert got == want
+
+    # TotalPerMonth shape (count stands in for cost on Format A)
+    got = {tuple(r) for r in
+           norm.groupBy("item", "month").agg(F.count(F.lit(1)).alias("n"))
+           .collect()}
+    want = {tuple(r) for r in con.execute(
+        "SELECT item, month, COUNT(*) FROM norm GROUP BY 1, 2").fetchall()}
+    assert got == want
+
+    # SupportAndConfidence invariants on the parsed corpus
+    total = norm.select("bill_id").distinct().count()
+    pairs = (
+        norm.alias("a").join(norm.alias("b"),
+            (F.col("a.bill_id") == F.col("b.bill_id"))
+            & (F.col("a.item") < F.col("b.item")))
+        .groupBy(F.col("a.item").alias("i1"), F.col("b.item").alias("i2"))
+        .agg(F.count(F.lit(1)).alias("pc")))
+    items = norm.groupBy("item").agg(F.count(F.lit(1)).alias("ic"))
+    rules = (pairs.join(F.broadcast(items), pairs.i1 == items.item)
+             .select("i1", "i2",
+                     (F.col("pc") / F.lit(total)).alias("support"),
+                     (F.col("pc") / F.col("ic")).alias("confidence")))
+    bad = rules.filter(~((F.col("support") > 0)
+                         & (F.col("support") <= F.col("confidence"))
+                         & (F.col("confidence") <= 1)))
+    assert bad.count() == 0
+    norm.unpersist()
