@@ -350,3 +350,31 @@ def posexplode_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "l_orderkey", (F.col("pos") + 1).cast("long").alias("pos"), "item"
     )
+
+
+def map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-typed column surface: per-order item→quantity map built with
+    map_from_entries, then unpacked with map_entries + explode (maps
+    hash poorly across engines, so the registered output is the
+    exploded entry view; construction/access is what's exercised)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_item = li.groupBy("l_orderkey", "l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+        .cast("double").alias("qty")
+    )
+    as_map = per_item.groupBy("l_orderkey").agg(
+        F.map_from_entries(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("l_partkey"), F.col("qty")))
+            )
+        ).alias("item_qty")
+    )
+    return as_map.select(
+        "l_orderkey",
+        F.size("item_qty").cast("long").alias("n_items"),
+        F.explode(F.map_entries("item_qty")).alias("e"),
+    ).select(
+        "l_orderkey", "n_items",
+        F.col("e.key").alias("item"),
+        F.col("e.value").alias("qty"),
+    )

@@ -1062,3 +1062,20 @@ register(
     WINDOW w AS (PARTITION BY l_returnflag)
     """,
 )
+
+register(
+    "map_ops",
+    micro.map_ops,
+    """
+    WITH per_item AS (
+      SELECT l_orderkey, l_partkey AS item,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT l_orderkey,
+           CAST(COUNT(*) OVER (PARTITION BY l_orderkey) AS BIGINT)
+             AS n_items,
+           item, qty
+    FROM per_item
+    """,
+)

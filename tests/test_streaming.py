@@ -99,3 +99,24 @@ def test_stateful_sessionize_stream(spark, sf_dir, stream_dir):
     assert got_proj <= batch_proj, (
         f"stream sessions not in batch set: {sorted(got_proj - batch_proj)[:5]}"
     )
+
+
+def test_foreachbatch_parquet_sink(spark, sf_dir, stream_dir, tmp_path):
+    """foreachBatch sink: each micro-batch lands as parquet via the
+    batch writer (the escape hatch for sinks Structured Streaming lacks
+    natively); total rows must equal the source."""
+    out = str(tmp_path / "sink")
+
+    def write_batch(batch_df, batch_id: int):
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        se._read_events_stream(spark, stream_dir)
+        .writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n_src = se.events_window(spark, sf_dir).agg({"n_events": "sum"}).first()[0]
+    n_out = spark.read.parquet(out).count()
+    assert n_out == n_src
