@@ -28,27 +28,36 @@ def let(value: Column, body: Callable[[Column], Column]) -> Column:
     return F.element_at(F.transform(F.array(value), body), 1)
 
 
-def minhash_signature(shingles: Column, k: int = 32, seed: int = 0) -> Column:
-    """ARRAY<BIGINT> of k min-hashes over the shingle set.
+def minhash_from_hashes(hs: Column, k: int = 32, seed: int = 0) -> Column:
+    """ARRAY<BIGINT> of k min-hashes over pre-hashed shingle values.
 
-    Base-hash each shingle string once, then derive the k hash families
-    by re-hashing the 8-byte base value with the family index (strings
-    are hashed once, not k times). signature[i] = min over shingles.
-    Standard MinHash estimator: P[sig_a[i] == sig_b[i]] = J(a, b).
+    The k hash families re-hash the 8-byte base value with the family
+    index; signature[i] = min over the set. Standard MinHash estimator:
+    P[sig_a[i] == sig_b[i]] = J(a, b).
     """
-    base = F.transform(shingles, lambda s: F.xxhash64(s))
     return let(
-        base,
-        lambda hs: F.array(
+        hs,
+        lambda h: F.array(
             *[
                 F.array_min(
                     F.transform(
-                        hs, lambda h: F.xxhash64(h, F.lit(seed), F.lit(i))
+                        h, lambda x: F.xxhash64(x, F.lit(seed), F.lit(i))
                     )
                 )
                 for i in range(k)
             ]
         ),
+    )
+
+
+def minhash_signature(shingles: Column, k: int = 32, seed: int = 0) -> Column:
+    """ARRAY<BIGINT> of k min-hashes over the shingle set.
+
+    Base-hash each shingle string once, then derive the k hash families
+    from the 8-byte base values (strings are hashed once, not k times).
+    """
+    return minhash_from_hashes(
+        F.transform(shingles, lambda s: F.xxhash64(s)), k=k, seed=seed
     )
 
 

@@ -116,6 +116,7 @@ def minhash_candidates(
     sf_dir: str,
     k: int = 32,
     bands: int = 8,
+    hashed_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash+LSH candidate pairs (doc ids sharing ≥1 band bucket).
 
@@ -125,11 +126,17 @@ def minhash_candidates(
     distinct (id1 < id2). Columns: id1, id2.
     """
     rows = k // bands
-    sh = _doc_shingles(spark, sf_dir)
+    sh = hashed_shingles if hashed_shingles is not None else (
+        _doc_shingle_hashes(spark, sf_dir)
+    )
+    # the sorted per-doc shingle hashes ARE the minhash base hashes
+    # (h_i = rehash of xxhash64(shingle)), so the same table feeds both
+    # candidate generation here and the exact verify in dedup_near —
+    # one tokenize/shingle/hash pass total when the caller shares it.
     sig = sh.select(
         "doc_id",
         hashing.band_keys(
-            hashing.minhash_signature(F.col("shingles"), k=k), bands, rows
+            hashing.minhash_from_hashes(F.col("hs"), k=k), bands, rows
         ).alias("bks"),
     )
     buckets = (
@@ -165,8 +172,8 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     query in tests). Rows-only driver check (sketches aren't
     SQL-expressible in DuckDB). Columns: id1, id2, jaccard.
     """
-    cand = minhash_candidates(spark, sf_dir)
-    sh = _doc_shingle_hashes(spark, sf_dir)
+    sh = _doc_shingle_hashes(spark, sf_dir).cache()
+    cand = minhash_candidates(spark, sf_dir, hashed_shingles=sh)
     a = sh.select(F.col("doc_id").alias("id1"), F.col("hs").alias("hs1"))
     b = sh.select(F.col("doc_id").alias("id2"), F.col("hs").alias("hs2"))
     joined = cand.join(a, "id1").join(b, "id2")
