@@ -273,3 +273,68 @@ def dedup_embedding(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def dedup_clusters(
+    spark: SparkSession, sf_dir: str, max_iter: int = 20
+) -> DataFrame:
+    """Connected components over the near-dup pair graph → canonical
+    cluster id (min doc_id reachable) per document.
+
+    This is the group-resolution step every dedup pipeline needs after
+    pairwise detection: keep one representative per component. Iterative
+    hash-to-min label propagation — each round is one distributed
+    join+min-aggregate, labels converge in O(log n) rounds (components
+    here are tiny; the cap is a safety net, convergence is checked).
+    ``localCheckpoint`` truncates lineage so plans stay bounded across
+    iterations. Columns: doc_id, cluster_id, cluster_size.
+    """
+    pairs = dedup_jaccard(spark, sf_dir).select("id1", "id2")
+    edges = (
+        pairs.union(
+            pairs.select(
+                F.col("id2").alias("id1"), F.col("id1").alias("id2")
+            )
+        )
+        .withColumnRenamed("id1", "src")
+        .withColumnRenamed("id2", "dst")
+        .cache()
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    labels = docs.select(
+        F.col("doc_id").alias("node"), F.col("doc_id").alias("lbl")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        msgs = (
+            labels.join(edges, F.col("node") == F.col("src"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(msgs, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        labels.join(sizes, "lbl")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("lbl").alias("cluster_id"),
+            "cluster_size",
+        )
+    )

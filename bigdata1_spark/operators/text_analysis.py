@@ -177,3 +177,45 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     rolling_hash = pandas_udf(_rolling_hash_fn, "long")
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", rolling_hash(F.col("text")).alias("fp"))
+
+
+def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash train/val/test split (~80/10/10).
+
+    Splitting on a content hash (not random()) keeps assignment stable
+    across runs, engines, and re-partitioning — the reproducibility
+    property a training pipeline needs. The first two hex digits of
+    md5(text) give 256 uniform buckets: <205 train, <230 val, else
+    test. Columns: doc_id, bucket, split.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("text")), 1, 2), 16, 10).cast(
+        "long"
+    )
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 205, "train")
+        .when(bucket < 230, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+def ngram_freq(spark: SparkSession, sf_dir: str, top_n: int = 50) -> DataFrame:
+    """Corpus-level bigram frequencies, top-N with deterministic
+    tie-break — vocabulary/phrase statistics over the documents table
+    (explode → count → ordered limit; the count shuffle carries one row
+    per distinct bigram thanks to map-side partial aggregation)."""
+    from bigdata1_spark.functions.textfns import tokens, word_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        F.explode(word_shingles(tokens(F.col("text")), 2)).alias("bigram")
+    )
+    return (
+        grams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("bigram"))
+        .limit(top_n)
+    )

@@ -1079,3 +1079,93 @@ register(
     FROM per_item
     """,
 )
+
+# ---------------------------------------------------------------------------
+# Training-pipeline additions: dedup clustering, splits, n-gram stats
+# ---------------------------------------------------------------------------
+
+register(
+    "dedup_clusters",
+    dedup.dedup_clusters,
+    """
+    WITH RECURSIVE words AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                                 x -> len(x) > 0) AS w
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, array_to_string(w[i:i+2], ' ') AS s
+      FROM words,
+           (SELECT unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i)
+    ), d AS (
+      SELECT DISTINCT doc_id, s FROM sh
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM d GROUP BY 1
+    ), common AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+      FROM d a JOIN d b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id1, id2 FROM common
+      JOIN sizes s1 ON id1 = s1.doc_id
+      JOIN sizes s2 ON id2 = s2.doc_id
+      WHERE CAST(c AS DOUBLE) / CAST(s1.n + s2.n - c AS DOUBLE) >= 0.5
+    ), edges AS (
+      SELECT id1 AS src, id2 AS dst FROM pairs
+      UNION ALL
+      SELECT id2 AS src, id1 AS dst FROM pairs
+    ), reach(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ), labels AS (
+      SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY 1
+    )
+    SELECT l.doc_id, l.cluster_id, s.cluster_size
+    FROM labels l
+    JOIN (SELECT cluster_id, COUNT(*) AS cluster_size
+          FROM labels GROUP BY 1) s USING (cluster_id)
+    """,
+)
+
+register(
+    "sample_split",
+    text_analysis.sample_split,
+    """
+    WITH b AS (
+      SELECT doc_id,
+             CAST(16 * (strpos('0123456789abcdef',
+                               substr(md5(text), 1, 1)) - 1)
+                  + (strpos('0123456789abcdef',
+                            substr(md5(text), 2, 1)) - 1) AS BIGINT)
+               AS bucket
+      FROM documents
+    )
+    SELECT doc_id, bucket,
+           CASE WHEN bucket < 205 THEN 'train'
+                WHEN bucket < 230 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+
+register(
+    "ngram_freq",
+    text_analysis.ngram_freq,
+    """
+    WITH words AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                                 x -> len(x) > 0) AS w
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, array_to_string(w[i:i+1], ' ') AS bigram
+      FROM words,
+           (SELECT unnest(generate_series(1, greatest(len(w) - 1, 1))) AS i)
+    ), d AS (
+      SELECT DISTINCT doc_id, bigram FROM sh
+    )
+    SELECT bigram, COUNT(*) AS freq
+    FROM d GROUP BY 1
+    ORDER BY freq DESC, bigram ASC
+    LIMIT 50
+    """,
+)

@@ -100,3 +100,22 @@ def test_approx_sketch_bounded_error(spark, sf_dir):
         lo = min(med[flag]["price_q25"], med[flag]["price_q75"])
         hi = max(med[flag]["price_q25"], med[flag]["price_q75"])
         assert lo * 0.9 <= row["apx_med_price"] <= hi * 1.1
+
+
+def test_dedup_clusters_consistent_with_pairs(spark, sf_dir):
+    """Every near-dup pair must land in the same cluster; cluster ids
+    are the component minimum; sizes sum to the doc count."""
+    from bigdata1_spark.operators.dedup import dedup_clusters, dedup_jaccard
+
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(spark, sf_dir).collect()
+    }
+    for r in dedup_jaccard(spark, sf_dir).collect():
+        assert labels[r["id1"]] == labels[r["id2"]]
+    assert all(cid <= d for d, cid in labels.items())
+    docs_n = len(labels)
+    from collections import Counter
+
+    sizes = Counter(labels.values())
+    assert sum(sizes.values()) == docs_n
