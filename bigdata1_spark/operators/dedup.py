@@ -340,3 +340,17 @@ def dedup_clusters(
             "cluster_size",
         )
     )
+
+
+def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the deduplicated corpus: keep one representative
+    (min doc_id) per exact-duplicate group — the anti-join application
+    step after detection. Columns: doc_id, lang, source."""
+    docs = load_table(spark, sf_dir, "documents")
+    keep = (
+        docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return docs.join(keep, "doc_id", "left_semi").select(
+        "doc_id", "lang", "source"
+    )

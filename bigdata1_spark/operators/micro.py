@@ -383,3 +383,11 @@ def map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e.key").alias("item"),
         F.col("e.value").alias("qty"),
     )
+
+
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit CROSS JOIN (small × small): every (region, nation) combo
+    — cartesian products are only ever allowed dim × dim."""
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return r.crossJoin(n)

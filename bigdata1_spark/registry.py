@@ -1169,3 +1169,21 @@ register(
     LIMIT 50
     """,
 )
+
+register(
+    "join_cross",
+    micro.join_cross,
+    """
+    SELECT r_regionkey, r_name, n_nationkey, n_name
+    FROM region CROSS JOIN nation
+    """,
+)
+
+register(
+    "dedup_apply",
+    dedup.dedup_apply,
+    """
+    SELECT doc_id, lang, source FROM documents
+    WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY text)
+    """,
+)
