@@ -38,22 +38,31 @@ def main() -> None:
     _materialize(spark.read.parquet(os.path.join(SF_DIR, "region.parquet")))
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for key in sorted(registry.QUERIES):
         fn = registry.QUERIES[key]
         samples = []
-        for _ in range(RUNS):
-            t0 = time.perf_counter()
-            _materialize(fn(spark, SF_DIR))
-            samples.append(time.perf_counter() - t0)
+        try:
+            for _ in range(RUNS):
+                t0 = time.perf_counter()
+                _materialize(fn(spark, SF_DIR))
+                samples.append(time.perf_counter() - t0)
+        except Exception as exc:  # one broken query must not kill the run
+            errors[key] = f"{type(exc).__name__}: {exc}"[:200]
+            print(f"[bench] {key} FAILED: {errors[key]}", file=sys.stderr)
+            continue
         timings[key] = round(statistics.median(samples), 4)
 
-    print(json.dumps({
+    out = {
         "metric": "total_query_sec",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
