@@ -44,8 +44,11 @@ def word_shingles(toks: Column, n: int = 3) -> Column:
         return F.array_distinct(
             F.transform(
                 idx,
+                # F.get (0-based) is NULL-safe out of bounds where
+                # element_at raises under ANSI — short/empty docs yield
+                # one whole-doc shingle ('' for an empty token list)
                 lambda i: F.concat_ws(
-                    " ", *[F.element_at(tk, i + j) for j in range(n)]
+                    " ", *[F.get(tk, i + j - 1) for j in range(n)]
                 ),
             )
         )
