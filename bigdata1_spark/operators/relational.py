@@ -295,3 +295,21 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         covar.alias("covar_qp"),
         (covar / F.sqrt(var_x * var_y)).alias("corr_qp"),
     )
+
+
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per return flag, revenue of all lines within
+    5 quantity units below the current row's quantity (value-based
+    frame — every peer row with equal quantity shares the same frame,
+    so the result is deterministic under any sort-tie order)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy(F.col("l_quantity").cast("double"))
+        .rangeBetween(-5, Window.currentRow)
+    )
+    return li.select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity",
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).over(w)
+        .cast("double").alias("nearby_revenue"),
+    )

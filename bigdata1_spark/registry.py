@@ -1187,3 +1187,17 @@ register(
     WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY text)
     """,
 )
+
+register(
+    "window_range_frame",
+    relational.window_range_frame,
+    """
+    SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) OVER (
+             PARTITION BY l_returnflag
+             ORDER BY CAST(l_quantity AS DOUBLE)
+             RANGE BETWEEN 5 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS nearby_revenue
+    FROM lineitem
+    """,
+)
