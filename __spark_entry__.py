@@ -23,6 +23,34 @@ from bigdata1_spark import registry  # noqa: E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
+# Keys that already earned a driver CORRECTNESS row in round 1. The r1 run
+# recorded exactly the first 50 registered keys and stopped, so the registry
+# tail (including all four TPC-H queries) never got a row. queries() emits
+# not-yet-checked keys FIRST so a capped driver run covers them this round;
+# every key keeps its entry either way.
+_R1_CHECKED = frozenset({
+    "topk_window", "groupby_sum", "itemset_freq", "assoc_rules",
+    "join_self_pairs", "scan_parquet", "project_split", "project_month",
+    "project_cast", "filter_predicate", "explode_items", "array_ops",
+    "scalar_round", "scalar_concat", "groupby_count", "global_count",
+    "collect_list_agg", "sort_desc", "sort_asc", "limit_n",
+    "join_broadcast", "setop_union", "setop_intersect", "setop_except",
+    "gen_billings", "dedup_exact", "dedup_jaccard", "dedup_near",
+    "dedup_simhash", "dedup_embedding", "sim_topk", "sim_topk_lsh",
+    "multimodal_join", "multimodal_pipeline", "text_stats", "token_count",
+    "quality_score", "lang_id", "fingerprint", "join_semi", "join_anti",
+    "join_outer", "window_running_sum", "window_lag", "agg_distinct",
+    "groupby_rollup", "events_window", "pivot_agg", "groupby_cube",
+    "sessionize",
+})
+
+
+def _priority_order() -> list[str]:
+    keys = list(registry.QUERIES)
+    return [k for k in keys if k not in _R1_CHECKED] + [
+        k for k in keys if k in _R1_CHECKED
+    ]
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (top-5 items per month) on sf0.001."""
@@ -31,9 +59,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(registry.QUERIES)
+    return {k: registry.QUERIES[k] for k in _priority_order()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent ANSI SQL per query key (same column names)."""
-    return dict(registry.ORACLES)
+    return {
+        k: registry.ORACLES[k]
+        for k in _priority_order()
+        if k in registry.ORACLES
+    }

@@ -30,7 +30,10 @@ def _materialize(df) -> None:
 
 
 def main() -> None:
-    sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0)
+    try:
+        sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0)
+    except ValueError:  # unconventional dir name → lose the label, not the run
+        sf = None
     spark = get_spark(app_name="bigdata1-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -52,6 +55,10 @@ def main() -> None:
             print(f"[bench] {key} FAILED: {errors[key]}", file=sys.stderr)
             continue
         timings[key] = round(statistics.median(samples), 4)
+        # operators that cache intermediates (dedup_*, assoc_rules) leave
+        # entries behind; drop them so storage memory doesn't accumulate
+        # across 76 queries × 3 runs
+        spark.catalog.clearCache()
 
     out = {
         "metric": "total_query_sec",
