@@ -84,29 +84,49 @@ def band_keys(sig: Column, bands: int, rows: int) -> Column:
     )
 
 
+SIMHASH_MAX_SHINGLES = 255  # 8-bit lane capacity — see simhash64
+
+
 def simhash64(shingles: Column) -> Column:
     """64-bit SimHash of a shingle set as BIGINT.
 
     bit b of the fingerprint = majority vote of bit b across
     xxhash64(shingle) values. Near-identical documents differ in few
     bits (small Hamming distance).
+
+    Documents with more than ``SIMHASH_MAX_SHINGLES`` distinct shingles
+    are folded over their bottom-255 hash values (the 255 smallest
+    xxhash64 outputs — a deterministic bottom-k sketch of the set, the
+    same subset MinHash-style sketches retain). This keeps every per-bit
+    count within its 8-bit lane; without the cap a >255-shingle doc
+    would carry into the adjacent bit position's count and silently
+    corrupt the fingerprint. Bottom-k is stable under duplication and
+    ordering, so two near-identical long docs truncate to near-identical
+    sketches and their Hamming distance is preserved in expectation.
     """
     # Bit-count packing: one fold per GROUP of 8 bits, accumulating the
-    # 8 per-bit counts in 8-bit lanes of a single long (lane capacity
-    # 255 > any realistic shingle count per doc). 8 folds instead of 64
-    # — lambda folds are interpreted, so fold count is the cost driver.
+    # 8 per-bit counts in 8-bit lanes of a single long. 8 folds instead
+    # of 64 — lambda folds are interpreted, so fold count is the cost
+    # driver. The accumulator starts at Long.MIN_VALUE: the fold then
+    # climbs monotonically from MIN to at most MAX (255 adds of at most
+    # LANE_MASK each sum to 2^64-1), so no intermediate add crosses the
+    # signed-long boundary — without the bias, a top-lane (bits 56-63)
+    # count reaching 128 sets bit 63 mid-fold, which ANSI mode rejects
+    # as long overflow. Debias by flipping bit 63 (XOR, not subtraction,
+    # which would itself overflow).
     LANE_MASK = 0x0101010101010101  # bit0 of each of the 8 lanes
+    BIAS = -0x8000000000000000  # Long.MIN_VALUE
 
     def body(hashes: Column) -> Column:
         n = F.size(hashes)
 
         def lane_counts(group: int) -> Column:
             # spread bits (group, group+8, ..., group+56) of h into the
-            # low bit of each 8-bit lane, then add lane-wise (capacity
-            # 255 shingles/doc; use 16-bit lanes beyond that)
+            # low bit of each 8-bit lane, then add lane-wise (bounded by
+            # the bottom-k cap, so lanes cannot overflow)
             return F.aggregate(
                 hashes,
-                F.lit(0).cast("long"),
+                F.lit(BIAS).cast("long"),
                 lambda acc, h: acc
                 + F.shiftright(h, group).bitwiseAND(F.lit(LANE_MASK)),
             )
@@ -114,7 +134,8 @@ def simhash64(shingles: Column) -> Column:
         def group_bits(g: int) -> Column:
             # let-bind the fold result: each group's counts feed 8 lane
             # extractions, which must not re-run the fold
-            def unpack(counts: Column) -> Column:
+            def unpack(counts_biased: Column) -> Column:
+                counts = counts_biased.bitwiseXOR(F.lit(BIAS).cast("long"))
                 contrib = F.lit(0).cast("long")
                 for lane in range(8):
                     ones = (
@@ -136,8 +157,18 @@ def simhash64(shingles: Column) -> Column:
 
     # let-bind the per-shingle hashes: referenced by all 8 lane folds
     # (and F.size), which would otherwise each re-hash every shingle
-    # string after projection collapse.
-    return let(F.transform(shingles, lambda s: F.xxhash64(s)), body)
+    # string after projection collapse. The inner let binds the capped
+    # (bottom-k) array so the when/sort/slice also runs once.
+    return let(
+        F.transform(shingles, lambda s: F.xxhash64(s)),
+        lambda hs: let(
+            F.when(
+                F.size(hs) > SIMHASH_MAX_SHINGLES,
+                F.slice(F.array_sort(hs), 1, SIMHASH_MAX_SHINGLES),
+            ).otherwise(hs),
+            body,
+        ),
+    )
 
 
 def hamming64(a: Column, b: Column) -> Column:

@@ -108,6 +108,49 @@ def test_let_binding_is_transparent(spark, vals):
     assert direct == bound
 
 
+def test_simhash_long_docs_match_per_bit_reference(spark):
+    """Docs with >255 distinct shingles fold over their bottom-255 hash
+    values; the packed 8-bit-lane arithmetic must equal a naive one-fold-
+    per-bit majority over the same capped multiset (this is exactly the
+    computation that lane-carry overflow used to corrupt)."""
+    docs = [
+        (0, [f"tok{i}" for i in range(600)]),
+        (1, [f"tok{i}" for i in range(590)] + [f"alt{i}" for i in range(10)]),
+        (2, [f"other{i}" for i in range(600)]),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "sh"])
+    capped = F.slice(
+        F.array_sort(F.transform(F.col("sh"), lambda s: F.xxhash64(s))),
+        1,
+        hashing.SIMHASH_MAX_SHINGLES,
+    )
+    def bit_fold(b):  # bind the loop variable (aggregate wants 2-arg lambdas)
+        return lambda acc, h: acc + F.shiftright(h, b).bitwiseAND(
+            F.lit(1).cast("long")
+        )
+
+    naive = F.lit(0).cast("long")
+    for b in range(64):
+        ones = F.aggregate(capped, F.lit(0).cast("long"), bit_fold(b))
+        bit = (
+            F.when(ones * 2 >= F.size(capped), F.lit(1).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+        naive = naive + F.shiftleft(bit, b)
+    rows = df.select(
+        "doc_id",
+        hashing.simhash64(F.col("sh")).alias("packed"),
+        naive.alias("naive"),
+    ).collect()
+    fps = {}
+    for r in rows:
+        assert r["packed"] == r["naive"], f"doc {r['doc_id']} lane overflow"
+        fps[r["doc_id"]] = r["packed"]
+    # near-identical long docs stay near; unrelated docs stay far
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")  # noqa: E731
+    assert ham(fps[0], fps[1]) < ham(fps[0], fps[2])
+
+
 @given(texts=st.lists(st.text(max_size=40), min_size=1, max_size=10))
 @SETTINGS
 def test_simhash_identical_docs_zero_hamming(spark, texts):
