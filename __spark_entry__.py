@@ -35,8 +35,11 @@ _R1_CHECKED = frozenset({
     "scalar_round", "scalar_concat", "groupby_count", "global_count",
     "collect_list_agg", "sort_desc", "sort_asc", "limit_n",
     "join_broadcast", "setop_union", "setop_intersect", "setop_except",
+    # dedup_embedding is deliberately absent: its blocking key changed
+    # from the label stand-in to the LSH bucket this round, so it must
+    # earn a fresh driver row.
     "gen_billings", "dedup_exact", "dedup_jaccard", "dedup_near",
-    "dedup_simhash", "dedup_embedding", "sim_topk", "sim_topk_lsh",
+    "dedup_simhash", "sim_topk", "sim_topk_lsh",
     "multimodal_join", "multimodal_pipeline", "text_stats", "token_count",
     "quality_score", "lang_id", "fingerprint", "join_semi", "join_anti",
     "join_outer", "window_running_sum", "window_lag", "agg_distinct",

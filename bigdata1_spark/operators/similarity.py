@@ -48,23 +48,10 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hyperplane_sign_key(v: Column, n_planes: int, dim: int, seed: int) -> Column:
-    """LSH bucket key: sign pattern of dot products with pseudo-random
-    hyperplanes. Plane components are seeded-deterministic doubles in
-    [-1, 1] computed on the driver and shipped as plain literals (an
-    inline-hash formulation burned ~2 s of analyzer time on 256
-    constant-foldable xxhash64 nodes per query).
-    """
-    import random
-
-    rng = random.Random(seed)
-    key = F.lit(0).cast("long")
-    for _ in range(n_planes):
-        plane = F.array(
-            *[F.lit(rng.uniform(-1.0, 1.0)) for _ in range(dim)]
-        )
-        bit = F.when(vectors.dot(v, plane) >= 0, F.lit(1)).otherwise(F.lit(0))
-        key = key * 2 + bit
-    return key
+    """LSH bucket key — shared implementation in
+    :func:`bigdata1_spark.functions.vectors.hyperplane_sign_key` (also
+    used by ``dedup_embedding`` blocking and its generated oracle)."""
+    return vectors.hyperplane_sign_key(v, n_planes, dim, seed)
 
 
 def sim_topk_lsh(

@@ -385,6 +385,28 @@ _DUCK_COS = (
     "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
 )
 
+
+def _duck_hyperplane_bucket(vexpr: str) -> str:
+    """The SAME random-hyperplane LSH bucket key dedup_embedding blocks
+    on, rebuilt as DuckDB SQL from the same seeded plane literals —
+    both engines compute an identical deterministic function of the
+    vector, so the blocked pair set hash-matches."""
+    from bigdata1_spark.functions.vectors import hyperplane_planes
+    from bigdata1_spark.operators.dedup import (
+        EMB_LSH_DIM,
+        EMB_LSH_PLANES,
+        EMB_LSH_SEED,
+    )
+
+    key = "CAST(0 AS BIGINT)"
+    for p in hyperplane_planes(EMB_LSH_PLANES, EMB_LSH_DIM, EMB_LSH_SEED):
+        arr = "[" + ", ".join(repr(c) for c in p) + "]"
+        key = (
+            f"(({key}) * 2 + CASE WHEN list_dot_product({vexpr}, {arr}) >= 0"
+            f" THEN 1 ELSE 0 END)"
+        )
+    return key
+
 register(
     "dedup_exact",
     dedup.dedup_exact,
@@ -431,19 +453,20 @@ register("dedup_simhash", dedup.dedup_simhash)
 register(
     "dedup_embedding",
     dedup.dedup_embedding,
-    """
+    f"""
     WITH e AS (
-      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ), withnorm AS (
-      SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+             {_duck_hyperplane_bucket('v')} AS bucket
+      FROM e
     ), n AS (
-      SELECT vec_id, label,
-             list_transform(v, x -> x / nrm) AS vn
-      FROM withnorm
+      SELECT vec_id, bucket, list_transform(v, x -> x / nrm) AS vn
+      FROM withnorm WHERE nrm > 0
     )
     SELECT a.vec_id AS id1, b.vec_id AS id2,
            list_dot_product(a.vn, b.vn) AS cos_sim
-    FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+    FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE list_dot_product(a.vn, b.vn) >= 0.3
     """,
 )

@@ -25,6 +25,26 @@ def test_minhash_recall_vs_exact(spark, sf_dir):
         assert recall >= 0.8, f"minhash recall too low: {recall}"
 
 
+def test_minhash_hot_bucket_chunked_but_exact(spark, sf_dir):
+    """A pathological hot bucket (hundreds of docs with identical shingle
+    sets → identical band keys) must be chunked so no task materializes
+    |bucket|² pairs — without dropping a single candidate pair."""
+    from itertools import combinations
+
+    hot = list(range(300))
+    rows = [(i, [11, 22, 33, 44]) for i in hot] + [
+        (1000, [99, 98]),
+        (1001, [99, 98]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, hs array<long>")
+    cand = dedup.minhash_candidates(
+        spark, sf_dir, hashed_shingles=df, max_bucket_chunk=16
+    )
+    got = {(r["id1"], r["id2"]) for r in cand.collect()}
+    expect = set(combinations(hot, 2)) | {(1000, 1001)}
+    assert got == expect
+
+
 def test_simhash_pairs_are_near(spark, sf_dir):
     pairs = dedup.dedup_simhash(spark, sf_dir)
     assert pairs.filter(F.col("hamming") > 3).count() == 0

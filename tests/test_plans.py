@@ -127,6 +127,16 @@ def test_tpch_q6_full_pushdown(spark, sf_dir):
     )
 
 
+def test_dedup_embedding_single_shuffle(spark, sf_dir):
+    """LSH-bucket blocking must cost exactly one shuffle (hash by bucket
+    into the grouped map) — the bucket key is computed scan-side, and no
+    pair join ever materializes."""
+    from bigdata1_spark.operators import dedup
+
+    df = dedup.dedup_embedding(spark, sf_dir)
+    checks.assert_max_exchanges(df, 1, "dedup_embedding")
+
+
 def test_tpch_q3_take_ordered(spark, sf_dir):
     """Top-10 must plan as TakeOrderedAndProject (partial top-k per
     partition + merge), never a global sort."""
