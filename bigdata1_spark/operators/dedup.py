@@ -364,8 +364,12 @@ def dedup_clusters(
     join+min-aggregate, labels converge in O(log n) rounds (components
     here are tiny; the cap is a safety net, convergence is checked).
     ``localCheckpoint`` truncates lineage so plans stay bounded across
-    iterations. Columns: doc_id, cluster_id, cluster_size.
+    iterations. Labels only ever decrease, so a round with zero changes
+    is a fixed point — the convergence count (an extra join+job) runs
+    every third round rather than every round. Columns: doc_id,
+    cluster_id, cluster_size.
     """
+    check_every = 3
     pairs = dedup_jaccard(spark, sf_dir).select("id1", "id2")
     edges = (
         pairs.union(
@@ -381,7 +385,7 @@ def dedup_clusters(
     labels = docs.select(
         F.col("doc_id").alias("node"), F.col("doc_id").alias("lbl")
     ).localCheckpoint()
-    for _ in range(max_iter):
+    for it in range(max_iter):
         msgs = (
             labels.join(edges, F.col("node") == F.col("src"))
             .groupBy(F.col("dst").alias("node"))
@@ -397,15 +401,20 @@ def dedup_clusters(
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
+        converged = False
+        if (it + 1) % check_every == 0 or it == max_iter - 1:
+            converged = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.lbl") != F.col("o.lbl"))
+                .count()
+            ) == 0
         labels = new_labels
-        if changed == 0:
+        if converged:
             break
+    # the result depends only on the checkpointed labels — the edge
+    # cache (and dedup_jaccard's cached shingle table under it) is done
+    edges.unpersist(blocking=False)
     sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
         labels.join(sizes, "lbl")

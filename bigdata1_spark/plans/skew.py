@@ -34,16 +34,26 @@ def salted_agg(
 ) -> DataFrame:
     """Two-stage skew-safe aggregation.
 
-    ``aggs`` maps output column name -> (partial_agg_expr, merge_agg_expr)
-    where the partial expression runs per (keys, salt) and the merge
-    expression combines the partials per keys — e.g. a count is
-    ``(F.count(F.lit(1)), F.sum(...))``, a sum is ``(F.sum(c), F.sum(...))``,
-    a max is ``(F.max(c), F.max(...))``.
+    ``aggs`` maps output column name -> (partial_agg_expr, merge_fn)
+    where the partial expression runs per (keys, salt) and merge_fn is
+    a CALLABLE receiving the partial's column and returning the
+    combining aggregate per keys — e.g. a count is
+    ``(F.count(F.lit(1)), lambda c: F.sum(c).cast("long"))``, a sum is
+    ``(F.sum(c), lambda c: F.sum(c))``, a max is
+    ``(F.max(c), lambda c: F.max(c))``. A callable is required because
+    the partial lives under an internal mangled name the merge side
+    cannot reference any other way.
 
     The salt is a deterministic spread (xxhash64 of an arbitrary wide
     column set modulo n_salts would also work; monotonically_increasing_id
     keeps it cheap and uniform within partitions).
     """
+    for name, (_p, m) in aggs.items():
+        if not callable(m):
+            raise TypeError(
+                f"salted_agg merge for {name!r} must be a callable "
+                "taking the partial column (e.g. lambda c: F.sum(c))"
+            )
     salted = df.withColumn(
         SALT_COL, F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
     )
@@ -52,8 +62,7 @@ def salted_agg(
     )
     return partial.groupBy(*keys).agg(
         *[
-            m(F.col(f"__p_{name}")).alias(name) if callable(m)
-            else m.alias(name)
+            m(F.col(f"__p_{name}")).alias(name)
             for name, (_p, m) in aggs.items()
         ]
     )

@@ -361,6 +361,21 @@ register(
 # asserted in tests/test_sources.py.
 register("gen_billings", generator.gen_billings_query)
 
+from bigdata1_spark.sources import billing  # noqa: E402
+
+register(
+    "billing_total_b",
+    billing.total_per_month_b,
+    """
+    SELECT 'p' || CAST(l.l_partkey AS VARCHAR) AS item,
+           strftime(o.o_orderdate, '%Y-%m') AS month,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS total
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+    """,
+)
+
 # ---------------------------------------------------------------------------
 # North-star extensions (SURVEY.md §2.9): dedup, similarity, text analysis
 # ---------------------------------------------------------------------------

@@ -74,6 +74,58 @@ def parse_billings_b(df: DataFrame) -> DataFrame:
     )
 
 
+def total_per_month_b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TotalPerMonth over Format-B costed billing text — the reference's
+    cost-aggregation query (``BD_hw1/src/spark/TotalPerMonth.java:55-85``:
+    flatMap 'COST NAME' items → reduceByKey sum per (item, month);
+    cost-first parsing per quirk Q11, intended month semantics per Q10).
+
+    No Format-B generator exists in the reference (SURVEY.md §1.1), so
+    the costed text is constructed deterministically from the TPC-H
+    tables (one line per order: unpadded date, then 'extendedprice
+    pPARTKEY' per lineitem), round-tripped through ``parse_billings_b``
+    + ``normalize``, and aggregated. The oracle computes the same
+    aggregate directly from the source tables — equality holds because
+    double→string→double round-trips exactly and the sums are
+    decimal-exact. Columns: item, month, total.
+    """
+    from bigdata1_spark.operators.basket import exact_sum, month_of
+    from bigdata1_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    items = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "o_orderkey",
+        F.format_string(
+            "%d-%d-%d",
+            F.year("o_orderdate"),
+            F.month("o_orderdate"),
+            F.dayofmonth("o_orderdate"),
+        ).alias("d"),
+        F.concat_ws(
+            " ",
+            F.col("l_extendedprice").cast("string"),
+            F.concat(F.lit("p"), F.col("l_partkey")),
+        ).alias("ci"),
+    )
+    lines = (
+        items.groupBy("o_orderkey", "d")
+        .agg(F.collect_list("ci").alias("cis"))
+        .select(F.concat_ws(",", F.col("d"), F.col("cis")).alias("value"))
+    )
+    norm = normalize(parse_billings_b(lines), costed=True)
+    return (
+        norm.groupBy(
+            "item", month_of(F.col("bill_date")).alias("month")
+        )
+        .agg(exact_sum(F.col("cost"), "total"))
+    )
+
+
 def normalize(parsed: DataFrame, costed: bool = False) -> DataFrame:
     """Exploded line-item view (FIXTURES.md §1):
     (bill_id, bill_date, item, cost) — one row per item per billing."""

@@ -96,10 +96,17 @@ def test_fingerprint_deterministic_and_distinct(spark, sf_dir):
 
 
 def test_approx_sketch_bounded_error(spark, sf_dir):
-    """HLL distinct counts within 5% of exact; approx median within 1%
-    of the exact percentile (sketches trade exactness for single-pass
-    fixed memory — the error bound is the contract)."""
+    """HLL distinct counts within 5% of exact; approx median within the
+    KLL rank-error contract (sketches trade exactness for single-pass
+    fixed memory — the error bound IS the contract). The rank bound is
+    the real assertion: approx_percentile(x, 0.5, acc) must return a
+    value whose exact rank lies in [0.5 - 1/acc·slack, 0.5 + 1/acc·slack]
+    — asserted here via the exact 45th/55th percentiles (far looser
+    than the sketch's 1/1000 guarantee, so it never flakes, but tight
+    enough to catch a broken sketch). SCALE.md documents when to switch
+    from exact groupby_quantiles to this sketch."""
     from bigdata1_spark.operators import relational
+    from bigdata1_spark.sources.tables import load_table
 
     apx = {
         r["l_returnflag"]: r
@@ -109,17 +116,21 @@ def test_approx_sketch_bounded_error(spark, sf_dir):
         r["l_returnflag"]: r
         for r in relational.agg_distinct(spark, sf_dir).collect()
     }
-    med = {
+    band = {
         r["l_returnflag"]: r
-        for r in relational.groupby_quantiles(spark, sf_dir).collect()
+        for r in load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.45)").alias("p45"),
+            F.expr("percentile(l_extendedprice, 0.55)").alias("p55"),
+        )
+        .collect()
     }
     for flag, row in apx.items():
         assert abs(row["apx_parts"] - exact[flag]["n_parts"]) <= (
             0.05 * exact[flag]["n_parts"]
         )
-        lo = min(med[flag]["price_q25"], med[flag]["price_q75"])
-        hi = max(med[flag]["price_q25"], med[flag]["price_q75"])
-        assert lo * 0.9 <= row["apx_med_price"] <= hi * 1.1
+        assert band[flag]["p45"] <= row["apx_med_price"] <= band[flag]["p55"]
 
 
 def test_dedup_clusters_consistent_with_pairs(spark, sf_dir):

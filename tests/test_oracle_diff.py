@@ -13,6 +13,9 @@ from tests.oracle import assert_matches_oracle
 def test_query_matches_oracle(key, spark, duck, sf_dir):
     df = registry.QUERIES[key](spark, sf_dir)
     assert_matches_oracle(df, duck, registry.ORACLES[key], key=key)
+    # operators that cache intermediates must not leak storage memory
+    # across the ~80-query sweep
+    spark.catalog.clearCache()
 
 
 @pytest.mark.parametrize("key", sorted(set(registry.QUERIES) - set(registry.ORACLES)))
@@ -20,3 +23,4 @@ def test_rows_only_queries_run(key, spark, sf_dir):
     """Queries without a SQL oracle still must run and return rows."""
     df = registry.QUERIES[key](spark, sf_dir)
     assert df.count() >= 0
+    spark.catalog.clearCache()
