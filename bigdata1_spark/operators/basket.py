@@ -144,12 +144,17 @@ def basket_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(l_orderkey, items) — sorted distinct item array per basket.
 
     The single shared upstream of every itemset computation: one scan +
-    one distinct + one grouping; callers that fan out (assoc_rules)
-    cache it, mirroring the reference's cache of the reduced itemset RDD
+    one grouping — ``collect_set`` dedupes per basket (quirk Q9), so no
+    separate ``distinct`` shuffle is needed (going through ``baskets``
+    would shuffle on (orderkey, partkey) and then reshuffle on orderkey
+    — one full extra exchange of the fact table). Callers that fan out
+    (assoc_rules, itemset_frequencies) cache it, mirroring the
+    reference's cache of the reduced itemset RDD
     (``BD_hw1/src/spark/SupportAndConfidence.java:112``).
     """
     return (
-        baskets(spark, sf_dir)
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
         .groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("l_partkey")).alias("items"))
     )
@@ -163,8 +168,12 @@ def itemset_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     Itemsets are canonical sorted arrays rendered as ','-joined strings so
     downstream consumers (and the SQL oracle) share one key shape.
     Columns: itemset, n_items, freq.
+
+    The per-basket table fans out to the singleton and the pair branch
+    of the union, so it is cached (same rationale and reference citation
+    as assoc_rules) — without it both branches re-run scan+distinct+group.
     """
-    per_basket = basket_items(spark, sf_dir)
+    per_basket = basket_items(spark, sf_dir).cache()
     singles = per_basket.select(
         F.explode("items").alias("item")
     ).select(
