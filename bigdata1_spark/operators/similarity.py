@@ -85,6 +85,66 @@ def sim_topk_lsh(
     )
 
 
+IVF_CELLS = 8  # coarse quantizer size; at 100 TB: O(sqrt(n)) cells
+
+
+def sim_topk_ivf(
+    spark: SparkSession, sf_dir: str, n_cells: int = IVF_CELLS
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) coarse quantizer:
+    assign every vector to its nearest centroid cell, then search only
+    the query's cell.
+
+    Centroids are the ``n_cells`` vectors with the smallest
+    ``md5(vec_id)`` — a deterministic, engine-reproducible sample (a
+    k-means refinement would drift between engines; hash-sampling keeps
+    the oracle exact while exercising the identical plan shape).
+    Assignment is a broadcast of the tiny centroid table against the
+    scan with an argmax window per vector — at 100 TB the assignment is
+    precomputed at ingest and ``cell`` is a partition column, so the
+    probe prunes partitions instead of filtering a scan. Single-probe
+    recall is the stated contract (probe more cells for more recall).
+    Columns: vec_id, label, cos_sim.
+    """
+    from pyspark.sql import Window
+
+    emb = _emb(spark, sf_dir)
+    cents = (
+        emb.select(
+            F.col("vec_id").alias("cid"),
+            F.col("v").alias("cv"),
+            F.md5(F.col("vec_id").cast("string")).alias("h"),
+        )
+        .orderBy("h", "cid")
+        .limit(n_cells)
+        .select("cid", "cv")
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "label", "v", "cid",
+        vectors.cosine(F.col("v"), F.col("cv")).alias("cscore"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cscore"), F.asc("cid"))
+    asg = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "v", F.col("cid").alias("cell"))
+    )
+    q = asg.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("v").alias("qv"), F.col("cell").alias("qcell")
+    )
+    return (
+        asg.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("cell") == F.col("qcell"))
+        .select(
+            "vec_id", "label",
+            vectors.cosine(F.col("v"), F.col("qv")).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
 def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embeddings joined to their documents (vec_id = doc_id): typed
     array column + text metadata side by side — the multimodal-row

@@ -102,6 +102,114 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Gopher/C4-style keep thresholds — module-level so the oracle-SQL
+# generator inlines the SAME numbers (single source of truth).
+QUALITY_MIN_WORDS = 5
+QUALITY_MIN_MEAN_WORD_LEN = 3.0
+QUALITY_MAX_MEAN_WORD_LEN = 10.0
+QUALITY_MAX_SYMBOL_RATIO = 0.1
+QUALITY_MAX_DIGIT_RATIO = 0.2
+QUALITY_MAX_TOP_BIGRAM_RATIO = 0.2
+
+
+def quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style hard quality filters per document — the standard
+    pretraining-corpus gate (Rae et al. 2021 'Gopher' §A1.1, Raffel et
+    al. 2020 'C4'): minimum word count, mean-word-length band,
+    symbol-to-char and digit-to-char caps, and a repetition cap (most
+    frequent word bigram / total bigrams — boilerplate and template
+    spam score high here). Emits the signals plus keep ∈ {0,1} so a
+    pipeline can either filter or audit the rejection reasons.
+
+    All signals are codegen column expressions; the repetition signal
+    is one explode + two partial-aggregating shuffles (count per
+    (doc, bigram), max per doc) joined back — the shuffle carries one
+    row per distinct bigram per doc, not per occurrence. Ratios are
+    single IEEE divisions of exact ints (oracle-hashable). Columns:
+    doc_id, n_words, mean_word_len, symbol_ratio, digit_ratio,
+    top_bigram_ratio, keep.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def from_feats(f: Column) -> Column:
+        n_words = f.getField("n_words").cast("double")
+        n_chars = f.getField("n_chars").cast("double")
+        mean_wl = F.when(
+            n_words > 0, f.getField("char_sum").cast("double") / n_words
+        ).otherwise(F.lit(0.0))
+        sym = F.when(
+            n_chars > 0, f.getField("n_sym").cast("double") / n_chars
+        ).otherwise(F.lit(0.0))
+        dig = F.when(
+            n_chars > 0, f.getField("n_dig").cast("double") / n_chars
+        ).otherwise(F.lit(0.0))
+        return F.struct(
+            f.getField("n_words").alias("n_words"),
+            f.getField("n_bigrams").alias("n_bigrams"),
+            mean_wl.alias("mean_word_len"),
+            sym.alias("symbol_ratio"),
+            dig.alias("digit_ratio"),
+        )
+
+    feats = let(
+        _toks(),
+        lambda t: let(
+            F.struct(
+                F.size(t).cast("long").alias("n_words"),
+                F.greatest(F.size(t) - 1, F.lit(1))
+                .cast("long").alias("n_bigrams"),
+                F.aggregate(
+                    t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+                ).alias("char_sum"),
+                F.length("text").cast("long").alias("n_chars"),
+                F.length(
+                    F.regexp_replace(F.col("text"), r"[A-Za-z0-9\s]", "")
+                ).cast("long").alias("n_sym"),
+                F.length(
+                    F.regexp_replace(F.col("text"), r"[^0-9]", "")
+                ).cast("long").alias("n_dig"),
+            ),
+            from_feats,
+        ),
+    )
+    stats = docs.select("doc_id", feats.alias("f")).select("doc_id", "f.*")
+
+    # non-distinct word bigrams (word_shingles dedupes — repetition
+    # counting must NOT); short docs yield one whole-doc bigram so the
+    # ratio denominator is never 0
+    def bigrams(t: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.greatest(F.size(t) - 1, F.lit(1)))
+        return F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", F.get(t, i - 1), F.get(t, i)
+            ),
+        )
+
+    top = (
+        docs.select("doc_id", F.explode(let(_toks(), bigrams)).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"))
+    )
+    joined = stats.join(top, "doc_id")
+    rep = F.col("top_c").cast("double") / F.col("n_bigrams").cast("double")
+    keep = (
+        (F.col("n_words") >= QUALITY_MIN_WORDS)
+        & (F.col("mean_word_len") >= QUALITY_MIN_MEAN_WORD_LEN)
+        & (F.col("mean_word_len") <= QUALITY_MAX_MEAN_WORD_LEN)
+        & (F.col("symbol_ratio") <= QUALITY_MAX_SYMBOL_RATIO)
+        & (F.col("digit_ratio") <= QUALITY_MAX_DIGIT_RATIO)
+        & (rep <= QUALITY_MAX_TOP_BIGRAM_RATIO)
+    )
+    return joined.select(
+        "doc_id", "n_words", "mean_word_len", "symbol_ratio", "digit_ratio",
+        rep.alias("top_bigram_ratio"),
+        keep.cast("long").alias("keep"),
+    )
+
+
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language ID: count marker hits per language via a
     broadcast join against the inlined marker table, argmax with

@@ -505,6 +505,37 @@ register(
 register("sim_topk_lsh", similarity.sim_topk_lsh)
 
 register(
+    "sim_topk_ivf",
+    similarity.sim_topk_ivf,
+    f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), cents AS (
+      SELECT vec_id AS cid, v AS cv FROM e
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT {similarity.IVF_CELLS}
+    ), scored AS (
+      SELECT e.vec_id, e.label, e.v, c.cid,
+             {_DUCK_COS.format(a='e.v', b='c.cv')} AS cscore
+      FROM e CROSS JOIN cents c
+    ), asg AS (
+      SELECT vec_id, label, v, cid AS cell FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY cscore DESC, cid ASC) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ), q AS (
+      SELECT v AS qv, cell AS qcell FROM asg WHERE vec_id = 0
+    )
+    SELECT a.vec_id, a.label,
+           {_DUCK_COS.format(a='a.v', b='q.qv')} AS cos_sim
+    FROM asg a, q
+    WHERE a.vec_id <> 0 AND a.cell = q.qcell
+    ORDER BY cos_sim DESC, a.vec_id ASC LIMIT 20
+    """,
+)
+
+register(
     "multimodal_join",
     similarity.multimodal_join,
     """
@@ -595,6 +626,57 @@ register(
 )
 
 register("fingerprint", text_analysis.fingerprint)
+
+_Q = text_analysis  # threshold constants shared with the Spark impl
+register(
+    "quality_filters",
+    text_analysis.quality_filters,
+    rf"""
+    WITH t AS (
+      SELECT doc_id, text, {_DUCK_TOKENS} AS w FROM documents
+    ), s AS (
+      SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_words,
+             CAST(greatest(len(w) - 1, 1) AS BIGINT) AS n_bigrams,
+             CASE WHEN len(w) > 0
+                  THEN CAST(list_sum(list_transform(w, x -> len(x)))
+                            AS DOUBLE) / CAST(len(w) AS DOUBLE)
+                  ELSE 0.0 END AS mean_word_len,
+             CASE WHEN len(text) > 0
+                  THEN CAST(len(regexp_replace(
+                         text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+                       / CAST(len(text) AS DOUBLE)
+                  ELSE 0.0 END AS symbol_ratio,
+             CASE WHEN len(text) > 0
+                  THEN CAST(len(regexp_replace(
+                         text, '[^0-9]', '', 'g')) AS DOUBLE)
+                       / CAST(len(text) AS DOUBLE)
+                  ELSE 0.0 END AS digit_ratio
+      FROM t
+    ), bg AS (
+      SELECT doc_id, array_to_string(w[i:i+1], ' ') AS b
+      FROM t,
+           (SELECT unnest(generate_series(1, greatest(len(w) - 1, 1))) AS i)
+    ), counts AS (
+      SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2
+    ), top AS (
+      SELECT doc_id, MAX(c) AS top_c FROM counts GROUP BY 1
+    )
+    SELECT s.doc_id, s.n_words, s.mean_word_len, s.symbol_ratio,
+           s.digit_ratio,
+           CAST(top_c AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+             AS top_bigram_ratio,
+           CAST(CASE WHEN s.n_words >= {_Q.QUALITY_MIN_WORDS}
+                      AND s.mean_word_len >= {_Q.QUALITY_MIN_MEAN_WORD_LEN}
+                      AND s.mean_word_len <= {_Q.QUALITY_MAX_MEAN_WORD_LEN}
+                      AND s.symbol_ratio <= {_Q.QUALITY_MAX_SYMBOL_RATIO}
+                      AND s.digit_ratio <= {_Q.QUALITY_MAX_DIGIT_RATIO}
+                      AND CAST(top_c AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+                          <= {_Q.QUALITY_MAX_TOP_BIGRAM_RATIO}
+                     THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM s JOIN top USING (doc_id)
+    """,
+)
 
 # ---------------------------------------------------------------------------
 # Extended relational surface + batch form of the streaming window

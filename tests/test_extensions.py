@@ -66,6 +66,58 @@ def test_lsh_topk_subset_of_bruteforce_space(spark, sf_dir):
     assert [r["vec_id"] for r in approx] == [r["vec_id"] for r in again]
 
 
+def test_ivf_topk_scores_consistent(spark, sf_dir):
+    """IVF single-probe results must score identically to the exact
+    scan wherever they overlap, return exactly k rows, and be
+    deterministic across invocations."""
+    exact = {r["vec_id"]: r["cos_sim"]
+             for r in similarity.sim_topk(spark, sf_dir).collect()}
+    approx = similarity.sim_topk_ivf(spark, sf_dir).collect()
+    assert len(approx) == similarity.TOP_K
+    for r in approx:
+        if r["vec_id"] in exact:
+            assert abs(exact[r["vec_id"]] - r["cos_sim"]) < 1e-12
+    again = similarity.sim_topk_ivf(spark, sf_dir).collect()
+    assert [r["vec_id"] for r in approx] == [r["vec_id"] for r in again]
+
+
+def test_quality_filters_signals_consistent(spark, sf_dir, tmp_path):
+    """Signal sanity on the real corpus (ratios in [0,1], keep implies
+    thresholds), plus discrimination on a crafted corpus: repetition
+    spam, symbol spam, digit spam, and a too-short doc must be
+    rejected while a normal doc passes."""
+    from bigdata1_spark.operators.text_analysis import (
+        QUALITY_MAX_TOP_BIGRAM_RATIO,
+        QUALITY_MIN_WORDS,
+        quality_filters,
+    )
+
+    rows = quality_filters(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        for c in ("symbol_ratio", "digit_ratio", "top_bigram_ratio"):
+            assert 0.0 <= r[c] <= 1.0
+        if r["keep"]:
+            assert r["n_words"] >= QUALITY_MIN_WORDS
+            assert r["top_bigram_ratio"] <= QUALITY_MAX_TOP_BIGRAM_RATIO
+
+    crafted = [
+        (0, "the quick brown fox jumps over the lazy dog near the "
+            "river bank while birds sing in morning light today"),
+        (1, "buy now " * 40),                     # repetition spam
+        (2, "!!! ### $$$ %%% ^^^ &&& *** ((( ))) @@@ !!! ### $$$"),
+        (3, " ".join(str(n) for n in range(30))),  # digit spam
+        (4, "too short"),
+    ]
+    d = str(tmp_path / "crafted")
+    spark.createDataFrame(crafted, ["doc_id", "text"]).write.parquet(
+        d + "/documents.parquet"
+    )
+    got = {r["doc_id"]: r["keep"]
+           for r in quality_filters(spark, d).collect()}
+    assert got == {0: 1, 1: 0, 2: 0, 3: 0, 4: 0}
+
+
 def test_multimodal_pipeline_shapes(spark, sf_dir):
     feats = multimodal.decode_and_featurize(multimodal.synth_media(spark, n=64))
     rows = feats.collect()
