@@ -94,6 +94,31 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4 order-priority checking shape: date-range scan + EXISTS
+    semi-join + count per priority. The testdata lineitem has no
+    commit/receipt dates, so the EXISTS predicate is adapted to
+    'has a returned line' (l_returnflag = 'R') — the plan shape (range
+    filter, left-semi, group-count, ordered output) is what the query
+    exercises: the semi-join never multiplies order rows no matter how
+    many lines match."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("date"))
+    ).select("o_orderkey", "o_orderpriority")
+    flagged = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey")
+    return (
+        orders.join(
+            flagged, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
 def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q5 local-supplier volume: revenue per nation for one region/year
     where customer and supplier share the nation (5-way join)."""
@@ -144,4 +169,31 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_dec("l_extendedprice") * _dec("l_discount"))
         .cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shipmode-priority shape: fact-dim join + conditional CASE
+    aggregation (the two-bucket pivot every report query uses). The
+    testdata has no l_shipmode, so lines group by l_linestatus and the
+    CASE buckets split urgent (priority 1/2) vs other orders — the
+    exercised pattern is SUM(CASE WHEN …) pairs over one join, one
+    shuffle."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.split(F.col("o_orderpriority"), "-").getItem(0).alias("prio"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    ).select("l_orderkey", "l_linestatus")
+    urgent = F.col("prio").isin("1", "2").cast("long")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(urgent).alias("high_line_count"),
+            F.sum(F.lit(1) - urgent).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
     )

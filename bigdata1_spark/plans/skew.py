@@ -68,6 +68,43 @@ def salted_agg(
     )
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join by replication salting.
+
+    The big side gets a deterministic salt; the small side is
+    replicated once per salt value; the join runs on (key, salt), so a
+    hot key's rows spread across ``n_salts`` tasks instead of piling on
+    one. Cost: the small side shuffles n_salts× — use only when it is
+    too big to broadcast (broadcast sidesteps join skew entirely) and
+    the big side's keys are power-law. AQE's skew-join handles most
+    batch cases by splitting oversized partitions at runtime; explicit
+    salting still matters for stream-stream/stateful joins and sorts
+    that AQE cannot replan. Join semantics: supported ``how`` values
+    keep every big-side row exactly as the unsalted join would
+    ('inner' and 'left' are safe; 'right'/'full' would multiply
+    unmatched small-side rows per salt and are rejected).
+    """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins, got {how!r}: "
+            "an outer small side would surface once per salt replica"
+        )
+    small_rep = small.select(
+        "*",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias(SALT_COL),
+    )
+    big_salted = big.withColumn(
+        SALT_COL, F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
+    )
+    return big_salted.join(small_rep, [key, SALT_COL], how).drop(SALT_COL)
+
+
 def salted_count(df: DataFrame, keys: Sequence[str], n_salts: int = 16) -> DataFrame:
     """Skew-safe ``groupBy(keys).count()`` (column name ``n``)."""
     return salted_agg(

@@ -1007,6 +1007,37 @@ register(
 )
 
 register(
+    "tpch_q4",
+    tpch.tpch_q4,
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= DATE '1996-01-01'
+      AND o.o_orderdate < DATE '1996-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_returnflag = 'R')
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+
+register(
+    "tpch_q12",
+    tpch.tpch_q12,
+    """
+    SELECT l.l_linestatus,
+           SUM(CASE WHEN string_split(o.o_orderpriority, '-')[1]
+                    IN ('1', '2') THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN string_split(o.o_orderpriority, '-')[1]
+                    IN ('1', '2') THEN 0 ELSE 1 END) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+
+register(
     "tpch_q5",
     tpch.tpch_q5,
     """

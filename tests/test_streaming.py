@@ -101,6 +101,38 @@ def test_stateful_sessionize_stream(spark, sf_dir, stream_dir):
     )
 
 
+def test_dedup_stream_drops_redelivered_files(spark, sf_dir, tmp_path):
+    """The same source file delivered twice (at-least-once redelivery)
+    must come out exactly once per event_id."""
+    d = tmp_path / "events_dup"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", d / "part-000.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", d / "part-001.parquet")
+    q = (
+        se.dedup_stream(spark, str(d))
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    try:
+        n_out = spark.sql(
+            "SELECT COUNT(*) AS n, COUNT(DISTINCT event_id) AS d "
+            "FROM dedup_stream"
+        ).first()
+    finally:
+        q.stop()
+    from bigdata1_spark.sources.tables import load_table
+
+    n_batch = (
+        load_table(spark, sf_dir, "events").select("event_id").distinct()
+        .count()
+    )
+    assert n_out["n"] == n_out["d"] == n_batch
+
+
 def test_foreachbatch_parquet_sink(spark, sf_dir, stream_dir, tmp_path):
     """foreachBatch sink: each micro-batch lands as parquet via the
     batch writer (the escape hatch for sinks Structured Streaming lacks
