@@ -255,6 +255,34 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation-function surface: first_value / last_value / nth_value
+    over the full partition frame (UNBOUNDED PRECEDING AND UNBOUNDED
+    FOLLOWING — the default CURRENT ROW upper bound makes last_value a
+    running value, the classic SQL gotcha). Per customer: first, most
+    recent, and second order by a deterministic (date, key) order.
+    Columns: o_custkey, o_orderkey, first_order, last_order,
+    second_order (-1 for single-order customers — NULL would surface
+    as NaN in one engine and None in the other, breaking hash
+    parity)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("last_order"),
+        F.coalesce(F.nth_value("o_orderkey", 2).over(w), F.lit(-1))
+        .cast("long").alias("second_order"),
+    )
+
+
 def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates (variance, stddev, covariance,
     correlation) computed from DECIMAL-exact power sums.

@@ -1099,6 +1099,21 @@ register(
 )
 
 register(
+    "window_first_last",
+    relational.window_first_last,
+    """
+    SELECT o_custkey, o_orderkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_order,
+           LAST_VALUE(o_orderkey) OVER w AS last_order,
+           COALESCE(NTH_VALUE(o_orderkey, 2) OVER w, -1) AS second_order
+    FROM orders
+    WINDOW w AS (
+      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+
+register(
     "agg_stats",
     relational.agg_stats,
     """

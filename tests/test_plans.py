@@ -168,6 +168,32 @@ def test_dedup_embedding_single_shuffle(spark, sf_dir):
     checks.assert_max_exchanges(df, 1, "dedup_embedding")
 
 
+def test_tpch_q4_semi_join_pushdown(spark, sf_dir):
+    """Q4: the date range must reach the orders scan, the returnflag
+    predicate the lineitem scan, and the EXISTS must plan as a semi
+    join (no row multiplication)."""
+    from bigdata1_spark.operators import tpch
+    from bigdata1_spark.plans.checks import formatted_plan
+
+    df = tpch.tpch_q4(spark, sf_dir)
+    checks.assert_pushed_filter(df, "GreaterThanOrEqual(o_orderdate", "q4")
+    checks.assert_pushed_filter(df, "EqualTo(l_returnflag,R)", "q4")
+    assert "LeftSemi" in formatted_plan(df)
+
+
+def test_tpch_q12_pushdown(spark, sf_dir):
+    from bigdata1_spark.operators import tpch
+
+    df = tpch.tpch_q12(spark, sf_dir)
+    checks.assert_pushed_filter(df, "GreaterThanOrEqual(l_shipdate", "q12")
+    checks.assert_read_schema_only(
+        df,
+        {"l_orderkey", "l_linestatus", "l_shipdate",
+         "o_orderkey", "o_orderpriority"},
+        "q12",
+    )
+
+
 def test_tpch_q3_take_ordered(spark, sf_dir):
     """Top-10 must plan as TakeOrderedAndProject (partial top-k per
     partition + merge), never a global sort."""
