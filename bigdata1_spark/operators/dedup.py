@@ -428,6 +428,60 @@ def dedup_clusters(
     )
 
 
+def dedup_embedding_multiprobe(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.3,
+    seeds: tuple[int, ...] = (11, 13, 17),
+) -> DataFrame:
+    """OR-amplified embedding near-dup: union the LSH-blocked pair sets
+    over several plane seeds — a pair is found if ANY table buckets it
+    together, so per-pair recall is 1-(1-p)^L for single-table
+    probability p. This is the documented recall dial for
+    ``dedup_embedding`` at scale (L linear scans, no quadratic term);
+    the recall floor vs brute-force ground truth is pinned in tests.
+    Columns: id1, id2, cos_sim (bit-identical across tables for the
+    same pair, so the union dedupes exactly)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", vectors.as_double(F.col("embedding")).alias("v")
+    )
+    per_seed = []
+    for seed in seeds:
+        bucketed = emb.withColumn(
+            "bucket",
+            vectors.hyperplane_sign_key(
+                F.col("v"), EMB_LSH_PLANES, EMB_LSH_DIM, seed
+            ),
+        )
+        per_seed.append(
+            bucketed.groupBy("bucket").applyInPandas(
+                _block_pairs_fn(threshold),
+                "id1 long, id2 long, cos_sim double",
+            )
+        )
+    out = per_seed[0]
+    for df in per_seed[1:]:
+        out = out.unionAll(df)
+    return out.distinct()
+
+
+def dedup_near_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the near-dedup'd corpus: keep each near-dup
+    cluster's representative (the component-minimum doc_id — singletons
+    are their own cluster) and drop every other member. This is the
+    apply step after ``dedup_clusters``, the same shape as
+    ``dedup_apply`` is for exact dups. Columns: doc_id, lang, source.
+    """
+    labels = dedup_clusters(spark, sf_dir)
+    keep = labels.filter(
+        F.col("doc_id") == F.col("cluster_id")
+    ).select("doc_id")
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.join(keep, "doc_id", "left_semi").select(
+        "doc_id", "lang", "source"
+    )
+
+
 def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialize the deduplicated corpus: keep one representative
     (min doc_id) per exact-duplicate group — the anti-join application

@@ -1250,10 +1250,10 @@ register(
 # Training-pipeline additions: dedup clustering, splits, n-gram stats
 # ---------------------------------------------------------------------------
 
-register(
-    "dedup_clusters",
-    dedup.dedup_clusters,
-    """
+# Shared recursive-CTE prefix computing near-dup cluster labels
+# (doc_id → component-min cluster_id) — used by dedup_clusters and
+# dedup_near_apply so both oracles stay in lockstep.
+_DUCK_CLUSTER_LABELS = """
     WITH RECURSIVE words AS (
       SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
                                  x -> len(x) > 0) AS w
@@ -1286,12 +1286,32 @@ register(
     ), labels AS (
       SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY 1
     )
+"""
+
+register(
+    "dedup_clusters",
+    dedup.dedup_clusters,
+    _DUCK_CLUSTER_LABELS
+    + """
     SELECT l.doc_id, l.cluster_id, s.cluster_size
     FROM labels l
     JOIN (SELECT cluster_id, COUNT(*) AS cluster_size
           FROM labels GROUP BY 1) s USING (cluster_id)
     """,
 )
+
+register(
+    "dedup_near_apply",
+    dedup.dedup_near_apply,
+    _DUCK_CLUSTER_LABELS
+    + """
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN labels l USING (doc_id)
+    WHERE l.doc_id = l.cluster_id
+    """,
+)
+
+register("dedup_embedding_multiprobe", dedup.dedup_embedding_multiprobe)
 
 register(
     "sample_split",

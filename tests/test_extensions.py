@@ -66,6 +66,41 @@ def test_lsh_topk_subset_of_bruteforce_space(spark, sf_dir):
     assert [r["vec_id"] for r in approx] == [r["vec_id"] for r in again]
 
 
+def test_embedding_multiprobe_recall(spark, sf_dir):
+    """OR-amplification must behave like the Charikar S-curve: at the
+    testdata threshold (cos 0.3 ≈ 72.5°, adversarially low for
+    hyperplane LSH) a single 4-bit table gives p=(1-θ/π)^4 ≈ 0.13 and
+    three seeds give 1-(1-p)^3 ≈ 0.34 — we pin recall floors below the
+    measured values (0.132 / 0.342) and require zero false positives
+    (every emitted pair is exact-verified)."""
+    from pyspark.sql import functions as F2
+
+    from bigdata1_spark.functions import vectors
+    from bigdata1_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", vectors.as_double(F2.col("embedding")).alias("v")
+    )
+    a = emb.select(F2.col("vec_id").alias("id1"), F2.col("v").alias("v1"))
+    b = emb.select(F2.col("vec_id").alias("id2"), F2.col("v").alias("v2"))
+    truth = {
+        (r["id1"], r["id2"])
+        for r in a.join(b, F2.col("id1") < F2.col("id2"))
+        .filter(vectors.cosine(F2.col("v1"), F2.col("v2")) >= 0.3)
+        .collect()
+    }
+    single = {(r["id1"], r["id2"])
+              for r in dedup.dedup_embedding(spark, sf_dir).collect()}
+    multi = {
+        (r["id1"], r["id2"])
+        for r in dedup.dedup_embedding_multiprobe(spark, sf_dir).collect()
+    }
+    assert single <= truth and multi <= truth  # exact verify → no FPs
+    assert single < multi  # OR-amplification strictly helps here
+    assert len(multi & truth) / len(truth) >= 0.25
+    assert len(multi & truth) >= len(single & truth)
+
+
 def test_ivf_topk_scores_consistent(spark, sf_dir):
     """IVF single-probe results must score identically to the exact
     scan wherever they overlap, return exactly k rows, and be
