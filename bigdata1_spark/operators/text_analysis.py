@@ -310,6 +310,42 @@ def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pipeline_pretraining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end pretraining-data pipeline as ONE declarative plan:
+    quality gate → exact dedup (keep min doc_id per text) → stable
+    content-hash train/val/test split → per-split corpus stats. This is
+    the composition a 100 TB ingest actually runs; expressing it as a
+    single DataFrame lets Catalyst pipeline the stages (the quality
+    semi-join and the dedup groupBy share one scan pass, no
+    intermediate materialization). Columns: split, n_docs, total_tokens.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    kept = quality_filters(spark, sf_dir).filter(
+        F.col("keep") == 1
+    ).select("doc_id")
+    gated = docs.join(kept, "doc_id", "left_semi")
+    reps = gated.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    deduped = gated.join(reps.select("doc_id"), "doc_id", "left_semi")
+    bucket = F.conv(F.substring(F.md5(F.col("text")), 1, 2), 16, 10).cast(
+        "long"
+    )
+    split = (
+        F.when(bucket < 205, "train")
+        .when(bucket < 230, "val")
+        .otherwise("test")
+    )
+    return (
+        deduped.select(
+            split.alias("split"), F.size(_toks()).cast("long").alias("nt")
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").cast("long").alias("total_tokens"),
+        )
+    )
+
+
 def ngram_freq(spark: SparkSession, sf_dir: str, top_n: int = 50) -> DataFrame:
     """Corpus-level bigram frequencies, top-N with deterministic
     tie-break — vocabulary/phrase statistics over the documents table

@@ -628,6 +628,7 @@ register(
 register("fingerprint", text_analysis.fingerprint)
 
 _Q = text_analysis  # threshold constants shared with the Spark impl
+_QUALITY_SQL: str  # assigned right after registration, reused below
 register(
     "quality_filters",
     text_analysis.quality_filters,
@@ -675,6 +676,40 @@ register(
                           <= {_Q.QUALITY_MAX_TOP_BIGRAM_RATIO}
                      THEN 1 ELSE 0 END AS BIGINT) AS keep
     FROM s JOIN top USING (doc_id)
+    """,
+)
+_QUALITY_SQL = ORACLES["quality_filters"]
+
+register(
+    "pipeline_pretraining",
+    text_analysis.pipeline_pretraining,
+    f"""
+    WITH ql AS ({_QUALITY_SQL}),
+    gated AS (
+      SELECT d.doc_id, d.text FROM documents d
+      JOIN ql ON d.doc_id = ql.doc_id WHERE ql.keep = 1
+    ), reps AS (
+      SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY text
+    ), deduped AS (
+      SELECT g.doc_id, g.text FROM gated g
+      JOIN reps USING (doc_id)
+    ), assigned AS (
+      SELECT CASE WHEN b.bucket < 205 THEN 'train'
+                  WHEN b.bucket < 230 THEN 'val'
+                  ELSE 'test' END AS split,
+             len({_DUCK_TOKENS}) AS nt
+      FROM (
+        SELECT text,
+               16 * (strpos('0123456789abcdef',
+                            substr(md5(text), 1, 1)) - 1)
+               + (strpos('0123456789abcdef',
+                         substr(md5(text), 2, 1)) - 1) AS bucket
+        FROM deduped
+      ) b
+    )
+    SELECT split, COUNT(*) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS total_tokens
+    FROM assigned GROUP BY 1
     """,
 )
 

@@ -60,16 +60,29 @@ def parse_billings_b(df: DataFrame) -> DataFrame:
     """Format B lines → (bill_date DATE, items ARRAY<STRUCT<cost,name>>).
 
     Cost-first parsing — the code is canonical over the reference's
-    wrong comment (quirk Q11).
+    wrong comment (quirk Q11). Malformed items (no space separator,
+    where the reference's tokenizer would throw) are dropped rather
+    than surfacing NULL names; the token split runs once per item via
+    a let-binding (cost and name read the same bound array).
     """
-    item = lambda x: F.struct(  # noqa: E731
-        F.split(x, " ").getItem(0).cast("double").alias("cost"),
-        F.split(x, " ").getItem(1).alias("name"),
+    from bigdata1_spark.functions.hashing import let
+
+    def item(x):
+        return let(
+            F.split(x, " "),
+            lambda t: F.struct(
+                F.element_at(t, 1).cast("double").alias("cost"),
+                F.element_at(t, 2).alias("name"),
+            ),
+        )
+
+    well_formed = lambda x: (  # noqa: E731
+        (F.length(x) > 0) & (F.instr(x, " ") > 0)
     )
     return _split_line(df).select(
         "bill_date",
         F.transform(
-            F.filter(F.col("raw_items"), lambda x: F.length(x) > 0), item
+            F.filter(F.col("raw_items"), well_formed), item
         ).alias("items"),
     )
 

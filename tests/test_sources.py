@@ -49,12 +49,18 @@ def test_format_a_roundtrip(spark):
 
 def test_format_b_parse_and_normalize(spark):
     lines = spark.createDataFrame(
-        [("2015-3-12,15 pane,12.5 uova",), ("",), ("2015-10-2,3 vino",)],
+        [
+            ("2015-3-12,15 pane,12.5 uova,garbagenospace",),
+            ("",),
+            ("2015-10-2,3 vino",),
+        ],
         ["value"],
     )
     parsed = billing.parse_billings_b(lines)
     rows = billing.normalize(parsed, costed=True).collect()
-    assert len(rows) == 3  # blank line dropped (quirk Q8)
+    # blank line dropped (quirk Q8); space-less item dropped (the
+    # reference tokenizer would throw on it)
+    assert len(rows) == 3
     by_item = {r["item"]: r for r in rows}
     assert by_item["pane"]["cost"] == 15.0
     assert by_item["uova"]["cost"] == 12.5
