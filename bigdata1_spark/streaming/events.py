@@ -75,6 +75,53 @@ def _read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
     )
 
 
+def click_purchase_join_stream(
+    spark: SparkSession, source_dir: str, horizon: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream inner join — clicks matched to the same user's
+    purchases within ``horizon`` AFTER the click.
+
+    The event-time range condition plus watermarks on BOTH sides is
+    what bounds the join state: a click can be dropped from state once
+    the purchase watermark passes click_ts + horizon, and a purchase
+    once the click watermark passes p_ts. Without the range condition
+    the state grows forever — this is the canonical shape for
+    attribution joins at scale. Columns: user_id, click_id, click_ts,
+    purchase_ts, purchase_value.
+    """
+    clicks = (
+        _read_events_stream(spark, source_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", horizon)
+    )
+    purchases = (
+        _read_events_stream(spark, source_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", horizon)
+    )
+    return clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")
+        ),
+    ).select(
+        "user_id", "click_id", "click_ts", "purchase_ts", "purchase_value"
+    )
+
+
 def dedup_stream(spark: SparkSession, source_dir: str) -> DataFrame:
     """Streaming exact dedup on the event id — the at-least-once
     ingestion guard every streaming pipeline needs (file redelivery,

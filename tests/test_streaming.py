@@ -101,6 +101,57 @@ def test_stateful_sessionize_stream(spark, sf_dir, stream_dir):
     )
 
 
+def test_stream_stream_join_matches_batch(spark, sf_dir, stream_dir):
+    """The watermarked stream-stream interval join must produce exactly
+    the batch interval join's result (all events fit within the
+    watermark horizon of a single micro-batch here, so no row is
+    legitimately withheld)."""
+    import pyspark.sql.functions as F
+    from bigdata1_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    batch = {
+        tuple(map(str, r))
+        for r in clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts")
+               <= F.col("click_ts") + F.expr("INTERVAL 1 hour")),
+        )
+        .select("user_id", "click_id", "click_ts",
+                "purchase_ts", "purchase_value")
+        .collect()
+    }
+    q = (
+        se.click_purchase_join_stream(spark, stream_dir)
+        .writeStream.format("memory")
+        .queryName("cp_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    try:
+        got = {
+            tuple(map(str, r))
+            for r in spark.sql("SELECT * FROM cp_join").collect()
+        }
+    finally:
+        q.stop()
+    assert got == batch
+
+
 def test_dedup_stream_drops_redelivered_files(spark, sf_dir, tmp_path):
     """The same source file delivered twice (at-least-once redelivery)
     must come out exactly once per event_id."""
