@@ -401,11 +401,17 @@ _DUCK_COS = (
 )
 
 
-def _duck_hyperplane_bucket(vexpr: str) -> str:
-    """The SAME random-hyperplane LSH bucket key dedup_embedding blocks
-    on, rebuilt as DuckDB SQL from the same seeded plane literals —
-    both engines compute an identical deterministic function of the
-    vector, so the blocked pair set hash-matches."""
+def _duck_hyperplane_bucket(
+    vexpr: str,
+    seed: int | None = None,
+    n_planes: int | None = None,
+    dim: int | None = None,
+) -> str:
+    """The SAME random-hyperplane LSH bucket key the Spark operators
+    block/filter on, rebuilt as DuckDB SQL from the same seeded plane
+    literals — both engines compute an identical deterministic function
+    of the vector, so bucket-dependent results hash-match. Defaults to
+    dedup_embedding's parameters."""
     from bigdata1_spark.functions.vectors import hyperplane_planes
     from bigdata1_spark.operators.dedup import (
         EMB_LSH_DIM,
@@ -413,8 +419,11 @@ def _duck_hyperplane_bucket(vexpr: str) -> str:
         EMB_LSH_SEED,
     )
 
+    seed = EMB_LSH_SEED if seed is None else seed
+    n_planes = EMB_LSH_PLANES if n_planes is None else n_planes
+    dim = EMB_LSH_DIM if dim is None else dim
     key = "CAST(0 AS BIGINT)"
-    for p in hyperplane_planes(EMB_LSH_PLANES, EMB_LSH_DIM, EMB_LSH_SEED):
+    for p in hyperplane_planes(n_planes, dim, seed):
         arr = "[" + ", ".join(repr(c) for c in p) + "]"
         key = (
             f"(({key}) * 2 + CASE WHEN list_dot_product({vexpr}, {arr}) >= 0"
@@ -502,7 +511,29 @@ register(
     """,
 )
 
-register("sim_topk_lsh", similarity.sim_topk_lsh)
+# sim_topk_lsh's bucket filter uses seed=7 planes — mirrored into SQL
+# from the same literals, so even the LSH variant is fully
+# hash-checked (the bucket is a pure function of the vector).
+register(
+    "sim_topk_lsh",
+    similarity.sim_topk_lsh,
+    f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), b AS (
+      SELECT vec_id, label, v,
+             {_duck_hyperplane_bucket('v', seed=7)} AS bucket
+      FROM e
+    ), q AS (
+      SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0
+    )
+    SELECT b.vec_id, b.label,
+           {_DUCK_COS.format(a='b.v', b='q.qv')} AS cos_sim
+    FROM b, q
+    WHERE b.vec_id <> 0 AND b.bucket = q.qb
+    ORDER BY cos_sim DESC, b.vec_id ASC LIMIT 20
+    """,
+)
 
 register(
     "sim_topk_ivf",
@@ -625,7 +656,26 @@ register(
     """,
 )
 
-register("fingerprint", text_analysis.fingerprint)
+# Karp-Rabin rolling hash mirrored via list_reduce over HUGEINT (the
+# Spark side stays the documented pandas-UDF exception; the oracle
+# proves the sequential loop's exact output). string_split('','')
+# yields [''] whose ord() is -1, hence the empty-text guard.
+register(
+    "fingerprint",
+    text_analysis.fingerprint,
+    """
+    SELECT doc_id,
+           CASE WHEN len(text) = 0 THEN 0 ELSE
+             CAST(list_reduce(
+               list_prepend(CAST(0 AS HUGEINT),
+                 list_transform(string_split(text, ''),
+                                ch -> CAST(ord(ch) AS HUGEINT))),
+               (acc, c) -> (acc * 257 + c) % 2305843009213693951
+             ) AS BIGINT)
+           END AS fp
+    FROM documents
+    """,
+)
 
 _Q = text_analysis  # threshold constants shared with the Spark impl
 _QUALITY_SQL: str  # assigned right after registration, reused below
@@ -1346,7 +1396,40 @@ register(
     """,
 )
 
-register("dedup_embedding_multiprobe", dedup.dedup_embedding_multiprobe)
+# Each probe table's bucket key is mirrored from the same seed
+# literals; UNION dedupes identical (id1, id2, cos_sim) rows exactly
+# like the Spark unionAll().distinct() (cos_sim is bit-identical for
+# the same pair across tables).
+_MP_PROBE = """
+      SELECT a.vec_id AS id1, b.vec_id AS id2,
+             list_dot_product(a.vn, b.vn) AS cos_sim
+      FROM n a JOIN n b ON a.{bk} = b.{bk} AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.vn, b.vn) >= 0.3
+"""
+register(
+    "dedup_embedding_multiprobe",
+    dedup.dedup_embedding_multiprobe,
+    f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), withnorm AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+             {_duck_hyperplane_bucket('v', seed=11)} AS bk11,
+             {_duck_hyperplane_bucket('v', seed=13)} AS bk13,
+             {_duck_hyperplane_bucket('v', seed=17)} AS bk17
+      FROM e
+    ), n AS (
+      SELECT vec_id, bk11, bk13, bk17,
+             list_transform(v, x -> x / nrm) AS vn
+      FROM withnorm WHERE nrm > 0
+    )
+    {_MP_PROBE.format(bk='bk11')}
+    UNION
+    {_MP_PROBE.format(bk='bk13')}
+    UNION
+    {_MP_PROBE.format(bk='bk17')}
+    """,
+)
 
 register(
     "sample_split",
