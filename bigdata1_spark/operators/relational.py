@@ -341,3 +341,44 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).over(w)
         .cast("double").alias("nearby_revenue"),
     )
+
+
+def upsert_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC/merge application — apply a changes set to a base table:
+    changed keys take the new row, unmatched base rows pass through,
+    brand-new keys append (MERGE ... WHEN MATCHED UPDATE / WHEN NOT
+    MATCHED INSERT semantics, which open-source Spark lacks as a
+    statement over plain parquet).
+
+    Formulated as changes ∪ (base ⟕-anti changes): one broadcast-able
+    anti-join — at 100 TB the changes side is the small one, so the
+    base table streams through a broadcast anti-join with no shuffle
+    of the fact data. The changes set here is derived
+    deterministically from the base (every customer with c_custkey %
+    10 = 3 flips segment to 'CHANGED'; keys base_max+1..+50 are
+    inserts) so the oracle reproduces it exactly. Columns: c_custkey,
+    c_mktsegment, op.
+    """
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    updates = base.filter(F.col("c_custkey") % 10 == 3).select(
+        "c_custkey",
+        F.lit("CHANGED").alias("c_mktsegment"),
+        F.lit("update").alias("op"),
+    )
+    max_key = base.agg(F.max("c_custkey").alias("mx"))
+    inserts = (
+        spark.range(1, 51)
+        .crossJoin(F.broadcast(max_key))
+        .select(
+            (F.col("id") + F.col("mx")).alias("c_custkey"),
+            F.lit("NEWSEG").alias("c_mktsegment"),
+            F.lit("insert").alias("op"),
+        )
+    )
+    changes = updates.unionByName(inserts)
+    untouched = base.join(changes, "c_custkey", "left_anti").select(
+        "c_custkey", "c_mktsegment", F.lit("keep").alias("op")
+    )
+    return changes.unionByName(untouched)

@@ -1184,6 +1184,30 @@ register(
 )
 
 register(
+    "upsert_apply",
+    relational.upsert_apply,
+    """
+    WITH base AS (
+      SELECT c_custkey, c_mktsegment FROM customer
+    ), mx AS (
+      SELECT MAX(c_custkey) AS mx FROM base
+    ), changes AS (
+      SELECT c_custkey, 'CHANGED' AS c_mktsegment, 'update' AS op
+      FROM base WHERE c_custkey % 10 = 3
+      UNION ALL
+      SELECT mx.mx + i AS c_custkey, 'NEWSEG' AS c_mktsegment,
+             'insert' AS op
+      FROM mx, (SELECT unnest(generate_series(1, 50)) AS i)
+    )
+    SELECT c_custkey, c_mktsegment, op FROM changes
+    UNION ALL
+    SELECT b.c_custkey, b.c_mktsegment, 'keep' AS op
+    FROM base b
+    WHERE b.c_custkey NOT IN (SELECT c_custkey FROM changes)
+    """,
+)
+
+register(
     "window_first_last",
     relational.window_first_last,
     """

@@ -74,3 +74,28 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     finally:
         spark.sql("DROP DATABASE IF EXISTS buckdemo CASCADE")
+
+
+def test_small_files_compaction(spark, sf_dir, tmp_path):
+    """Small-files compaction: a directory fragmented into many tiny
+    parquet files (the classic streaming-sink pathology) rewritten via
+    repartition(k) must come out as exactly k files with identical
+    data. At 100 TB the same rewrite bounds file count to
+    data-size/target-file-size, keeping scan task counts sane."""
+    import glob
+
+    frag = str(tmp_path / "fragmented")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders.repartition(64).write.parquet(frag)
+    n_frag = len(glob.glob(f"{frag}/part-*.parquet"))
+    assert n_frag >= 32  # genuinely fragmented
+
+    compacted = str(tmp_path / "compacted")
+    spark.read.parquet(frag).repartition(4).write.parquet(compacted)
+    n_comp = len(glob.glob(f"{compacted}/part-*.parquet"))
+    assert n_comp == 4
+
+    a = spark.read.parquet(frag)
+    b = spark.read.parquet(compacted)
+    assert a.count() == b.count()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
