@@ -47,6 +47,11 @@ def main() -> None:
     errors: dict[str, str] = {}
     for key in sorted(registry.QUERIES):
         fn = registry.QUERIES[key]
+        # operators that cache intermediates (dedup_*, assoc_rules) leave
+        # entries behind; clear BEFORE each key (not after a successful
+        # run) so a failed query can't leak its caches into every
+        # subsequent timing
+        spark.catalog.clearCache()
         samples = []
         try:
             for _ in range(RUNS):
@@ -58,10 +63,6 @@ def main() -> None:
             print(f"[bench] {key} FAILED: {errors[key]}", file=sys.stderr)
             continue
         timings[key] = round(min(samples), 4)
-        # operators that cache intermediates (dedup_*, assoc_rules) leave
-        # entries behind; drop them so storage memory doesn't accumulate
-        # across 76 queries × 3 runs
-        spark.catalog.clearCache()
 
     out = {
         "metric": "total_query_sec",

@@ -67,7 +67,10 @@ def _doc_shingle_hashes(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFra
 
 
 def dedup_jaccard(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.5,
+    hashed_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram (3-word shingle) Jaccard near-dup pairs via prefix
     filtering (Bayardo et al., All-Pairs/PPJoin).
@@ -79,8 +82,16 @@ def dedup_jaccard(
     prefix element — then verify candidates with one array_intersect of
     the hashed sets per pair. Same result set as the quadratic oracle
     SQL, sub-quadratic candidate generation. Columns: id1, id2, jaccard.
+
+    ``hashed_shingles`` lets a caller that fans out (dedup_clusters)
+    supply — and own the lifecycle of — the cached shingle table; when
+    omitted, this function caches it itself (the prefix and verify
+    branches share it) and the entry lives until the session's cache
+    is cleared.
     """
-    ordered = _doc_shingle_hashes(spark, sf_dir).cache()
+    ordered = hashed_shingles if hashed_shingles is not None else (
+        _doc_shingle_hashes(spark, sf_dir).cache()
+    )
     prefix_len = F.floor(F.size("hs") * (1.0 - threshold)).cast("int") + 1
     prefixes = ordered.select(
         "doc_id",
@@ -178,14 +189,16 @@ def minhash_candidates(
             ).alias("chunks"),
         )
     )
-    within = chunked.select(
-        F.explode(
-            F.flatten(F.transform(F.col("chunks"), _combinations))
-        ).alias("p")
+    # one row per (bucket, chunk): BOTH pair paths work from the
+    # exploded view so no task ever holds more than one chunk's pairs —
+    # flattening per-chunk combinations on the un-exploded bucket row
+    # would rebuild O(|bucket|·cap) structs in a single task.
+    idx = chunked.select("bk", F.posexplode("chunks").alias("ci", "chunk"))
+    within = idx.select(
+        F.explode(_combinations(F.col("chunk"))).alias("p")
     )
     # ids are globally sorted before chunking, so for ci < cj every id in
     # chunk ci is smaller than every id in chunk cj → id1 < id2 holds.
-    idx = chunked.select("bk", F.posexplode("chunks").alias("ci", "chunk"))
     across = (
         idx.alias("a")
         .join(
@@ -372,7 +385,10 @@ def dedup_clusters(
     jobs. Columns: doc_id, cluster_id, cluster_size.
     """
     check_every = 2
-    pairs = dedup_jaccard(spark, sf_dir).select("id1", "id2")
+    sh = _doc_shingle_hashes(spark, sf_dir).cache()
+    pairs = dedup_jaccard(spark, sf_dir, hashed_shingles=sh).select(
+        "id1", "id2"
+    )
     edges = (
         pairs.union(
             pairs.select(
@@ -414,9 +430,11 @@ def dedup_clusters(
         labels = new_labels
         if converged:
             break
-    # the result depends only on the checkpointed labels — the edge
-    # cache (and dedup_jaccard's cached shingle table under it) is done
+    # the result depends only on the checkpointed labels — release both
+    # caches this function owns (edges, and the shingle table it passed
+    # into dedup_jaccard)
     edges.unpersist(blocking=False)
+    sh.unpersist(blocking=False)
     sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
         labels.join(sizes, "lbl")

@@ -287,26 +287,39 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", rolling_hash(F.col("text")).alias("fp"))
 
 
+# ~80/10/10 over 256 content-hash buckets — single source of truth for
+# sample_split, pipeline_pretraining, AND their generated oracles.
+SPLIT_TRAIN_LIM = 205
+SPLIT_VAL_LIM = 230
+
+
+def split_bucket(text: Column) -> Column:
+    """256 uniform buckets from the first two hex digits of md5(text) —
+    stable across runs, engines, and re-partitioning (never random())."""
+    return F.conv(F.substring(F.md5(text), 1, 2), 16, 10).cast("long")
+
+
+def split_of(bucket: Column) -> Column:
+    return (
+        F.when(bucket < SPLIT_TRAIN_LIM, "train")
+        .when(bucket < SPLIT_VAL_LIM, "val")
+        .otherwise("test")
+    )
+
+
 def sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic content-hash train/val/test split (~80/10/10).
 
-    Splitting on a content hash (not random()) keeps assignment stable
-    across runs, engines, and re-partitioning — the reproducibility
-    property a training pipeline needs. The first two hex digits of
-    md5(text) give 256 uniform buckets: <205 train, <230 val, else
-    test. Columns: doc_id, bucket, split.
+    Splitting on a content hash keeps assignment stable — the
+    reproducibility property a training pipeline needs.
+    Columns: doc_id, bucket, split.
     """
     docs = load_table(spark, sf_dir, "documents")
-    bucket = F.conv(F.substring(F.md5(F.col("text")), 1, 2), 16, 10).cast(
-        "long"
-    )
+    bucket = split_bucket(F.col("text"))
     return docs.select(
         "doc_id",
         bucket.alias("bucket"),
-        F.when(bucket < 205, "train")
-        .when(bucket < 230, "val")
-        .otherwise("test")
-        .alias("split"),
+        split_of(bucket).alias("split"),
     )
 
 
@@ -326,17 +339,10 @@ def pipeline_pretraining(spark: SparkSession, sf_dir: str) -> DataFrame:
     gated = docs.join(kept, "doc_id", "left_semi")
     reps = gated.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
     deduped = gated.join(reps.select("doc_id"), "doc_id", "left_semi")
-    bucket = F.conv(F.substring(F.md5(F.col("text")), 1, 2), 16, 10).cast(
-        "long"
-    )
-    split = (
-        F.when(bucket < 205, "train")
-        .when(bucket < 230, "val")
-        .otherwise("test")
-    )
     return (
         deduped.select(
-            split.alias("split"), F.size(_toks()).cast("long").alias("nt")
+            split_of(split_bucket(F.col("text"))).alias("split"),
+            F.size(_toks()).cast("long").alias("nt"),
         )
         .groupBy("split")
         .agg(

@@ -744,8 +744,8 @@ register(
       SELECT g.doc_id, g.text FROM gated g
       JOIN reps USING (doc_id)
     ), assigned AS (
-      SELECT CASE WHEN b.bucket < 205 THEN 'train'
-                  WHEN b.bucket < 230 THEN 'val'
+      SELECT CASE WHEN b.bucket < {_Q.SPLIT_TRAIN_LIM} THEN 'train'
+                  WHEN b.bucket < {_Q.SPLIT_VAL_LIM} THEN 'val'
                   ELSE 'test' END AS split,
              len({_DUCK_TOKENS}) AS nt
       FROM (
@@ -1458,7 +1458,7 @@ register(
 register(
     "sample_split",
     text_analysis.sample_split,
-    """
+    f"""
     WITH b AS (
       SELECT doc_id,
              CAST(16 * (strpos('0123456789abcdef',
@@ -1469,8 +1469,8 @@ register(
       FROM documents
     )
     SELECT doc_id, bucket,
-           CASE WHEN bucket < 205 THEN 'train'
-                WHEN bucket < 230 THEN 'val'
+           CASE WHEN bucket < {text_analysis.SPLIT_TRAIN_LIM} THEN 'train'
+                WHEN bucket < {text_analysis.SPLIT_VAL_LIM} THEN 'val'
                 ELSE 'test' END AS split
     FROM b
     """,

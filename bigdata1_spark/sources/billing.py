@@ -60,10 +60,12 @@ def parse_billings_b(df: DataFrame) -> DataFrame:
     """Format B lines → (bill_date DATE, items ARRAY<STRUCT<cost,name>>).
 
     Cost-first parsing — the code is canonical over the reference's
-    wrong comment (quirk Q11). Malformed items (no space separator,
-    where the reference's tokenizer would throw) are dropped rather
-    than surfacing NULL names; the token split runs once per item via
-    a let-binding (cost and name read the same bound array).
+    wrong comment (quirk Q11). Malformed items are dropped rather than
+    surfacing NULLs or crashing: no-space items (where the reference's
+    tokenizer would throw) fail the shape guard, and non-numeric cost
+    tokens go through ``try_cast`` (a plain cast raises under the
+    ANSI-mode sessions the driver uses) and are filtered on NULL cost.
+    The token split runs once per item via a let-binding.
     """
     from bigdata1_spark.functions.hashing import let
 
@@ -71,7 +73,7 @@ def parse_billings_b(df: DataFrame) -> DataFrame:
         return let(
             F.split(x, " "),
             lambda t: F.struct(
-                F.element_at(t, 1).cast("double").alias("cost"),
+                F.element_at(t, 1).try_cast("double").alias("cost"),
                 F.element_at(t, 2).alias("name"),
             ),
         )
@@ -81,8 +83,11 @@ def parse_billings_b(df: DataFrame) -> DataFrame:
     )
     return _split_line(df).select(
         "bill_date",
-        F.transform(
-            F.filter(F.col("raw_items"), well_formed), item
+        F.filter(
+            F.transform(
+                F.filter(F.col("raw_items"), well_formed), item
+            ),
+            lambda s: s.getField("cost").isNotNull(),
         ).alias("items"),
     )
 

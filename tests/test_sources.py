@@ -50,7 +50,7 @@ def test_format_a_roundtrip(spark):
 def test_format_b_parse_and_normalize(spark):
     lines = spark.createDataFrame(
         [
-            ("2015-3-12,15 pane,12.5 uova,garbagenospace",),
+            ("2015-3-12,15 pane,12.5 uova,garbagenospace,abc def",),
             ("",),
             ("2015-10-2,3 vino",),
         ],
@@ -59,7 +59,8 @@ def test_format_b_parse_and_normalize(spark):
     parsed = billing.parse_billings_b(lines)
     rows = billing.normalize(parsed, costed=True).collect()
     # blank line dropped (quirk Q8); space-less item dropped (the
-    # reference tokenizer would throw on it)
+    # reference tokenizer would throw on it); non-numeric cost dropped
+    # (try_cast, not an ANSI crash)
     assert len(rows) == 3
     by_item = {r["item"]: r for r in rows}
     assert by_item["pane"]["cost"] == 15.0
