@@ -327,16 +327,24 @@ def pipeline_pretraining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end pretraining-data pipeline as ONE declarative plan:
     quality gate → exact dedup (keep min doc_id per text) → stable
     content-hash train/val/test split → per-split corpus stats. This is
-    the composition a 100 TB ingest actually runs; expressing it as a
-    single DataFrame lets Catalyst pipeline the stages (the quality
-    semi-join and the dedup groupBy share one scan pass, no
-    intermediate materialization). Columns: split, n_docs, total_tokens.
+    the composition a 100 TB ingest actually runs. The gated corpus is
+    the fan-out point (the dedup groupBy and the representative
+    semi-join both consume it), so it is cached — without the cache
+    Catalyst re-derives the whole quality subtree per consumer (6 scans
+    of documents, measured); with it the corpus is computed once (at
+    ingest scale this materialization is the natural stage boundary —
+    a checkpoint/intermediate table). Columns: split, n_docs,
+    total_tokens.
     """
     docs = load_table(spark, sf_dir, "documents")
     kept = quality_filters(spark, sf_dir).filter(
         F.col("keep") == 1
     ).select("doc_id")
-    gated = docs.join(kept, "doc_id", "left_semi")
+    gated = (
+        docs.select("doc_id", "text")
+        .join(kept, "doc_id", "left_semi")
+        .cache()
+    )
     reps = gated.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
     deduped = gated.join(reps.select("doc_id"), "doc_id", "left_semi")
     return (
