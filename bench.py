@@ -33,17 +33,20 @@ def _materialize(df) -> None:
 
 
 def main() -> None:
+    sf_label = os.path.basename(SF_DIR.rstrip("/"))
     try:
-        sf = float(os.path.basename(SF_DIR.rstrip("/")).replace("sf", "") or 0)
-    except ValueError:  # unconventional dir name → lose the label, not the run
-        sf = None
+        sf = float(sf_label.replace("sf", "") or 0)
+    except ValueError:  # unconventional dir name → keep the raw label
+        sf = sf_label
     spark = get_spark(app_name="bigdata1-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm the JVM + parquet footer caches with one cheap action.
     _materialize(spark.read.parquet(os.path.join(SF_DIR, "region.parquet")))
 
+    loadavg_start = os.getloadavg()
     timings: dict[str, float] = {}
+    all_samples: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for key in sorted(registry.QUERIES):
         fn = registry.QUERIES[key]
@@ -63,13 +66,23 @@ def main() -> None:
             print(f"[bench] {key} FAILED: {errors[key]}", file=sys.stderr)
             continue
         timings[key] = round(min(samples), 4)
+        all_samples[key] = [round(s, 4) for s in samples]
 
+    # Host-noise evidence, machine-readable (BASELINE.md documents the
+    # shared-host variance band in prose): all per-key samples plus the
+    # 1/5/15-min loadavg bracketing the run let a reader separate
+    # neighbor interference (min stable, max inflated, load high) from
+    # real regressions (min itself moved) without re-deriving it.
     out = {
         "metric": "total_query_sec",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "samples": all_samples,
+        "runs_per_key": RUNS,
+        "loadavg_start": [round(x, 2) for x in loadavg_start],
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
     }
     if errors:
         out["errors"] = errors

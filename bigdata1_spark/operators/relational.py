@@ -220,9 +220,11 @@ def approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximate percentile per return flag — the single-pass,
     fixed-memory forms that replace exact distinct/percentile at 100 TB
     (exact versions shuffle every distinct value; sketches merge
-    partial states). Rows-only check: sketch outputs are
-    implementation-defined, bounded-error (asserted in tests against
-    the exact values)."""
+    partial states). Rows-only driver check by design (sketch outputs
+    are implementation-defined), but the error IS pinned locally:
+    ``tests/test_extensions.py::test_approx_sketch_bounded_error``
+    asserts apx_parts within 5% of agg_distinct's exact count and
+    apx_med_price inside the exact [p45, p55] percentile band."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("apx_parts"),

@@ -347,7 +347,7 @@ def pipeline_pretraining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     reps = gated.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
     deduped = gated.join(reps.select("doc_id"), "doc_id", "left_semi")
-    return (
+    result = (
         deduped.select(
             split_of(split_bucket(F.col("text"))).alias("split"),
             F.size(_toks()).cast("long").alias("nt"),
@@ -358,6 +358,14 @@ def pipeline_pretraining(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("nt").cast("long").alias("total_tokens"),
         )
     )
+    # Materialize the (≤3-row) summary eagerly so the gated-corpus cache
+    # can be released before returning — otherwise every caller leaks a
+    # session-lifetime storage entry the size of the kept corpus. The
+    # checkpoint blocks are tiny and freed by the ContextCleaner when
+    # the returned DataFrame is garbage-collected.
+    result = result.localCheckpoint(eager=True)
+    gated.unpersist()
+    return result
 
 
 def ngram_freq(spark: SparkSession, sf_dir: str, top_n: int = 50) -> DataFrame:

@@ -187,7 +187,11 @@ def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-01-01"))
         & (F.col("l_shipdate") < F.lit("1997-01-01"))
     ).select("l_orderkey", "l_linestatus")
-    urgent = F.col("prio").isin("1", "2").cast("long")
+    # CASE-parity: a NULL priority must land in the ELSE bucket like the
+    # SQL CASE, not vanish from F.sum (isin().cast() yields NULL for NULL).
+    urgent = (
+        F.when(F.col("prio").isin("1", "2"), F.lit(1)).otherwise(F.lit(0))
+    ).cast("long")
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_linestatus")

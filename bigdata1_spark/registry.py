@@ -1111,10 +1111,12 @@ register(
     tpch.tpch_q12,
     """
     SELECT l.l_linestatus,
-           SUM(CASE WHEN string_split(o.o_orderpriority, '-')[1]
-                    IN ('1', '2') THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN string_split(o.o_orderpriority, '-')[1]
-                    IN ('1', '2') THEN 0 ELSE 1 END) AS low_line_count
+           CAST(SUM(CASE WHEN string_split(o.o_orderpriority, '-')[1]
+                    IN ('1', '2') THEN 1 ELSE 0 END) AS BIGINT)
+             AS high_line_count,
+           CAST(SUM(CASE WHEN string_split(o.o_orderpriority, '-')[1]
+                    IN ('1', '2') THEN 0 ELSE 1 END) AS BIGINT)
+             AS low_line_count
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
       AND l.l_shipdate < TIMESTAMP '1997-01-01'

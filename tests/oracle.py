@@ -37,6 +37,32 @@ def _norm_val(v):
     return v
 
 
+_INT_KINDS = frozenset("iu")
+
+
+def _assert_dtype_parity(got: pd.DataFrame, want: pd.DataFrame, key: str):
+    """Int-vs-float dtype kind must agree per column.
+
+    The driver hashes raw values, so a DuckDB HUGEINT that pandas turns
+    into float64 (1791.0) against a Spark bigint (1791) hash-mismatches
+    even though Python's == calls them equal — exactly how tpch_q12
+    slipped past this suite in round 2. Only the int/float axis is
+    enforced: date/decimal/object representations legitimately differ
+    between the two toPandas paths without affecting value equality.
+    """
+    for col in got.columns:
+        gk, wk = got[col].dtype.kind, want[col].dtype.kind
+        g_int, w_int = gk in _INT_KINDS, wk in _INT_KINDS
+        g_flt, w_flt = gk == "f", wk == "f"
+        if (g_int and w_flt) or (g_flt and w_int):
+            raise AssertionError(
+                f"[{key}] dtype kind mismatch on '{col}': spark={got[col].dtype} "
+                f"duckdb={want[col].dtype} — int-vs-float columns hash "
+                "differently in the driver even when values compare equal; "
+                "CAST the oracle (or the Spark column) so both sides agree"
+            )
+
+
 def assert_matches_oracle(spark_df, duck_con, sql: str, key: str = "?"):
     got = spark_df.toPandas()
     want = duck_con.execute(sql).df()
@@ -44,6 +70,7 @@ def assert_matches_oracle(spark_df, duck_con, sql: str, key: str = "?"):
         f"[{key}] column mismatch: spark={sorted(got.columns)} "
         f"duckdb={sorted(want.columns)}"
     )
+    _assert_dtype_parity(got, want, key)
     assert len(got) == len(want), (
         f"[{key}] row count mismatch: spark={len(got)} duckdb={len(want)}"
     )

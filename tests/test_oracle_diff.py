@@ -18,6 +18,22 @@ def test_query_matches_oracle(key, spark, duck, sf_dir):
     spark.catalog.clearCache()
 
 
+def test_dtype_parity_catches_hugeint_float():
+    """The round-2 tpch_q12 escape: DuckDB HUGEINT → pandas float64 vs
+    Spark int64 passes Python == but fails the driver's value hash. The
+    parity check must flag it even though the values compare equal."""
+    import pandas as pd
+
+    from tests.oracle import _assert_dtype_parity
+
+    spark_side = pd.DataFrame({"k": ["F"], "high_line_count": [1791]})
+    duck_side = pd.DataFrame({"k": ["F"], "high_line_count": [1791.0]})
+    with pytest.raises(AssertionError, match="dtype kind mismatch"):
+        _assert_dtype_parity(spark_side, duck_side, "q12-regression")
+    # same-kind columns (float-float, int-int, object) must not trip it
+    _assert_dtype_parity(duck_side, duck_side.copy(), "ok")
+
+
 @pytest.mark.parametrize("key", sorted(set(registry.QUERIES) - set(registry.ORACLES)))
 def test_rows_only_queries_run(key, spark, sf_dir):
     """Queries without a SQL oracle still must run and return rows."""
