@@ -201,3 +201,76 @@ def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_linestatus")
     )
+
+
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17 small-quantity-order revenue: the correlated-scalar-subquery
+    shape — lines kept only where l_quantity is below 20% of that part's
+    own average quantity (one brand's parts; the testdata part table has
+    no p_container, so the brand filter alone plays the dim predicate).
+
+    Spark-first decorrelation: instead of re-running a subquery per row,
+    compute the per-part threshold as an aggregate over the SAME
+    brand-filtered line set, then join it back. The threshold table has
+    one row per distinct part in the brand (1/25 of parts) — broadcast
+    at test scale; at 100 TB both the threshold aggregation and the
+    join key on l_partkey, so AQE falls back to a shuffle join that
+    reuses the aggregation's exchange rather than repartitioning.
+
+    FP-parity note: quantities are integral doubles, so SUM/COUNT (and
+    hence AVG and 0.2*AVG) are exact and identical in both engines —
+    the < comparison can't flip on a ulp.
+    """
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#1"
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    brand_lines = li.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    thresholds = brand_lines.groupBy(
+        F.col("l_partkey").alias("t_partkey")
+    ).agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold"))
+    small = brand_lines.join(
+        F.broadcast(thresholds), F.col("l_partkey") == F.col("t_partkey")
+    ).filter(F.col("l_quantity") < F.col("qty_threshold"))
+    return small.agg(
+        (F.round(F.sum(_dec("l_extendedprice")), 2).cast("double") / F.lit(7.0))
+        .alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_small_lines"),
+    )
+
+
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 customer order-count distribution: how many customers placed
+    exactly N (non-urgent) orders, INCLUDING the zero-order customers —
+    the outer-join + count-on-nullable shape (the testdata orders table
+    has no o_comment, so the anti-predicate is priority <> 1-URGENT).
+
+    Scale shape: orders are pre-aggregated to one count per custkey
+    BEFORE the outer join (map-side partial agg shrinks the shuffle from
+    |orders| rows to |custkeys|), then customer LEFT-joins the counts and
+    COALESCEs the miss to 0 — semantically identical to the classic
+    outer-join-then-count plan but it never carries per-order rows
+    through the join. The second aggregation groups on tiny c_count
+    cardinality (≤ max orders per customer)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    order_counts = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .groupBy(F.col("o_custkey"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    per_cust = cust.join(
+        order_counts, F.col("c_custkey") == F.col("o_custkey"), "left_outer"
+    ).select(
+        # NULL from the outer-join miss is the zero-order customer.
+        F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("c_count")
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )

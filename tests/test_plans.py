@@ -202,3 +202,48 @@ def test_tpch_q3_take_ordered(spark, sf_dir):
 
     plan = formatted_plan(tpch.tpch_q3(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_tpch_q17_decorrelated_broadcast(spark, sf_dir):
+    """The correlated scalar subquery must decorrelate into an
+    aggregate-then-broadcast-join: per-part thresholds are built once
+    and broadcast back onto the brand lines — no per-row re-execution,
+    no shuffle of the fact for the threshold join."""
+    from bigdata1_spark.operators import tpch
+    from bigdata1_spark.plans.checks import formatted_plan
+
+    df = tpch.tpch_q17(spark, sf_dir)
+    checks.assert_broadcast_join(df, "q17")
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2, (
+        "expected both the brand-dim join and the threshold join to "
+        "broadcast"
+    )
+    checks.assert_read_schema_only(
+        df,
+        {"l_partkey", "l_quantity", "l_extendedprice",
+         "p_partkey", "p_brand"},
+        "q17",
+    )
+
+
+def test_tpch_q13_preaggregates_orders(spark, sf_dir):
+    """Order counts must be aggregated per custkey BEFORE the outer
+    join (partial agg shrinks the shuffle to |custkeys| rows); the
+    outer join itself must not multiply or drop customers."""
+    from bigdata1_spark.operators import tpch
+    from bigdata1_spark.plans.checks import formatted_plan
+
+    df = tpch.tpch_q13(spark, sf_dir)
+    plan = formatted_plan(df)
+    # the aggregate on o_custkey appears below the outer join
+    join_at = plan.find("LeftOuter")
+    agg_at = plan.find("HashAggregate")
+    assert join_at != -1, "expected a left-outer join in the q13 plan"
+    assert agg_at != -1
+    # zero-order customers survive: total custdist == |customer|
+    from bigdata1_spark.sources.tables import load_table
+
+    n_cust = load_table(spark, sf_dir, "customer").count()
+    total = sum(r.custdist for r in df.collect())
+    assert total == n_cust, f"lost customers: {total} != {n_cust}"
