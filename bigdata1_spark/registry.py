@@ -878,6 +878,19 @@ register(
 )
 
 register(
+    "events_window_streamed",
+    streaming_events.events_window_streamed,
+    """
+    SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+
+register(
     "pivot_agg",
     relational.pivot_revenue,
     """

@@ -61,6 +61,59 @@ def events_window_stream(spark: SparkSession, source_dir: str) -> DataFrame:
     return _windowed(stream)
 
 
+def events_window_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry-facing end-to-end streaming run of the windowed agg:
+    parquet file source → watermark + tumbling window → ``foreachBatch``
+    parquet sink → read the sink back as a batch DataFrame.
+
+    This gives the streaming path a full driver CORRECTNESS row against
+    the SAME oracle as its batch twin ``events_window`` (identical
+    logical plan via ``_windowed``); the stream-vs-batch tests already
+    prove equivalence, this key banks it through the driver hash.
+
+    The sink pattern is the production one: ``foreachBatch`` with an
+    idempotent mode=overwrite write, so a replayed micro-batch after a
+    failure rewrites the same output instead of duplicating it. With
+    ``trigger(availableNow=True)`` the bounded source drains in one run
+    and the query terminates — the batch-like replay mode used for
+    backfills. At 100 TB the only change is the sink path (object
+    store) and partitioning of the output; state stays bounded by the
+    watermark either way. Complete output mode keeps every window in
+    the result so the bounded replay matches the batch answer exactly.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="bigdata1_events_stream_")
+    try:
+        src = os.path.join(work, "src")
+        os.makedirs(src)
+        shutil.copy(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(src, "events.parquet"),
+        )
+        out = os.path.join(work, "out")
+
+        def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+            batch_df.write.mode("overwrite").parquet(out)
+
+        query = (
+            events_window_stream(spark, src)
+            .writeStream.foreachBatch(write_batch)
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        # Pin the (hours × event-types)-sized result before the temp
+        # sink dir disappears with the finally-block cleanup.
+        return spark.read.parquet(out).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
     """Parquet-dir streaming source; ts arrives as TIMESTAMP(NANOS) →
     read as long and rebuilt at micros (same dance as load_table)."""
