@@ -243,6 +243,241 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 promo revenue share: what fraction of one month's revenue
+    came from PROMO parts — the conditional-aggregate-ratio shape
+    (numerator CASE inside the same single aggregation as the
+    denominator; one join, one shuffle, no second pass).
+
+    The part side carries only (p_partkey, p_type) → broadcast. Sums
+    follow the q1 rule: exact decimal accumulation, round to cents in
+    decimal, THEN cast double, so the ratio divides two bit-identical
+    doubles in both engines."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,4)") - _dec("l_discount")
+    )
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    joined = li.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    return joined.agg(
+        F.round(F.sum(promo_rev), 2).cast("double").alias("promo_revenue"),
+        F.round(F.sum(rev), 2).cast("double").alias("total_revenue"),
+        (
+            F.lit(100.0)
+            * F.round(F.sum(promo_rev), 2).cast("double")
+            / F.round(F.sum(rev), 2).cast("double")
+        ).alias("promo_share"),
+    )
+
+
+def _q15_lazy(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Build q15's plan; returns (result, per-supplier cache to release).
+
+    Split out so plan tests can assert the shape BEFORE the eager
+    materialization in :func:`tpch_q15` hides it behind a checkpoint."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    ).select("l_suppkey", "l_extendedprice", "l_discount")
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,4)") - _dec("l_discount")
+    )
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(rev), 2).cast("double").alias("total_revenue")
+    ).persist()
+    max_rev = per_supp.agg(F.max("total_revenue").alias("max_rev"))
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    result = (
+        per_supp.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .drop("max_rev")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+    return result, per_supp
+
+
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 top supplier: suppliers whose quarterly revenue equals the
+    maximum — the aggregate-then-compare-to-global-aggregate shape
+    (classically a view + scalar subquery).
+
+    Scale shape: the per-supplier aggregate is cached, its 1-row max is
+    broadcast back for the equality filter, and the (≈1-row) result is
+    eagerly materialized so the cache can be released before returning.
+    The two rejected alternatives both fail at 100 TB: an unpartitioned
+    window (max OVER ()) drags every per-supplier row to ONE partition,
+    and the naive double-reference recomputes the fact scan — Spark's
+    exchange-reuse does not fire across the agg/filter asymmetry (the
+    AQE final plan shows two lineitem ShuffleQueryStages). Revenue
+    doubles come from the same round-in-decimal path on both sides, so
+    equality with the max is bit-exact."""
+    result, per_supp = _q15_lazy(spark, sf_dir)
+    try:
+        return result.localCheckpoint(eager=True)
+    finally:
+        per_supp.unpersist()
+
+
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 large-volume customers: orders whose total quantity exceeds
+    300 — the group-HAVING-then-semi-join shape. The qualifying-order
+    set (46 keys at sf0.01, ~0.15% of orders) is aggregated FIRST and
+    joined back, so the expensive customer join only sees qualifying
+    rows; top-20 plans as TakeOrderedAndProject. The qualifying set is
+    deliberately NOT hint-broadcast: it scales with |orders|, so the
+    right call at runtime belongs to AQE, which converts the join to
+    broadcast exactly when the post-HAVING stats are small enough."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").cast("double").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 discounted revenue under disjunctive predicates: three
+    (brand, size-range, quantity-range) OR-arms over the lineitem⋈part
+    join — the shape that tests whether OR-of-ANDs still prunes.
+    Catalyst extracts the common l_quantity <= 30 / p_size >= 1 bounds
+    and pushes per-table residuals to each scan; the join itself is a
+    plain broadcast equi-join with the disjunction as a post-join
+    filter."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    arm = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & (F.col("p_size") >= 1) & (F.col("p_size") <= smax)
+        & (F.col("l_quantity") >= qlo) & (F.col("l_quantity") <= qhi)
+    )
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,4)") - _dec("l_discount")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(
+            arm("Brand#1", 5, 1, 11)
+            | arm("Brand#2", 10, 10, 20)
+            | arm("Brand#3", 15, 20, 30)
+        )
+        .agg(
+            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10 returned-item reporting: top-20 customers by revenue lost to
+    returns in one quarter — join + agg + deterministic top-k across
+    four tables, the canonical 'rank entities by a fact aggregate'
+    report. Nation broadcasts; the orders⋈lineitem join carries only
+    pruned columns; top-20 plans as TakeOrderedAndProject, never a
+    global sort."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("date"))
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,4)") - _dec("l_discount")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 global-sales-opportunity: per market segment, count the
+    rich-but-inactive customers — acctbal above the positive-balance
+    average AND no orders at all. Exercises the scalar-aggregate
+    broadcast (threshold computed once, crossJoin of a 1-row frame)
+    plus a left-anti join (the testdata customer table has no phone, so
+    segment plays the country-code group).
+
+    FP-parity: the threshold divides an exact decimal sum (cast to
+    double) by an exact count — one IEEE division, identical in both
+    engines; acctbal values are 2-decimal so no value sits within an
+    ulp of the threshold."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    positive = cust.filter(F.col("c_acctbal") > 0.0)
+    threshold = positive.agg(
+        (
+            F.sum(_dec("c_acctbal")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_bal")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(threshold))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum(_dec("c_acctbal")), 2)
+            .cast("double").alias("totacctbal"),
+        )
+        .orderBy("segment")
+    )
+
+
 def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q13 customer order-count distribution: how many customers placed
     exactly N (non-urgent) orders, INCLUDING the zero-order customers —

@@ -1211,6 +1211,140 @@ register(
 )
 
 register(
+    "tpch_q14",
+    tpch.tpch_q14,
+    """
+    SELECT CAST(ROUND(SUM(CASE WHEN p.p_type = 'PROMO'
+                   THEN CAST(l.l_extendedprice AS DECIMAL(18,4))
+                        * (CAST(1 AS DECIMAL(18,4))
+                           - CAST(l.l_discount AS DECIMAL(18,4)))
+                   ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS DOUBLE)
+             AS promo_revenue,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                   * (CAST(1 AS DECIMAL(18,4))
+                      - CAST(l.l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+             AS total_revenue,
+           100.0 * CAST(ROUND(SUM(CASE WHEN p.p_type = 'PROMO'
+                   THEN CAST(l.l_extendedprice AS DECIMAL(18,4))
+                        * (CAST(1 AS DECIMAL(18,4))
+                           - CAST(l.l_discount AS DECIMAL(18,4)))
+                   ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS DOUBLE)
+               / CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                   * (CAST(1 AS DECIMAL(18,4))
+                      - CAST(l.l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+             AS promo_share
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l.l_shipdate < TIMESTAMP '1996-10-01'
+    """,
+)
+
+register(
+    "tpch_q15",
+    tpch.tpch_q15,
+    """
+    WITH revenue AS (
+      SELECT l_suppkey,
+             CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                     * (CAST(1 AS DECIMAL(18,4))
+                        - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM revenue r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+
+register(
+    "tpch_q18",
+    tpch.tpch_q18,
+    """
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 300
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_totalprice, b.sum_qty
+    FROM orders o
+    JOIN big b ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+    LIMIT 20
+    """,
+)
+
+register(
+    "tpch_q19",
+    tpch.tpch_q19,
+    """
+    SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                   * (CAST(1 AS DECIMAL(18,4))
+                      - CAST(l.l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+             AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+
+register(
+    "tpch_q10",
+    tpch.tpch_q10,
+    """
+    SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                   * (CAST(1 AS DECIMAL(18,4))
+                      - CAST(l.l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+             AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= DATE '1996-01-01'
+      AND o.o_orderdate < DATE '1996-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey ASC
+    LIMIT 20
+    """,
+)
+
+register(
+    "tpch_q22",
+    tpch.tpch_q22,
+    """
+    WITH threshold AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS avg_bal
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS numcust,
+           CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS totacctbal
+    FROM customer c, threshold t
+    WHERE c.c_acctbal > t.avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_mktsegment
+    ORDER BY segment
+    """,
+)
+
+register(
     "window_rank",
     relational.window_rank,
     """

@@ -247,3 +247,51 @@ def test_tpch_q13_preaggregates_orders(spark, sf_dir):
     n_cust = load_table(spark, sf_dir, "customer").count()
     total = sum(r.custdist for r in df.collect())
     assert total == n_cust, f"lost customers: {total} != {n_cust}"
+
+
+def test_tpch_q10_take_ordered(spark, sf_dir):
+    """Top-20 report must plan as TakeOrderedAndProject with the nation
+    dim broadcast — a global sort of per-customer aggregates would be
+    the scale bug."""
+    from bigdata1_spark.operators import tpch
+    from bigdata1_spark.plans.checks import formatted_plan
+
+    df = tpch.tpch_q10(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    checks.assert_broadcast_join(df, "q10")
+
+
+def test_tpch_q19_residual_pushdown(spark, sf_dir):
+    """The disjunction's common bounds must reach the scans: Catalyst
+    pushes the l_quantity range into the lineitem parquet reader even
+    though the full predicate references both sides of the join."""
+    from bigdata1_spark.operators import tpch
+    from bigdata1_spark.plans.checks import formatted_plan
+
+    df = tpch.tpch_q19(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "PushedFilters" in plan
+    # the extracted quantity bound appears as a pushed range filter
+    assert "GreaterThanOrEqual(l_quantity,1" in plan.replace(" ", ""), (
+        "common OR-arm bound on l_quantity was not pushed to the scan"
+    )
+
+
+def test_tpch_q15_single_fact_scan(spark, sf_dir):
+    """The max-revenue comparison must consume the CACHED per-supplier
+    aggregate on both references (no second lineitem scan) and must not
+    use an unpartitioned window (single-partition data drag)."""
+    from bigdata1_spark.operators import tpch
+    from bigdata1_spark.plans.checks import formatted_plan
+
+    result, per_supp = tpch._q15_lazy(spark, sf_dir)
+    try:
+        plan = formatted_plan(result)
+        assert "Window" not in plan, "unpartitioned window is a scale bug"
+        assert plan.count("InMemoryTableScan") >= 2, (
+            "both the filter branch and the scalar-max branch must read "
+            "the cached per-supplier aggregate"
+        )
+    finally:
+        per_supp.unpersist()
