@@ -1,0 +1,220 @@
+"""Corpus-curation operators for a pretraining-data pipeline:
+repetition metrics (Gopher-style), benchmark-contamination n-gram
+checks, and deterministic mixture sampling.
+
+These extend the documents-table family (text_analysis.py) with the
+three curation steps a production 100 TB ingest runs between quality
+filtering and train/val/test splitting: drop degenerate repetitive
+docs, quarantine benchmark-contaminated docs, and down-sample
+over-represented languages to a target mixture.
+
+All keys are fully oracle-checked: every metric is exact integer
+arithmetic plus single IEEE divisions, and sampling decisions hash
+document CONTENT (never random()), so both engines agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata1_spark.functions.textfns import tokens
+from bigdata1_spark.operators.text_analysis import split_bucket
+from bigdata1_spark.sources.tables import load_table
+
+# Gopher-style repetition gates (Rae et al. 2021 use 0.3 / 0.2 families
+# for duplicate-fraction and top-n-gram-fraction thresholds).
+DUP_WORD_MAX = 0.30
+TOP_WORD_MAX = 0.20
+
+# Word-n-gram size for contamination checks; benchmark-decontamination
+# pipelines use 8-13-gram windows on web text — the synthetic docs are
+# 30-150 words so 5 keeps per-doc gram counts meaningful at test scale.
+CONTAM_N = 5
+CONTAM_MIN_OVERLAP = 0.10
+
+# Per-language mixture targets as 256ths (bucket space of split_bucket):
+# en keeps everything, fr/de half, es/zh a quarter. A real pipeline
+# computes these from token-budget targets; the mechanism is the same.
+MIXTURE_LIMITS: dict[str, int] = {
+    "en": 256,
+    "fr": 128,
+    "de": 128,
+    "es": 64,
+    "zh": 64,
+}
+
+
+def _seq_bigrams(toks: Column) -> Column:
+    """Sequential (non-distinct) word bigrams — repetition needs every
+    occurrence, unlike the deduped shingles minhash uses. Follows the
+    word_shingles convention: a doc shorter than 2 tokens yields one
+    whole-doc gram (greatest(…,1) also avoids sequence(1,0), which
+    Spark would iterate DOWNWARD)."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1)))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.get(toks, i - 1), F.get(toks, i)
+        ),
+    )
+
+
+def repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition signals: duplicate-word fraction, top-word
+    fraction, duplicate-bigram fraction, and the boolean gate.
+
+    Shape: word-level metrics (total, distinct, top count) all come
+    from ONE explode → (doc_id, word) count → per-doc agg pipeline —
+    two bounded shuffles with map-side partial aggregation, and the
+    second groupBy reuses the first's hash partitioning prefix. Bigram
+    metrics are pure array expressions (zero shuffle). The all-array
+    alternative for top-word (count each distinct word by filtering
+    the array) is shuffle-free but O(distinct × len) per doc —
+    quadratic on exactly the adversarial docs a repetition filter
+    exists to catch, so the linear explode path wins at scale.
+
+    Columns: doc_id, n_tokens, dup_word_frac, top_word_frac,
+    dup_bigram_frac, repetitive (0/1).
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    )
+    word_stats = (
+        docs.select("doc_id", F.explode("toks").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.max("cnt").alias("top_cnt"),
+        )
+    )
+    bigrams = _seq_bigrams(F.col("toks"))
+    arr = docs.select(
+        "doc_id",
+        F.size(bigrams).cast("long").alias("n_bigrams"),
+        F.size(F.array_distinct(bigrams)).cast("long")
+        .alias("n_distinct_bigrams"),
+    )
+    n = F.col("n_tokens").cast("double")
+    dup_word = F.when(
+        F.col("n_tokens") > 0,
+        (F.col("n_tokens") - F.col("n_distinct")).cast("double") / n,
+    ).otherwise(F.lit(0.0))
+    top_word = F.when(
+        F.col("n_tokens") > 0, F.col("top_cnt").cast("double") / n
+    ).otherwise(F.lit(0.0))
+    dup_bigram = F.when(
+        F.col("n_bigrams") > 0,
+        (F.col("n_bigrams") - F.col("n_distinct_bigrams")).cast("double")
+        / F.col("n_bigrams").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return (
+        arr.join(word_stats, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            dup_word.alias("dup_word_frac"),
+            top_word.alias("top_word_frac"),
+            dup_bigram.alias("dup_bigram_frac"),
+            (
+                (dup_word > DUP_WORD_MAX) | (top_word > TOP_WORD_MAX)
+            ).cast("long").alias("repetitive"),
+        )
+    )
+
+
+def contamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: for every candidate doc, the
+    fraction of its distinct word n-grams that appear anywhere in the
+    benchmark set (here: docs with source='src0', standing in for an
+    eval-suite corpus).
+
+    Shape: an inverted-index join, never doc×doc — candidate grams and
+    benchmark grams shuffle-join on the gram itself (the exact-match
+    analogue of the LSH band join), then per-doc counts aggregate the
+    hit flags. All three shuffles carry one row per (doc, distinct
+    gram) at most; at 100 TB the benchmark side is tiny and AQE turns
+    the gram join into a broadcast.
+
+    Columns: doc_id, n_grams, n_overlap, overlap_frac, contaminated.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams_of = lambda c: F.array_distinct(  # noqa: E731
+        _ngrams_n(tokens(c), CONTAM_N)
+    )
+    bench_grams = (
+        docs.filter(F.col("source") == "src0")
+        .select(F.explode(grams_of(F.col("text"))).alias("gram"))
+        .distinct()
+        .withColumn("hit", F.lit(1).cast("long"))
+    )
+    cand = (
+        docs.filter(F.col("source") != "src0")
+        .select("doc_id", F.explode(grams_of(F.col("text"))).alias("gram"))
+    )
+    per_doc = (
+        cand.join(bench_grams, "gram", "left_outer")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_overlap"),
+        )
+    )
+    frac = F.col("n_overlap").cast("double") / F.col("n_grams").cast("double")
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "n_overlap",
+        frac.alias("overlap_frac"),
+        (frac >= CONTAM_MIN_OVERLAP).cast("long").alias("contaminated"),
+    )
+
+
+def _ngrams_n(toks: Column, n: int) -> Column:
+    """Sequential word n-grams; docs shorter than n yield one whole-doc
+    gram (the word_shingles convention — F.get is NULL-safe past the
+    end and concat_ws drops NULLs, so the gram just comes out short)."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.get(toks, i + j - 1) for j in range(n)]
+        ),
+    )
+
+
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic language-mixture down-sampling: keep a doc iff its
+    content-hash bucket falls under its language's per-256 limit —
+    en fully, fr/de at 1/2, es/zh at 1/4.
+
+    Content-hash gating (the same md5 bucket as the train/val/test
+    split) makes the sample reproducible under any partitioning, retry,
+    or cluster size, and consistent ACROSS pipeline stages — a doc
+    kept here is kept on every rerun; random() would resample every
+    attempt. Unknown languages default to keep (limit 256) so new data
+    is never silently dropped. Pure narrow ops: zero shuffles.
+
+    Columns: doc_id, lang, bucket (kept rows only).
+    """
+    limit = F.coalesce(
+        *[
+            F.when(F.col("lang") == lang, F.lit(lim))
+            for lang, lim in MIXTURE_LIMITS.items()
+        ],
+        F.lit(256),
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            split_bucket(F.col("text")).alias("bucket"),
+            limit.alias("lim"),
+        )
+        .filter(F.col("bucket") < F.col("lim"))
+        .select("doc_id", "lang", "bucket")
+    )

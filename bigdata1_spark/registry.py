@@ -1712,3 +1712,115 @@ register(
     FROM lineitem
     """,
 )
+
+# ---------------------------------------------------------------------------
+# Corpus-curation family (repetition / contamination / mixture sampling)
+# ---------------------------------------------------------------------------
+
+from bigdata1_spark.operators import corpus  # noqa: E402
+
+register(
+    "repetition_metrics",
+    corpus.repetition_metrics,
+    """
+    WITH words AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                                 x -> len(x) > 0) AS w
+      FROM documents
+    ), wc AS (
+      SELECT doc_id, word, COUNT(*) AS cnt
+      FROM (SELECT doc_id, unnest(w) AS word FROM words)
+      GROUP BY 1, 2
+    ), ws AS (
+      SELECT doc_id,
+             CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             MAX(cnt) AS top_cnt
+      FROM wc GROUP BY 1
+    ), bg AS (
+      SELECT doc_id, array_to_string(w[i:i+1], ' ') AS bigram
+      FROM words,
+           (SELECT unnest(generate_series(1, greatest(len(w) - 1, 1))) AS i)
+    ), bs AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(COUNT(DISTINCT bigram) AS BIGINT) AS n_distinct_bigrams
+      FROM bg GROUP BY 1
+    )
+    SELECT ws.doc_id, ws.n_tokens,
+           CASE WHEN ws.n_tokens > 0
+                THEN CAST(ws.n_tokens - ws.n_distinct AS DOUBLE)
+                     / CAST(ws.n_tokens AS DOUBLE)
+                ELSE 0.0 END AS dup_word_frac,
+           CASE WHEN ws.n_tokens > 0
+                THEN CAST(ws.top_cnt AS DOUBLE)
+                     / CAST(ws.n_tokens AS DOUBLE)
+                ELSE 0.0 END AS top_word_frac,
+           CASE WHEN bs.n_bigrams > 0
+                THEN CAST(bs.n_bigrams - bs.n_distinct_bigrams AS DOUBLE)
+                     / CAST(bs.n_bigrams AS DOUBLE)
+                ELSE 0.0 END AS dup_bigram_frac,
+           CAST((CASE WHEN ws.n_tokens > 0
+                      THEN CAST(ws.n_tokens - ws.n_distinct AS DOUBLE)
+                           / CAST(ws.n_tokens AS DOUBLE)
+                      ELSE 0.0 END > 0.30)
+                OR (CASE WHEN ws.n_tokens > 0
+                         THEN CAST(ws.top_cnt AS DOUBLE)
+                              / CAST(ws.n_tokens AS DOUBLE)
+                         ELSE 0.0 END > 0.20) AS BIGINT) AS repetitive
+    FROM ws JOIN bs ON ws.doc_id = bs.doc_id
+    """,
+)
+
+register(
+    "contamination_ngrams",
+    corpus.contamination_ngrams,
+    """
+    WITH words AS (
+      SELECT doc_id, source,
+             list_filter(string_split_regex(text, '\\s+'),
+                         x -> len(x) > 0) AS w
+      FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id, source, array_to_string(w[i:i+4], ' ') AS gram
+      FROM words,
+           (SELECT unnest(generate_series(1, greatest(len(w) - 4, 1))) AS i)
+    ), bench AS (
+      SELECT DISTINCT gram FROM grams WHERE source = 'src0'
+    ), cand AS (
+      SELECT doc_id, gram FROM grams WHERE source <> 'src0'
+    )
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_overlap,
+           CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS overlap_frac,
+           CAST(CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+                     AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) >= 0.10
+                AS BIGINT) AS contaminated
+    FROM cand c LEFT JOIN bench b ON c.gram = b.gram
+    GROUP BY c.doc_id
+    """,
+)
+
+register(
+    "mixture_sample",
+    corpus.mixture_sample,
+    """
+    WITH b AS (
+      SELECT doc_id, lang,
+             CAST(16 * (strpos('0123456789abcdef',
+                               substr(md5(text), 1, 1)) - 1)
+                  + (strpos('0123456789abcdef',
+                            substr(md5(text), 2, 1)) - 1) AS BIGINT)
+               AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang, bucket
+    FROM b
+    WHERE bucket < CASE lang WHEN 'en' THEN 256 WHEN 'fr' THEN 128
+                             WHEN 'de' THEN 128 WHEN 'es' THEN 64
+                             WHEN 'zh' THEN 64 ELSE 256 END
+    """,
+)

@@ -295,3 +295,23 @@ def test_tpch_q15_single_fact_scan(spark, sf_dir):
         )
     finally:
         per_supp.unpersist()
+
+
+def test_corpus_curation_plan_shapes(spark, sf_dir):
+    """Curation family scale guards: contamination is an inverted-index
+    gram join (never a doc×doc cartesian), mixture sampling is pure
+    narrow ops (zero shuffles), repetition stays within its two
+    bounded aggregation shuffles plus the doc_id join."""
+    from bigdata1_spark.operators import corpus
+    from bigdata1_spark.plans.checks import formatted_plan
+
+    contam = corpus.contamination_ngrams(spark, sf_dir)
+    assert "CartesianProduct" not in formatted_plan(contam)
+    checks.assert_max_exchanges(contam, 4, "contamination_ngrams")
+
+    checks.assert_max_exchanges(
+        corpus.mixture_sample(spark, sf_dir), 0, "mixture_sample"
+    )
+    checks.assert_max_exchanges(
+        corpus.repetition_metrics(spark, sf_dir), 3, "repetition_metrics"
+    )
