@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bigdata1_spark.functions.hashing import let
 from bigdata1_spark.functions.textfns import tokens
 from bigdata1_spark.operators.text_analysis import split_bucket
 from bigdata1_spark.sources.tables import load_table
@@ -91,12 +92,20 @@ def repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cnt").alias("top_cnt"),
         )
     )
-    bigrams = _seq_bigrams(F.col("toks"))
-    arr = docs.select(
+    # One let-bound evaluation of the bigram array feeds both sizes
+    # (unbound, the HOF expression tree is duplicated per reference).
+    bg_stats = let(
+        _seq_bigrams(F.col("toks")),
+        lambda bg: F.struct(
+            F.size(bg).cast("long").alias("n_bigrams"),
+            F.size(F.array_distinct(bg)).cast("long")
+            .alias("n_distinct_bigrams"),
+        ),
+    )
+    arr = docs.select("doc_id", bg_stats.alias("bs")).select(
         "doc_id",
-        F.size(bigrams).cast("long").alias("n_bigrams"),
-        F.size(F.array_distinct(bigrams)).cast("long")
-        .alias("n_distinct_bigrams"),
+        F.col("bs.n_bigrams").alias("n_bigrams"),
+        F.col("bs.n_distinct_bigrams").alias("n_distinct_bigrams"),
     )
     n = F.col("n_tokens").cast("double")
     dup_word = F.when(
@@ -142,8 +151,13 @@ def contamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     Columns: doc_id, n_grams, n_overlap, overlap_frac, contaminated.
     """
     docs = load_table(spark, sf_dir, "documents")
-    grams_of = lambda c: F.array_distinct(  # noqa: E731
-        _ngrams_n(tokens(c), CONTAM_N)
+    # let-bind the token array: _ngrams_n references it CONTAM_N times
+    # per gram position inside a transform lambda, and HOF lambdas sit
+    # outside codegen CSE — unbound, every F.get would re-split the
+    # text (measured 8× on this key at sf0.1).
+    grams_of = lambda c: let(  # noqa: E731
+        tokens(c),
+        lambda tk: F.array_distinct(_ngrams_n(tk, CONTAM_N)),
     )
     bench_grams = (
         docs.filter(F.col("source") == "src0")

@@ -384,3 +384,32 @@ def upsert_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_mktsegment", F.lit("keep").alias("op")
     )
     return changes.unionByName(untouched)
+
+
+def groupby_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS surface: the (flag, status) detail, per-flag
+    subtotal, and grand total computed in ONE pass — the generalized
+    form of rollup/cube where the user picks the exact set list.
+    Spark expands the sets into a single Expand + hash aggregate (one
+    shuffle regardless of how many sets), identical cost shape to
+    groupby_rollup.
+
+    NULL grouping keys from the subtotal rows are coalesced to 'ALL'
+    on BOTH engines — the driver hash treats NULL/NaN asymmetrically,
+    and the data columns themselves are non-null so the sentinel is
+    unambiguous."""
+    li = load_table(spark, sf_dir, "lineitem")
+    gs = li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        exact_sum(F.col("l_quantity"), "sum_qty"),
+    )
+    return gs.select(
+        F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("flag"),
+        F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("status"),
+        "n",
+        "sum_qty",
+    )

@@ -158,3 +158,44 @@ def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("embedding").cast("long").alias("dim"),
         )
     )
+
+
+N_KNN_QUERIES = 8
+KNN_K = 5
+
+
+def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch k-NN join: for each of a small query set (vec_id <
+    ``N_KNN_QUERIES``), the top-``KNN_K`` cosine neighbors from the
+    rest of the corpus — the shape that labels a dataset against a
+    pool of probes (retrieval eval, cluster seeding, kNN classify).
+
+    Scale shape: the query side broadcasts (Q rows), so the corpus
+    never shuffles for the join; per-query ranking is a window with a
+    rank predicate Spark rewrites to WindowGroupLimit — each task keeps
+    a k-heap per query instead of sorting Q×n rows. Wall-clock is one
+    corpus scan regardless of Q, vs Q separate sim_topk runs.
+    Columns: q_id, vec_id, cos_sim, rnk.
+    """
+    from pyspark.sql import Window
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_KNN_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        emb.filter(F.col("vec_id") >= N_KNN_QUERIES)
+        .crossJoin(F.broadcast(queries))
+        .select(
+            "q_id",
+            "vec_id",
+            vectors.cosine(F.col("v"), F.col("qv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= KNN_K)
+    )

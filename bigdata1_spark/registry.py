@@ -1824,3 +1824,41 @@ register(
                              WHEN 'zh' THEN 64 ELSE 256 END
     """,
 )
+
+register(
+    "groupby_grouping_sets",
+    relational.groupby_grouping_sets,
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+           COALESCE(l_linestatus, 'ALL') AS status,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+             AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), ())
+    """,
+)
+
+register(
+    "knn_join",
+    similarity.knn_join,
+    f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), q AS (
+      SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8
+    ), scored AS (
+      SELECT q.q_id, e.vec_id,
+             {_DUCK_COS.format(a='e.v', b='q.qv')} AS cos_sim
+      FROM e CROSS JOIN q WHERE e.vec_id >= 8
+    )
+    SELECT q_id, vec_id, cos_sim, rnk FROM (
+      SELECT q_id, vec_id, cos_sim,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC
+             ) AS BIGINT) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    """,
+)

@@ -315,3 +315,28 @@ def test_corpus_curation_plan_shapes(spark, sf_dir):
     checks.assert_max_exchanges(
         corpus.repetition_metrics(spark, sf_dir), 3, "repetition_metrics"
     )
+
+
+def test_knn_join_group_limit(spark, sf_dir):
+    """The rank<=k predicate must rewrite to WindowGroupLimit (per-task
+    k-heap per query) and the query side must broadcast — the corpus
+    never shuffles for the join itself."""
+    from bigdata1_spark.operators import similarity
+    from bigdata1_spark.plans.checks import formatted_plan
+
+    df = similarity.knn_join(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "WindowGroupLimit" in plan
+    assert "Broadcast" in plan
+    checks.assert_max_exchanges(df, 1, "knn_join")
+
+
+def test_grouping_sets_single_shuffle(spark, sf_dir):
+    """All three grouping sets must compute in one Expand + one
+    aggregation shuffle — never one pass per set."""
+    from bigdata1_spark.operators import relational
+    from bigdata1_spark.plans.checks import formatted_plan
+
+    df = relational.groupby_grouping_sets(spark, sf_dir)
+    assert "Expand" in formatted_plan(df)
+    checks.assert_max_exchanges(df, 1, "groupby_grouping_sets")
