@@ -88,26 +88,15 @@ def sim_topk_lsh(
 IVF_CELLS = 8  # coarse quantizer size; at 100 TB: O(sqrt(n)) cells
 
 
-def sim_topk_ivf(
-    spark: SparkSession, sf_dir: str, n_cells: int = IVF_CELLS
+def _ivf_scored(
+    spark: SparkSession, sf_dir: str, n_cells: int
 ) -> DataFrame:
-    """Approximate top-k via an IVF (inverted-file) coarse quantizer:
-    assign every vector to its nearest centroid cell, then search only
-    the query's cell.
-
-    Centroids are the ``n_cells`` vectors with the smallest
-    ``md5(vec_id)`` — a deterministic, engine-reproducible sample (a
-    k-means refinement would drift between engines; hash-sampling keeps
-    the oracle exact while exercising the identical plan shape).
-    Assignment is a broadcast of the tiny centroid table against the
-    scan with an argmax window per vector — at 100 TB the assignment is
-    precomputed at ingest and ``cell`` is a partition column, so the
-    probe prunes partitions instead of filtering a scan. Single-probe
-    recall is the stated contract (probe more cells for more recall).
-    Columns: vec_id, label, cos_sim.
-    """
-    from pyspark.sql import Window
-
+    """Every vector scored against every hash-sampled centroid
+    (columns: vec_id, label, v, cid, cscore). Centroids are the
+    ``n_cells`` vectors with the smallest ``md5(vec_id)`` — a
+    deterministic, engine-reproducible sample (a k-means refinement
+    would drift between engines; hash-sampling keeps the oracle exact
+    while exercising the identical plan shape)."""
     emb = _emb(spark, sf_dir)
     cents = (
         emb.select(
@@ -119,16 +108,39 @@ def sim_topk_ivf(
         .limit(n_cells)
         .select("cid", "cv")
     )
-    scored = emb.crossJoin(F.broadcast(cents)).select(
+    return emb.crossJoin(F.broadcast(cents)).select(
         "vec_id", "label", "v", "cid",
         vectors.cosine(F.col("v"), F.col("cv")).alias("cscore"),
     )
+
+
+def _ivf_assign(scored: DataFrame) -> DataFrame:
+    """Argmax cell per vector (columns: vec_id, label, v, cell)."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("vec_id").orderBy(F.desc("cscore"), F.asc("cid"))
-    asg = (
+    return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("vec_id", "label", "v", F.col("cid").alias("cell"))
     )
+
+
+def sim_topk_ivf(
+    spark: SparkSession, sf_dir: str, n_cells: int = IVF_CELLS
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) coarse quantizer:
+    assign every vector to its nearest centroid cell, then search only
+    the query's cell.
+
+    Assignment is a broadcast of the tiny centroid table against the
+    scan with an argmax window per vector — at 100 TB the assignment is
+    precomputed at ingest and ``cell`` is a partition column, so the
+    probe prunes partitions instead of filtering a scan. Single-probe
+    recall is the stated contract; ``sim_topk_ivf_multiprobe`` is the
+    recall dial. Columns: vec_id, label, cos_sim.
+    """
+    asg = _ivf_assign(_ivf_scored(spark, sf_dir, n_cells))
     q = asg.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("v").alias("qv"), F.col("cell").alias("qcell")
     )
@@ -136,6 +148,58 @@ def sim_topk_ivf(
         asg.filter(F.col("vec_id") != QUERY_VEC_ID)
         .crossJoin(F.broadcast(q))
         .filter(F.col("cell") == F.col("qcell"))
+        .select(
+            "vec_id", "label",
+            vectors.cosine(F.col("v"), F.col("qv")).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+IVF_PROBES = 3
+
+
+def sim_topk_ivf_multiprobe(
+    spark: SparkSession,
+    sf_dir: str,
+    n_cells: int = IVF_CELLS,
+    n_probes: int = IVF_PROBES,
+) -> DataFrame:
+    """IVF with multi-probe: search the ``n_probes`` cells whose
+    centroids are nearest the QUERY, not just the argmax cell — the
+    standard recall dial for inverted-file ANN (a near-boundary query
+    vector's true neighbors often live in the runner-up cells).
+
+    Cost shape vs single-probe: identical assignment plan, plus a
+    broadcast of the n_probes probe-cell ids semi-joined against the
+    cell column — at 100 TB that is n_probes partition prunes instead
+    of one, still never a corpus shuffle. Recall vs the exact
+    ``sim_topk`` is pinned in tests to be ≥ the single-probe run.
+    Columns: vec_id, label, cos_sim.
+    """
+    scored = _ivf_scored(spark, sf_dir, n_cells)
+    asg = _ivf_assign(scored)
+    # the probe list ranks the QUERY's centroid scores — n_cells rows,
+    # ordered limit plans TakeOrderedAndProject, driver-free, broadcast
+    # onward
+    probe_cells = (
+        scored.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .orderBy(F.desc("cscore"), F.asc("cid"))
+        .limit(n_probes)
+        .select(F.col("cid").alias("pcell"))
+    )
+    q = _emb(spark, sf_dir).filter(
+        F.col("vec_id") == QUERY_VEC_ID
+    ).select(F.col("v").alias("qv"))
+    return (
+        asg.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(
+            F.broadcast(probe_cells),
+            F.col("cell") == F.col("pcell"),
+            "left_semi",
+        )
+        .crossJoin(F.broadcast(q))
         .select(
             "vec_id", "label",
             vectors.cosine(F.col("v"), F.col("qv")).alias("cos_sim"),

@@ -567,6 +567,41 @@ register(
 )
 
 register(
+    "sim_topk_ivf_multiprobe",
+    similarity.sim_topk_ivf_multiprobe,
+    f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), cents AS (
+      SELECT vec_id AS cid, v AS cv FROM e
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT {similarity.IVF_CELLS}
+    ), scored AS (
+      SELECT e.vec_id, e.label, e.v, c.cid,
+             {_DUCK_COS.format(a='e.v', b='c.cv')} AS cscore
+      FROM e CROSS JOIN cents c
+    ), asg AS (
+      SELECT vec_id, label, v, cid AS cell FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY cscore DESC, cid ASC) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ), probes AS (
+      SELECT cid AS pcell FROM scored
+      WHERE vec_id = 0
+      ORDER BY cscore DESC, cid ASC LIMIT {similarity.IVF_PROBES}
+    ), q AS (
+      SELECT v AS qv FROM e WHERE vec_id = 0
+    )
+    SELECT a.vec_id, a.label,
+           {_DUCK_COS.format(a='a.v', b='q.qv')} AS cos_sim
+    FROM asg a, q
+    WHERE a.vec_id <> 0 AND a.cell IN (SELECT pcell FROM probes)
+    ORDER BY cos_sim DESC, a.vec_id ASC LIMIT 20
+    """,
+)
+
+register(
     "multimodal_join",
     similarity.multimodal_join,
     """

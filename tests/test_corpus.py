@@ -1,0 +1,95 @@
+"""Semantic tests for the corpus-curation operators on CRAFTED docs —
+the oracle diff proves engine parity on the synthetic corpus; these
+prove the metrics mean what they claim on known inputs."""
+
+from __future__ import annotations
+
+import pytest
+
+from bigdata1_spark.operators import corpus
+
+DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _write_docs(spark, tmp_path, rows):
+    d = str(tmp_path / "crafted")
+    spark.createDataFrame(
+        [(i, t, lang, src, len(t)) for i, (t, lang, src) in enumerate(rows)],
+        DOC_SCHEMA,
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return d
+
+
+def test_repetition_metrics_known_values(spark, tmp_path):
+    docs = _write_docs(
+        spark,
+        tmp_path,
+        [
+            ("a a a a", "en", "s"),             # maximally repetitive
+            ("u v w x y z", "en", "s"),         # all distinct
+            ("b c b c b c", "en", "s"),         # alternating pair
+        ],
+    )
+    out = {r["doc_id"]: r for r in corpus.repetition_metrics(spark, docs).collect()}
+
+    r0 = out[0]  # 4 tokens, 1 distinct; 3 bigrams "a a", 1 distinct
+    assert r0["n_tokens"] == 4
+    assert r0["dup_word_frac"] == pytest.approx(3 / 4)
+    assert r0["top_word_frac"] == pytest.approx(1.0)
+    assert r0["dup_bigram_frac"] == pytest.approx(2 / 3)
+    assert r0["repetitive"] == 1
+
+    r1 = out[1]  # 6 distinct tokens → top fraction 1/6 < 0.2 gate
+    assert r1["dup_word_frac"] == 0.0
+    assert r1["top_word_frac"] == pytest.approx(1 / 6)
+    assert r1["dup_bigram_frac"] == 0.0
+    assert r1["repetitive"] == 0
+
+    r2 = out[2]  # 6 tokens 2 distinct; 5 bigrams, 2 distinct
+    assert r2["dup_word_frac"] == pytest.approx(4 / 6)
+    assert r2["top_word_frac"] == pytest.approx(3 / 6)
+    assert r2["dup_bigram_frac"] == pytest.approx(3 / 5)
+    assert r2["repetitive"] == 1
+
+
+def test_contamination_flags_copied_span(spark, tmp_path):
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (bench_text, "en", "src0"),                  # benchmark doc
+            (bench_text + " extra tail words", "en", "srcX"),  # copies spans
+            ("totally different words only here now", "en", "srcX"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in corpus.contamination_ngrams(spark, docs).collect()}
+    assert 0 not in out  # benchmark docs are not scored as candidates
+    assert out[1]["contaminated"] == 1
+    assert out[1]["n_overlap"] > 0
+    assert out[2]["contaminated"] == 0
+    assert out[2]["n_overlap"] == 0
+
+
+def test_mixture_sample_respects_limits(spark, tmp_path):
+    from bigdata1_spark.operators.text_analysis import split_bucket
+    from pyspark.sql import functions as F
+
+    rows = [(f"doc number {i} words vary", "en" if i % 2 else "zh", "s")
+            for i in range(60)]
+    docs = _write_docs(spark, tmp_path, rows)
+    kept = corpus.mixture_sample(spark, docs)
+    # en keeps everything; zh keeps exactly the bucket<64 subset
+    src = spark.read.parquet(f"{docs}/documents.parquet").select(
+        "doc_id", "lang", split_bucket(F.col("text")).alias("bucket")
+    )
+    want = {
+        r["doc_id"]
+        for r in src.collect()
+        if r["lang"] == "en" or r["bucket"] < 64
+    }
+    got = {r["doc_id"] for r in kept.collect()}
+    assert got == want
+    # bucket column faithfully reports the hash bucket
+    for r in kept.collect():
+        assert 0 <= r["bucket"] < 256

@@ -237,3 +237,23 @@ def test_dedup_clusters_consistent_with_pairs(spark, sf_dir):
 
     sizes = Counter(labels.values())
     assert sum(sizes.values()) == docs_n
+
+
+def test_ivf_multiprobe_recall_dominates_single(spark, sf_dir):
+    """Multi-probe IVF must recover at least as much of the exact top-k
+    as single-probe (it searches a superset of cells including the
+    query's own), and overlapping scores must match the exact scan."""
+    exact = {r["vec_id"]: r["cos_sim"]
+             for r in similarity.sim_topk(spark, sf_dir).collect()}
+    single = {r["vec_id"]
+              for r in similarity.sim_topk_ivf(spark, sf_dir).collect()}
+    multi_rows = similarity.sim_topk_ivf_multiprobe(spark, sf_dir).collect()
+    multi = {r["vec_id"] for r in multi_rows}
+    r_single = len(single & set(exact)) / len(exact)
+    r_multi = len(multi & set(exact)) / len(exact)
+    assert r_multi >= r_single, (
+        f"multiprobe recall {r_multi} < single-probe {r_single}"
+    )
+    for r in multi_rows:
+        if r["vec_id"] in exact:
+            assert abs(exact[r["vec_id"]] - r["cos_sim"]) < 1e-12
