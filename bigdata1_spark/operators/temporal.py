@@ -94,3 +94,58 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double").alias("total_value"),
         )
     )
+
+
+SCD2_OPEN_SENTINEL = "9999-12-31 00:00:00.000000"
+
+
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history build: collapse each user's event stream into
+    validity intervals — one row per RUN of consecutive equal
+    event_type, with valid_from/valid_to half-open interval bounds.
+    This is the slowly-changing-dimension-type-2 table a warehouse
+    derives from a change feed (and the change-detection flavor of
+    gaps-and-islands; ``sessionize`` is the time-gap flavor).
+
+    Plan: one shuffle on user_id feeds ALL THREE window passes (change
+    flag via lag, island id via running sum, valid_to via lead over
+    islands' aggregate) — Spark reuses the exchange because every
+    window partitions by the same key; the island aggregation groups
+    on (user_id, island) which the same partitioning co-locates. The
+    open interval carries a far-future sentinel rather than NULL (NULL
+    → NaN asymmetry breaks driver hash parity).
+    Columns: user_id, event_type, valid_from, valid_to, n_events.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    worder = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "chg",
+        F.when(
+            F.lag("event_type").over(worder).isNull()
+            | (F.lag("event_type").over(worder) != F.col("event_type")),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("chg").over(
+            worder.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    runs = flagged.groupBy("user_id", "island").agg(
+        F.min("event_type").alias("event_type"),  # constant within a run
+        F.min("ts").alias("from_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wlead = Window.partitionBy("user_id").orderBy("island")
+    return runs.select(
+        "user_id",
+        "event_type",
+        F.date_format("from_ts", TS_FMT).alias("valid_from"),
+        F.coalesce(
+            F.date_format(F.lead("from_ts").over(wlead), TS_FMT),
+            F.lit(SCD2_OPEN_SENTINEL),
+        ).alias("valid_to"),
+        "n_events",
+    )

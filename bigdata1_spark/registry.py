@@ -926,6 +926,16 @@ register(
 )
 
 register(
+    "events_user_counts_streamed",
+    streaming_events.events_user_counts_streamed,
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_seen
+    FROM events GROUP BY user_id
+    """,
+)
+
+register(
     "pivot_agg",
     relational.pivot_revenue,
     """
@@ -1895,5 +1905,39 @@ register(
              ) AS BIGINT) AS rnk
       FROM scored
     ) WHERE rnk <= 5
+    """,
+)
+
+register(
+    "scd2_intervals",
+    temporal.scd2_intervals,
+    """
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type, ts,
+             CASE WHEN LAG(event_type) OVER w IS NULL
+                    OR LAG(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), islands AS (
+      SELECT *, SUM(chg) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS UNBOUNDED PRECEDING) AS island
+      FROM ordered
+    ), runs AS (
+      SELECT user_id, island,
+             MIN(event_type) AS event_type,
+             MIN(ts) AS from_ts,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM islands GROUP BY 1, 2
+    )
+    SELECT user_id, event_type,
+           strftime(from_ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+           COALESCE(strftime(LEAD(from_ts) OVER (
+                      PARTITION BY user_id ORDER BY island),
+                    '%Y-%m-%d %H:%M:%S.%f'),
+                    '9999-12-31 00:00:00.000000') AS valid_to,
+           n_events
+    FROM runs
     """,
 )

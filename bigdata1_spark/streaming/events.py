@@ -114,6 +114,56 @@ def events_window_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def events_user_counts_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry-facing end-to-end run of the per-user running-count
+    stream (``user_running_counts_stream``): bounded availableNow
+    replay through a foreachBatch overwrite sink, returned as a batch
+    DataFrame whose final state equals the batch groupBy — giving the
+    UPDATE-mode stateful-aggregation path its own driver row next to
+    ``events_window_streamed``'s append-mode windowed one.
+
+    Complete output mode means the last micro-batch carries the full
+    aggregate state, so the idempotent overwrite sink lands exactly
+    the batch answer. last_seen is projected to a string the same way
+    both engines format timestamps under UTC.
+    Columns: user_id, n_events, last_seen.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="bigdata1_user_counts_stream_")
+    try:
+        src = os.path.join(work, "src")
+        os.makedirs(src)
+        shutil.copy(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(src, "events.parquet"),
+        )
+        out = os.path.join(work, "out")
+
+        def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+            batch_df.write.mode("overwrite").parquet(out)
+
+        counts = user_running_counts_stream(spark, src).select(
+            "user_id",
+            "n_events",
+            F.date_format("last_seen", "yyyy-MM-dd HH:mm:ss")
+            .alias("last_seen"),
+        )
+        query = (
+            counts.writeStream.foreachBatch(write_batch)
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        return spark.read.parquet(out).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
     """Parquet-dir streaming source; ts arrives as TIMESTAMP(NANOS) →
     read as long and rebuilt at micros (same dance as load_table)."""

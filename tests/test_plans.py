@@ -340,3 +340,14 @@ def test_grouping_sets_single_shuffle(spark, sf_dir):
     df = relational.groupby_grouping_sets(spark, sf_dir)
     assert "Expand" in formatted_plan(df)
     checks.assert_max_exchanges(df, 1, "groupby_grouping_sets")
+
+
+def test_scd2_single_shuffle(spark, sf_dir):
+    """The whole SCD2 build — change flags, island ids, run aggregation,
+    and the valid_to lead — must ride ONE user_id shuffle: every window
+    partitions by user_id and the (user_id, island) groupBy is satisfied
+    by the same clustering."""
+    from bigdata1_spark.operators import temporal
+
+    df = temporal.scd2_intervals(spark, sf_dir)
+    checks.assert_max_exchanges(df, 1, "scd2_intervals")
