@@ -232,3 +232,54 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("bucket") < F.col("lim"))
         .select("doc_id", "lang", "bucket")
     )
+
+
+SHARD_TOKEN_BUDGET = 256
+N_PACK_GROUPS = 4
+
+
+def shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential shard packing: assign docs to fixed token-budget
+    shards — the step that turns a curated corpus into the bounded
+    training files a data loader streams. A doc lands in the shard
+    where its running token total starts, first-fit in deterministic
+    doc_id order.
+
+    Packing is inherently sequential, so the scale knob is the pack
+    GROUP: docs hash into (lang, content-bucket%N) groups and each
+    group packs independently on its own partition — one shuffle,
+    parallelism = #groups, each group's window bounded by group size.
+    At 100 TB you raise N_PACK_GROUPS (more, smaller shard families),
+    never the per-task row count. All arithmetic is exact integers, so
+    both engines agree on every boundary.
+    Columns: doc_id, lang, pack_group, n_tokens, shard_seq, shard_id.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        (split_bucket(F.col("text")) % N_PACK_GROUPS).alias("pack_group"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang", "pack_group")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = docs.withColumn(
+        "cum_before", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    ).withColumn(
+        "shard_seq",
+        F.expr(f"cum_before DIV {SHARD_TOKEN_BUDGET}").cast("long"),
+    )
+    return packed.select(
+        "doc_id",
+        "lang",
+        "pack_group",
+        "n_tokens",
+        "shard_seq",
+        F.concat_ws(
+            "-", F.col("lang"), F.col("pack_group"), F.col("shard_seq")
+        ).alias("shard_id"),
+    )

@@ -1941,3 +1941,59 @@ register(
     FROM runs
     """,
 )
+
+register(
+    "shard_pack",
+    corpus.shard_pack,
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             CAST(16 * (strpos('0123456789abcdef',
+                               substr(md5(text), 1, 1)) - 1)
+                  + (strpos('0123456789abcdef',
+                            substr(md5(text), 2, 1)) - 1) AS BIGINT)
+               % {corpus.N_PACK_GROUPS} AS pack_group,
+             CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                  x -> len(x) > 0)) AS BIGINT) AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT doc_id, lang, pack_group, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY lang, pack_group ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before
+      FROM d
+    )
+    SELECT doc_id, lang, pack_group, n_tokens,
+           CAST(cum_before // {corpus.SHARD_TOKEN_BUDGET} AS BIGINT)
+             AS shard_seq,
+           lang || '-' || CAST(pack_group AS VARCHAR) || '-'
+                || CAST(cum_before // {corpus.SHARD_TOKEN_BUDGET} AS VARCHAR)
+             AS shard_id
+    FROM packed
+    """,
+)
+
+register(
+    "tpch_q7",
+    tpch.tpch_q7,
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           strftime(l.l_shipdate, '%Y') AS l_year,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                   * (CAST(1 AS DECIMAL(18,4))
+                      - CAST(l.l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+             AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+      AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)

@@ -93,3 +93,50 @@ def test_mixture_sample_respects_limits(spark, tmp_path):
     # bucket column faithfully reports the hash bucket
     for r in kept.collect():
         assert 0 <= r["bucket"] < 256
+
+
+def test_corpus_ops_survive_edge_docs(spark, tmp_path):
+    """Edge-case corpus: empty text, whitespace-only, single word,
+    unicode, tabs/newlines mixed — the inputs that crashed round-1
+    shingling under ANSI mode. Every operator must run without raising,
+    and repetition metrics must match a pure-Python reference."""
+    import hashlib
+    import re
+
+    rows = [
+        ("", "en", "src0"),
+        ("   \t  \n ", "en", "srcX"),
+        ("solo", "zh", "srcX"),
+        ("naïve café über naïve café über naïve", "fr", "srcX"),
+        ("a\tb\nc d  e", "es", "srcX"),
+        ("x " * 50, "en", "srcX"),
+    ]
+    docs = _write_docs(spark, tmp_path, rows)
+
+    rep = {r["doc_id"]: r for r in corpus.repetition_metrics(spark, docs).collect()}
+    for i, (text, _, _) in enumerate(rows):
+        toks = [t for t in re.split(r"\s+", text) if t]
+        if not toks:
+            assert i not in rep  # token-less docs drop out (both engines)
+            continue
+        counts: dict[str, int] = {}
+        for t in toks:
+            counts[t] = counts.get(t, 0) + 1
+        r = rep[i]
+        assert r["n_tokens"] == len(toks)
+        assert r["dup_word_frac"] == pytest.approx(
+            (len(toks) - len(counts)) / len(toks)
+        )
+        assert r["top_word_frac"] == pytest.approx(
+            max(counts.values()) / len(toks)
+        )
+
+    # contamination + mixture just need to run and keep sane bounds
+    con = {r["doc_id"]: r for r in corpus.contamination_ngrams(spark, docs).collect()}
+    for r in con.values():
+        assert 0 <= r["n_overlap"] <= r["n_grams"]
+
+    kept = corpus.mixture_sample(spark, docs).collect()
+    for r in kept:
+        bucket = int(hashlib.md5(rows[r["doc_id"]][0].encode()).hexdigest()[:2], 16)
+        assert r["bucket"] == bucket
