@@ -565,3 +565,64 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
+
+
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 national market share: one nation's fraction of regional
+    revenue per year — the conditional-numerator-over-total ratio
+    computed per GROUP (q14's shape, but grouped), across a 6-table
+    join with the nation dimension aliased twice (supplier nation for
+    the share test, customer nation → region for the market filter).
+
+    Both sums ride one aggregation; the ratio divides the same
+    round-in-decimal doubles on both engines."""
+    target = "NATION_3"
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    ).select("r_regionkey")
+    nation = load_table(spark, sf_dir, "nation")
+    cust_nation = nation.select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_regionkey").alias("cn_region"),
+    )
+    supp_nation = nation.select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,4)") - _dec("l_discount")
+    )
+    national = F.when(F.col("supp_nation") == target, rev).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cust_nation), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cn_region") == F.col("r_regionkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.date_format("o_orderdate", "yyyy").alias("o_year"))
+        .agg(
+            F.round(F.sum(national), 2).cast("double").alias("nation_revenue"),
+            F.round(F.sum(rev), 2).cast("double").alias("total_revenue"),
+            (
+                F.round(F.sum(national), 2).cast("double")
+                / F.round(F.sum(rev), 2).cast("double")
+            ).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )

@@ -1997,3 +1997,42 @@ register(
     ORDER BY 1, 2, 3
     """,
 )
+
+register(
+    "tpch_q8",
+    tpch.tpch_q8,
+    """
+    SELECT strftime(o.o_orderdate, '%Y') AS o_year,
+           CAST(ROUND(SUM(CASE WHEN n1.n_name = 'NATION_3'
+                   THEN CAST(l.l_extendedprice AS DECIMAL(18,4))
+                        * (CAST(1 AS DECIMAL(18,4))
+                           - CAST(l.l_discount AS DECIMAL(18,4)))
+                   ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS DOUBLE)
+             AS nation_revenue,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                   * (CAST(1 AS DECIMAL(18,4))
+                      - CAST(l.l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+             AS total_revenue,
+           CAST(ROUND(SUM(CASE WHEN n1.n_name = 'NATION_3'
+                   THEN CAST(l.l_extendedprice AS DECIMAL(18,4))
+                        * (CAST(1 AS DECIMAL(18,4))
+                           - CAST(l.l_discount AS DECIMAL(18,4)))
+                   ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS DOUBLE)
+             / CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                   * (CAST(1 AS DECIMAL(18,4))
+                      - CAST(l.l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+             AS mkt_share
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    JOIN region r ON n2.n_regionkey = r.r_regionkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= DATE '1996-01-01'
+      AND o.o_orderdate < DATE '1998-01-01'
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
