@@ -212,10 +212,13 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark-first decorrelation: instead of re-running a subquery per row,
     compute the per-part threshold as an aggregate over the SAME
     brand-filtered line set, then join it back. The threshold table has
-    one row per distinct part in the brand (1/25 of parts) — broadcast
-    at test scale; at 100 TB both the threshold aggregation and the
-    join key on l_partkey, so AQE falls back to a shuffle join that
-    reuses the aggregation's exchange rather than repartitioning.
+    one row per distinct part in the brand (1/25 of parts) and carries
+    NO broadcast hint (same policy as q18): below
+    autoBroadcastJoinThreshold the planner broadcasts it anyway, and at
+    100 TB — where |parts in brand| can exceed executor memory — AQE
+    falls back to a shuffle join that reuses the aggregation's exchange
+    on l_partkey rather than repartitioning. A forced hint would
+    override the threshold and OOM instead of degrading.
 
     FP-parity note: quantities are integral doubles, so SUM/COUNT (and
     hence AVG and 0.2*AVG) are exact and identical in both engines —
@@ -234,7 +237,7 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("t_partkey")
     ).agg((F.lit(0.2) * F.avg("l_quantity")).alias("qty_threshold"))
     small = brand_lines.join(
-        F.broadcast(thresholds), F.col("l_partkey") == F.col("t_partkey")
+        thresholds, F.col("l_partkey") == F.col("t_partkey")
     ).filter(F.col("l_quantity") < F.col("qty_threshold"))
     return small.agg(
         (F.round(F.sum(_dec("l_extendedprice")), 2).cast("double") / F.lit(7.0))

@@ -165,16 +165,25 @@ def events_user_counts_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
-    """Parquet-dir streaming source; ts arrives as TIMESTAMP(NANOS) →
-    read as long and rebuilt at micros (same dance as load_table)."""
-    schema = (
-        "event_id BIGINT, ts BIGINT, user_id BIGINT, "
-        "event_type STRING, value DOUBLE, props STRING"
-    )
-    return (
-        spark.readStream.schema(schema)
-        .parquet(source_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    """Parquet-dir streaming source for events.
+
+    A file stream needs an explicit schema, but hard-coding one bakes in
+    the writer's timestamp encoding (exactly the bug that broke the
+    round-4 testdata swap from nanos-bigint to micros-NTZ). Instead,
+    read the schema from the parquet footers already in the directory —
+    a metadata-only batch read, no data scan — and pipe the stream
+    through the same ``normalize_event_ts`` the batch path uses, so the
+    two ingestion paths cannot diverge. At scale the footer probe reads
+    one object's metadata, irrespective of corpus size.
+    """
+    from bigdata1_spark.sources.tables import normalize_event_ts
+
+    # Same dynamic conf as load_table: lets nanos-encoded files surface
+    # as long instead of failing the read; no-op for micros encodings.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(source_dir).schema
+    return normalize_event_ts(
+        spark.readStream.schema(schema).parquet(source_dir)
     )
 
 

@@ -139,3 +139,51 @@ def test_reference_queries_over_billing_text(spark, tmp_path):
                          & (F.col("confidence") <= 1)))
     assert bad.count() == 0
     norm.unpersist()
+
+
+# --- events.ts encoding normalization (regression for the round-4
+# testdata swap: nanos-bigint -> micros TIMESTAMP_NTZ broke every ts
+# consumer; see VERDICT round 4) -------------------------------------------
+
+def test_events_ts_decodes_to_plausible_years(spark, sf_dir):
+    """Whatever encoding the driver testdata uses, load_table must
+    surface ts as TIMESTAMP with values in the generator's date range.
+    A 1000x granularity mistake lands in 1970 (or year 52xxx) and fails
+    this immediately."""
+    from bigdata1_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    lo, hi = ev.agg(
+        F.year(F.min("ts")), F.year(F.max("ts"))
+    ).first()
+    assert 2020 <= lo <= hi <= 2030, (lo, hi)
+
+
+def test_normalize_event_ts_all_encodings(spark):
+    """normalize_event_ts handles every encoding the driver has shipped:
+    epoch-nanos bigint, epoch-micros bigint, TIMESTAMP_NTZ, TIMESTAMP —
+    all converging on the same UTC instant."""
+    from bigdata1_spark.sources.tables import normalize_event_ts
+
+    want = "2024-01-29 16:31:24"
+    us = 1706545884000000
+    cases = {
+        "nanos bigint": spark.range(1).select(
+            F.lit(us * 1000).alias("ts")
+        ),
+        "micros bigint": spark.range(1).select(F.lit(us).alias("ts")),
+        "timestamp_ntz": spark.range(1).select(
+            F.lit(want).cast("timestamp_ntz").alias("ts")
+        ),
+        "timestamp": spark.range(1).select(
+            F.lit(want).cast("timestamp").alias("ts")
+        ),
+    }
+    for label, df in cases.items():
+        out = normalize_event_ts(df)
+        assert dict(out.dtypes)["ts"] == "timestamp", label
+        got = out.select(
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+        ).first()[0]
+        assert got == want, (label, got)
