@@ -33,11 +33,13 @@ def _materialize(df) -> None:
 
 
 def main() -> None:
+    # "sf" is stably typed (float or null) so cross-round tooling can
+    # compare numerically; the raw directory name rides in "sf_label".
     sf_label = os.path.basename(SF_DIR.rstrip("/"))
     try:
         sf = float(sf_label.replace("sf", "") or 0)
-    except ValueError:  # unconventional dir name → keep the raw label
-        sf = sf_label
+    except ValueError:  # unconventional dir name → numeric slot stays null
+        sf = None
     spark = get_spark(app_name="bigdata1-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -79,6 +81,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "sf_label": sf_label,
         "samples": all_samples,
         "runs_per_key": RUNS,
         "loadavg_start": [round(x, 2) for x in loadavg_start],

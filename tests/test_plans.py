@@ -240,11 +240,18 @@ def test_tpch_q13_preaggregates_orders(spark, sf_dir):
 
     df = tpch.tpch_q13(spark, sf_dir)
     plan = formatted_plan(df)
-    # the aggregate on o_custkey appears below the outer join
-    join_at = plan.find("LeftOuter")
-    agg_at = plan.find("HashAggregate")
-    assert join_at != -1, "expected a left-outer join in the q13 plan"
-    assert agg_at != -1
+    # formatted explain prints the tree root-first, children below: the
+    # per-custkey aggregate must appear UNDER the outer join (i.e. as an
+    # input to it), not above it — mere co-presence isn't preaggregation.
+    tree = plan.split("\n\n", 1)[0].splitlines()
+    join_rows = [i for i, line in enumerate(tree) if "LeftOuter" in line]
+    assert join_rows, "expected a left-outer join in the q13 plan"
+    aggs_below = [line for line in tree[join_rows[0] + 1:]
+                  if "HashAggregate" in line]
+    assert aggs_below, (
+        "expected the order-count HashAggregate below the outer join "
+        "(preaggregated input), not after it"
+    )
     # zero-order customers survive: total custdist == |customer|
     from bigdata1_spark.sources.tables import load_table
 

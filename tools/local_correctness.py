@@ -1,0 +1,125 @@
+"""Produce a driver-style correctness artifact for EVERY registry key.
+
+The round driver samples ~50 keys per round, so some keys can go rounds
+without a fresh driver row (round-4 VERDICT flagged 7 keys with no row at
+all). This tool runs the full `__spark_entry__.queries()` registry against
+the DuckDB oracles at the driver's gate scale (sf0.01) and writes a JSON
+artifact in the driver's own row format (rows_match / schema_match /
+hash_match / spark_rows / oracle_rows / err) so coverage claims are
+evidence-backed even for keys the driver rotation missed.
+
+Usage:
+    python tools/local_correctness.py [OUT.json] [SF_DIR]
+
+Comparison semantics mirror the driver: columns sorted by name, rows
+sorted, values hashed after a light normalization (floats rounded to 9
+significant digits, timestamps to ISO strings) so dtype-equal values
+hash equal across engines.
+"""
+from __future__ import annotations
+
+import hashlib
+import json
+import math
+import os
+import sys
+from datetime import date, datetime
+
+
+def _norm_cell(v):
+    if v is None:
+        return "\x00"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return f"{v:.9g}"
+    if isinstance(v, (datetime, date)):
+        return v.isoformat(sep=" ")
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def _value_hash(df) -> str:
+    rows = sorted(
+        "\x01".join(_norm_cell(c) for c in row)
+        for row in df.itertuples(index=False, name=None)
+    )
+    h = hashlib.sha256()
+    for r in rows:
+        h.update(r.encode("utf-8", "surrogatepass"))
+        h.update(b"\x02")
+    return h.hexdigest()
+
+
+def main() -> None:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "CORRECTNESS_local.json"
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    # Runnable from anywhere: the entry module lives at the repo root.
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import __spark_entry__ as entry
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs, osql = entry.queries(), entry.oracle_sql()
+    report: dict[str, dict] = {}
+    for key in sorted(qs):
+        row = {"rows_match": None, "schema_match": None, "hash_match": None,
+               "spark_rows": None, "oracle_rows": None, "err": None}
+        try:
+            got = qs[key](spark, sf_dir).toPandas()
+            got = got[sorted(got.columns)]
+            row["spark_rows"] = len(got)
+            if key not in osql:
+                row["err"] = "no_oracle"
+            else:
+                want = con.execute(osql[key]).df()
+                want = want[sorted(want.columns)]
+                row["oracle_rows"] = len(want)
+                row["rows_match"] = len(got) == len(want)
+                row["schema_match"] = list(got.columns) == list(want.columns)
+                row["hash_match"] = _value_hash(got) == _value_hash(want)
+        except Exception as ex:  # noqa: BLE001 - report, don't crash the sweep
+            row["err"] = f"{type(ex).__name__}: {ex}"[:300]
+        report[key] = row
+        status = (row["err"] or
+                  ("PASS" if row["hash_match"] else "FAIL"))
+        print(f"{key}: {status}", flush=True)
+
+    with open(out_path, "w") as f:
+        json.dump(report, f, indent=2)
+    n_pass = sum(1 for r in report.values() if r["hash_match"])
+    n_ro = sum(1 for r in report.values() if r["err"] == "no_oracle")
+    n_bad = sum(1 for r in report.values()
+                if r["err"] not in (None, "no_oracle") or
+                r["hash_match"] is False)
+    print(f"\n{out_path}: {len(report)} keys — {n_pass} hash-pass, "
+          f"{n_ro} rows-only, {n_bad} failing")
+    sys.exit(1 if n_bad else 0)
+
+
+if __name__ == "__main__":
+    main()
