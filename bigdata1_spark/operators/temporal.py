@@ -149,3 +149,153 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("valid_to"),
         "n_events",
     )
+
+
+def anomaly_zscore(spark: SparkSession, sf_dir: str,
+                   threshold: float = 1.5) -> DataFrame:
+    """Per-user z-score outliers on ``events.value``.
+
+    Mean and variance come from DECIMAL-exact power sums per user (the
+    ``agg_stats`` recipe — native stddev accumulates in engine-specific
+    order and drifts in final ulps vs DuckDB), evaluated in a window
+    over the user partition so the stats join back to rows without a
+    second shuffle: ONE exchange on user_id total. The z expression is
+    one identically-parenthesized double formula on exact inputs, so it
+    is bit-reproducible; the final round(4) absorbs nothing but display
+    noise. Threshold 1.5 (not the folkloric 3.0) because the testdata's
+    value column is uniform — a bounded distribution caps |z| at √3.
+    Columns: event_id, user_id, value, z.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    x = F.col("value").cast("decimal(18,6)")
+    n = F.count(F.lit(1)).over(w).cast("double")
+    sx = F.round(F.sum(x).over(w), 4).cast("double")
+    sxx = F.round(
+        F.sum((x * x).cast("decimal(38,12)")).over(w), 4
+    ).cast("double")
+    mean = sx / n
+    sd = F.sqrt((sxx - sx * sx / n) / (n - F.lit(1.0)))
+    z = (F.col("value") - mean) / sd
+    return (
+        ev.select("event_id", "user_id", "value", z.alias("z"))
+        .filter(F.abs(F.col("z")) > threshold)
+        .select(
+            "event_id", "user_id", "value",
+            # floor-scale, not F.round: see resample_interpolate on why
+            # rounding doubles diverges across engines at exact ties.
+            (F.floor(F.col("z") * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4))
+            .alias("z"),
+        )
+    )
+
+
+def ewma(spark: SparkSession, sf_dir: str, alpha: float = 0.1,
+         lookback: int = 50) -> DataFrame:
+    """Trailing exponentially-weighted moving average of ``value`` per
+    user (recursive form s_j = α·x_j + (1-α)·s_{j-1}), over a bounded
+    ``lookback``-row frame.
+
+    Cross-engine float parity trick: both engines fold the SAME ordered
+    array with the SAME left-fold expression — Spark ``collect_list``
+    over the window frame + ``F.aggregate``, DuckDB ``list() OVER`` +
+    ``list_reduce`` — so every intermediate double is produced by an
+    identical operation sequence and the results match bit-for-bit (the
+    round(6) is belt-and-braces). A naive SUM of weighted terms would
+    accumulate in engine-specific order and drift.
+
+    Scale posture: ONE shuffle on user_id; the frame bounds per-row
+    state to ``lookback`` values regardless of corpus size (the same
+    bounded-trailing-state shape a streaming EWMA would keep), so
+    memory per task is O(rows_in_partition · lookback) worst case and
+    skew is bounded by events-per-user.
+    Columns: event_id, user_id, ewma.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(lookback - 1), Window.currentRow)
+    )
+    arr = F.collect_list("value").over(w)
+    folded = F.aggregate(
+        F.slice(arr, 2, F.size(arr) - 1),
+        F.element_at(arr, 1),
+        lambda acc, v: F.lit(1.0 - alpha) * acc + F.lit(alpha) * v,
+    )
+    return ev.select(
+        "event_id", "user_id",
+        # floor-scale, not F.round: see resample_interpolate on why.
+        (F.floor(folded * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6))
+        .alias("ewma"),
+    )
+
+
+def resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly resample of ``events.value`` per user with
+    linear interpolation between observed hours.
+
+    Pipeline: (1) hourly mean per (user, hour) from a DECIMAL-exact sum
+    (2) per-user dense hour grid via ``sequence(min, max, 1h)`` +
+    explode — generated from ONE row per user, never materialized on
+    the driver (3) left-join observations onto the grid (4) carry the
+    previous/next observed point with last/first ``ignorenulls`` windows
+    and interpolate on the epoch-seconds axis.
+
+    Shuffle ledger: hourly agg shuffles raw events once on (user, hour);
+    the grid side is |users| rows exploded to |users × span-hours| —
+    tiny relative to raw events, and the join + windows run on that
+    reduced table. Interpolation arithmetic is one shared double
+    expression over exact inputs (hour epochs are exact integers), so
+    both engines agree bit-for-bit before the round(6).
+    Columns: user_id, hour, value, interpolated.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        (F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+         .cast("double") / F.count(F.lit(1))).alias("v")
+    )
+    grid = (
+        obs.groupBy("user_id")
+        .agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    j = grid.join(obs, ["user_id", "h"], "left")
+    back = (
+        Window.partitionBy("user_id").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id").orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("v").isNotNull(), F.col("h"))
+    pv = F.last("v", ignorenulls=True).over(back)
+    ph = F.last(obs_h, ignorenulls=True).over(back)
+    nv = F.first("v", ignorenulls=True).over(fwd)
+    nh = F.first(obs_h, ignorenulls=True).over(fwd)
+    e = F.unix_timestamp
+    interp = pv + (nv - pv) * (
+        (e(F.col("h")) - e(ph)).cast("double")
+        / (e(nh) - e(ph)).cast("double")
+    )
+    filled = F.when(F.col("v").isNotNull(), F.col("v")).otherwise(interp)
+    # NOT F.round: Spark rounds doubles through their decimal string
+    # (HALF_UP on the printed digits) while DuckDB rounds the raw
+    # binary double (HALF_EVEN), so exact .5 ties diverge. floor(x*1e6
+    # + 0.5)/1e6 is pure double arithmetic — identical on both engines.
+    fixed6 = F.floor(filled * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return j.select(
+        "user_id",
+        F.date_format("h", "yyyy-MM-dd HH:00:00").alias("hour"),
+        fixed6.alias("value"),
+        F.when(F.col("v").isNull(), F.lit(1)).otherwise(F.lit(0))
+        .cast("long").alias("interpolated"),
+    )

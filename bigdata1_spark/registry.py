@@ -2036,3 +2036,96 @@ register(
     ORDER BY 1
     """,
 )
+
+# ---------------------------------------------------------------------------
+# Temporal analytics on events (SURVEY.md §2.10 temporal family, round 5):
+# outlier detection, trailing EWMA, gap-filled resampling — the time-series
+# triad a monitoring/feature-engineering user expects. Float parity comes
+# from the shared tricks documented on each operator (decimal power sums;
+# identical left-folds over identically-ordered arrays).
+# ---------------------------------------------------------------------------
+
+register(
+    "anomaly_zscore",
+    temporal.anomaly_zscore,
+    """
+    WITH stats AS (
+      SELECT event_id, user_id, value,
+             CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))) OVER w, 4)
+                  AS DOUBLE) AS sx,
+             CAST(ROUND(SUM(CAST(CAST(value AS DECIMAL(18,6))
+                                 * CAST(value AS DECIMAL(18,6))
+                                 AS DECIMAL(38,12))) OVER w, 4)
+                  AS DOUBLE) AS sxx
+      FROM events
+      WINDOW w AS (PARTITION BY user_id)
+    )
+    SELECT event_id, user_id, value,
+           FLOOR(z * 1e4 + 0.5) / 1e4 AS z FROM (
+      SELECT event_id, user_id, value,
+             (value - sx / n)
+               / SQRT((sxx - sx * sx / n) / (n - 1.0)) AS z
+      FROM stats
+    ) WHERE ABS(z) > 1.5
+    """,
+)
+
+register(
+    "ewma",
+    temporal.ewma,
+    """
+    SELECT event_id, user_id,
+           FLOOR(list_reduce(
+             list(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 49 PRECEDING AND CURRENT ROW),
+             (acc, v) -> 0.9 * acc + 0.1 * v) * 1e6 + 0.5) / 1e6 AS ewma
+    FROM events
+    """,
+)
+
+register(
+    "resample_interpolate",
+    temporal.resample_interpolate,
+    """
+    WITH obs AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
+               / COUNT(*) AS v
+      FROM events GROUP BY 1, 2
+    ), span AS (
+      SELECT user_id, MIN(h) AS lo, MAX(h) AS hi FROM obs GROUP BY 1
+    ), grid AS (
+      SELECT s.user_id, g.h
+      FROM span s, LATERAL (
+        SELECT unnest(generate_series(s.lo, s.hi, INTERVAL 1 HOUR)) AS h
+      ) g
+    ), j AS (
+      SELECT g.user_id, g.h, o.v
+      FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.h = o.h
+    ), f AS (
+      SELECT user_id, h, v,
+        last_value(v IGNORE NULLS) OVER wb AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+          OVER wb AS ph,
+        first_value(v IGNORE NULLS) OVER wf AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+          OVER wf AS nh
+      FROM j
+      WINDOW wb AS (PARTITION BY user_id ORDER BY h
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY user_id ORDER BY h
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, strftime(h, '%Y-%m-%d %H:00:00') AS hour,
+           FLOOR((CASE WHEN v IS NOT NULL THEN v
+                  ELSE pv + (nv - pv)
+                       * (CAST(epoch(h) - epoch(ph) AS DOUBLE)
+                          / CAST(epoch(nh) - epoch(ph) AS DOUBLE))
+                  END) * 1e6 + 0.5) / 1e6 AS value,
+           CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS interpolated
+    FROM f
+    """,
+)

@@ -362,3 +362,48 @@ def test_scd2_single_shuffle(spark, sf_dir):
 
     df = temporal.scd2_intervals(spark, sf_dir)
     checks.assert_max_exchanges(df, 1, "scd2_intervals")
+
+
+def test_ewma_single_shuffle(spark, sf_dir):
+    """The trailing-EWMA fold must cost exactly one exchange (the
+    user_id window partitioning); the bounded frame keeps per-row state
+    at `lookback` values — no self-join, no second shuffle."""
+    from bigdata1_spark.operators import temporal
+
+    df = temporal.ewma(spark, sf_dir)
+    checks.assert_max_exchanges(df, 1, "ewma")
+
+
+def test_anomaly_zscore_single_shuffle(spark, sf_dir):
+    """Per-user stats ride the same user_id window partitioning as the
+    rows they annotate — one exchange, no agg-then-join-back."""
+    from bigdata1_spark.operators import temporal
+
+    df = temporal.anomaly_zscore(spark, sf_dir)
+    checks.assert_max_exchanges(df, 1, "anomaly_zscore")
+
+
+def test_resample_interpolate_fills_gaps(spark, sf_dir):
+    """The hour grid is dense per user (no holes between min and max
+    observed hour) and interpolated values sit inside the neighbors'
+    range (linear interpolation never extrapolates)."""
+    from pyspark.sql import functions as F
+
+    from bigdata1_spark.operators import temporal
+
+    df = temporal.resample_interpolate(spark, sf_dir).cache()
+    try:
+        per_user = df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("hour").alias("lo"),
+            F.max("hour").alias("hi"),
+        )
+        gaps = per_user.withColumn(
+            "span_hours",
+            (F.unix_timestamp(F.to_timestamp("hi"))
+             - F.unix_timestamp(F.to_timestamp("lo"))) / 3600 + 1,
+        ).filter(F.col("n") != F.col("span_hours"))
+        assert gaps.count() == 0, "hour grid has holes"
+        assert df.filter(F.col("value").isNull()).count() == 0
+    finally:
+        df.unpersist()
