@@ -1,0 +1,208 @@
+"""Search / term-weighting operators over the ``documents`` corpus:
+TF-IDF top terms, BM25 ranked retrieval, bigram PMI co-occurrence.
+
+No reference analog (the reference's text processing is CSV surgery,
+SURVEY.md §1.2); these extend the X-family text stack (SURVEY.md §2.10)
+with the classic IR trio a corpus-curation user expects next to dedup
+and quality scoring.
+
+Cross-engine float discipline (measured, not assumed): IEEE division,
+multiplication and addition are correctly rounded — identical inputs
+and operation order give bit-identical doubles in Spark and DuckDB —
+but ``ln`` is not (libm vs java.lang.Math disagree in the last ulp on
+~5% of inputs). So every RANKING here orders by quantities built from
+exact integers and correctly-rounded ops (with total-order tie-breaks),
+and logged values only appear in OUTPUT columns after floor-scale
+rounding (see temporal.resample_interpolate on why floor(x*1e6+0.5)/1e6
+rather than round()).
+
+Scale posture: term statistics tables (vocabulary-sized) join back to
+per-(doc, term) tables WITHOUT a broadcast hint — at test scale the
+planner broadcasts them (size-based), at web scale a 100M-term
+vocabulary degrades to a shuffle join instead of OOMing (the tpch_q17
+policy). Only the BM25 per-QUERY-term table (bounded by the query, not
+the data) carries an explicit broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdata1_spark.functions.textfns import tokens
+from bigdata1_spark.sources.tables import load_table
+
+# BM25 constants; keep literals (never arithmetic like k1+1 — building
+# 2.2 as 1.2+1.0 lands on a DIFFERENT double than the literal 2.2).
+BM25_K1 = 1.2
+BM25_K1_PLUS_1 = 2.2
+BM25_B = 0.75
+BM25_QUERY = ("spark", "hash", "merge", "window")
+
+
+def _fixed6(col):
+    return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+
+def tfidf_topterms(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document (smoothed idf:
+    ln((N+1)/(df+1)) + 1, sklearn's convention).
+
+    Plan: one explode → (doc, term) count [shuffle 1]; term df reduces
+    the SAME table [shuffle 2, vocabulary-sized output]; df joins back
+    unhinted (see module docstring); the per-doc top-k is a WindowGroup
+    row_number on doc_id [shuffle 3]. N rides a broadcast 1-row
+    aggregate. Ranking orders by the raw score — safe even with ulp-
+    level idf drift because equal (tf, df) pairs produce exactly equal
+    scores inside each engine and the term tie-break resolves them
+    identically; distinct scores are separated by far more than an ulp.
+    Columns: doc_id, term, tf, score.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf = words.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = F.log(
+        (F.col("n_docs") + F.lit(1)).cast("double")
+        / (F.col("df") + F.lit(1)).cast("double")
+    ) + F.lit(1.0)
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", F.col("tf") * idf)
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("doc_id", "term", "tf", _fixed6(F.col("score")).alias("score"))
+    )
+
+
+def bm25_search(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """BM25 ranked retrieval for the fixed query ``BM25_QUERY``
+    (k1=1.2, b=0.75) — top-``k`` documents.
+
+    Per-term partial scores pivot into per-term COLUMNS and sum in the
+    query's declared order — a groupBy SUM over doubles would
+    accumulate in engine-dependent order and drift vs the oracle. The
+    df/idf table is bounded by |query terms| (broadcast is safe by
+    construction); corpus stats (N, Σdl) ride a broadcast 1-row
+    aggregate; the final top-k is orderBy+limit — Spark plans
+    TakeOrderedAndProject (per-partition heads + merge), never a global
+    sort. Columns: doc_id, score, rnk.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    )
+    dl = docs.select("doc_id", F.size("toks").alias("dl"))
+    tf = (
+        docs.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(*BM25_QUERY))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    s = idf * (F.col("tf") * F.lit(BM25_K1_PLUS_1)) / (
+        F.col("tf")
+        + F.lit(BM25_K1)
+        * (F.lit(0.25) + F.lit(BM25_B) * (F.col("dl") / avgdl))
+    )
+    parts = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "term", s.alias("s"))
+    )
+    pivoted = parts.groupBy("doc_id").pivot("term", list(BM25_QUERY)).agg(
+        F.first("s")
+    )
+    total = None
+    for t in BM25_QUERY:  # fixed summation order = the query's order
+        c = F.coalesce(F.col(t), F.lit(0.0))
+        total = c if total is None else total + c
+    top = (
+        pivoted.select("doc_id", total.alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+    wr = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.select(
+        "doc_id",
+        _fixed6(F.col("score")).alias("score"),
+        F.row_number().over(wr).cast("long").alias("rnk"),
+    )
+
+
+def cooccur_pmi(spark: SparkSession, sf_dir: str, top_n: int = 50,
+                min_pairs: int = 5) -> DataFrame:
+    """Top-``top_n`` adjacent word pairs by pointwise mutual
+    information, PMI = ln(p(w1,w2) / (p(w1)·p(w2))).
+
+    Pairs come from zipping each token array with its own tail (array-
+    local, no shuffle); pair counts and unigram counts are exact
+    integers. The ratio is evaluated as (B/TB) / ((U1/T)·(U2/T)) — five
+    correctly-rounded IEEE ops in fixed order, bit-identical across
+    engines — and the RANKING orders by that ratio (ln is monotonic, so
+    ordering by ratio IS ordering by PMI, without trusting libm).
+    Unigram stats join back unhinted (vocabulary-sized — see module
+    docstring). Final top-n is orderBy+limit → TakeOrderedAndProject.
+    Columns: w1, w2, pairs, pmi.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        tokens(F.col("text")).alias("toks")
+    )
+    pairs = docs.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("toks"), 1, F.size("toks") - 1).alias("w1"),
+                F.slice(F.col("toks"), 2, F.size("toks") - 1).alias("w2"),
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    bigrams = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("b"))
+    uni = (
+        docs.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("u"))
+    )
+    totals = bigrams.agg(F.sum("b").alias("tb")).crossJoin(
+        uni.agg(F.sum("u").alias("t"))
+    )
+    rb = F.col("b").cast("double") / F.col("tb").cast("double")
+    r1 = F.col("u1").cast("double") / F.col("t").cast("double")
+    r2 = F.col("u2").cast("double") / F.col("t").cast("double")
+    ratio = rb / (r1 * r2)
+    scored = (
+        bigrams.filter(F.col("b") >= min_pairs)
+        .join(uni.select(F.col("w").alias("w1"), F.col("u").alias("u1")),
+              "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("u").alias("u2")),
+              "w2")
+        .crossJoin(F.broadcast(totals))
+        .withColumn("ratio", ratio)
+    )
+    return (
+        scored.orderBy(F.desc("ratio"), F.asc("w1"), F.asc("w2"))
+        .limit(top_n)
+        .select(
+            "w1", "w2", F.col("b").alias("pairs"),
+            _fixed6(F.log("ratio")).alias("pmi"),
+        )
+    )

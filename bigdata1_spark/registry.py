@@ -2129,3 +2129,121 @@ register(
     FROM f
     """,
 )
+
+# ---------------------------------------------------------------------------
+# IR / search family (operators/ir.py): TF-IDF, BM25, PMI. Oracle parity
+# notes live on the module docstring (rank by exact ratios, never by ln;
+# floor-scale rounding for logged outputs; fixed-order summation).
+# ---------------------------------------------------------------------------
+from bigdata1_spark.operators import ir  # noqa: E402
+
+register(
+    "tfidf_topterms",
+    ir.tfidf_topterms,
+    """
+    WITH words AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(text, '\\s+'),
+                                x -> len(x) > 0)) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM words GROUP BY 1, 2
+    ), df AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             tf.tf * (ln(CAST(n_docs + 1 AS DOUBLE)
+                         / CAST(df + 1 AS DOUBLE)) + 1.0) AS score
+      FROM tf JOIN df USING (term), n
+    )
+    SELECT doc_id, term, tf,
+           FLOOR(score * 1e6 + 0.5) / 1e6 AS score
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+
+register(
+    "bm25_search",
+    ir.bm25_search,
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                                 x -> len(x) > 0) AS w
+      FROM documents
+    ), dl AS (SELECT doc_id, len(w) AS dl FROM toks),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(w) AS term FROM toks)
+      WHERE term IN ('spark', 'hash', 'merge', 'window')
+      GROUP BY 1, 2
+    ), df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl FROM dl),
+    s AS (
+      SELECT tf.doc_id, tf.term,
+             ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+               * (tf * 2.2)
+               / (tf + 1.2 * (0.25 + 0.75
+                    * (dl / (CAST(sum_dl AS DOUBLE)
+                             / CAST(n_docs AS DOUBLE))))) AS s
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats
+    ), scores AS (
+      SELECT doc_id,
+             COALESCE(MAX(s) FILTER (WHERE term = 'spark'), 0.0)
+             + COALESCE(MAX(s) FILTER (WHERE term = 'hash'), 0.0)
+             + COALESCE(MAX(s) FILTER (WHERE term = 'merge'), 0.0)
+             + COALESCE(MAX(s) FILTER (WHERE term = 'window'), 0.0)
+               AS score
+      FROM s GROUP BY 1
+    )
+    SELECT doc_id, FLOOR(score * 1e6 + 0.5) / 1e6 AS score,
+           CAST(rn AS BIGINT) AS rnk
+    FROM (
+      SELECT doc_id, score, ROW_NUMBER() OVER (
+        ORDER BY score DESC, doc_id ASC) AS rn
+      FROM scores
+    ) WHERE rn <= 10
+    """,
+)
+
+register(
+    "cooccur_pmi",
+    ir.cooccur_pmi,
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                                 x -> len(x) > 0) AS w
+      FROM documents
+    ), pairs AS (
+      SELECT w[i] AS w1, w[i + 1] AS w2
+      FROM toks, LATERAL (
+        SELECT unnest(generate_series(1, len(w) - 1)) AS i
+      ) g
+    ), bigrams AS (
+      SELECT w1, w2, COUNT(*) AS b FROM pairs GROUP BY 1, 2
+    ), uni AS (
+      SELECT word, COUNT(*) AS u
+      FROM (SELECT unnest(w) AS word FROM toks) GROUP BY 1
+    ), totals AS (
+      SELECT (SELECT SUM(b) FROM bigrams) AS tb,
+             (SELECT SUM(u) FROM uni) AS t
+    ), scored AS (
+      SELECT bg.w1, bg.w2, bg.b,
+             (CAST(bg.b AS DOUBLE) / CAST(tb AS DOUBLE))
+               / ((CAST(u1.u AS DOUBLE) / CAST(t AS DOUBLE))
+                  * (CAST(u2.u AS DOUBLE) / CAST(t AS DOUBLE))) AS ratio
+      FROM bigrams bg
+      JOIN uni u1 ON bg.w1 = u1.word
+      JOIN uni u2 ON bg.w2 = u2.word, totals
+      WHERE bg.b >= 5
+    )
+    SELECT w1, w2, CAST(b AS BIGINT) AS pairs,
+           FLOOR(ln(ratio) * 1e6 + 0.5) / 1e6 AS pmi
+    FROM scored ORDER BY ratio DESC, w1 ASC, w2 ASC LIMIT 50
+    """,
+)

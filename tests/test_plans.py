@@ -407,3 +407,37 @@ def test_resample_interpolate_fills_gaps(spark, sf_dir):
         assert df.filter(F.col("value").isNull()).count() == 0
     finally:
         df.unpersist()
+
+
+def test_bm25_topk_no_global_sort(spark, sf_dir):
+    """BM25's top-k must plan as TakeOrderedAndProject (partition heads
+    + merge) and broadcast the query-bounded df table — a global sort
+    of per-doc scores would be the 100 TB bottleneck."""
+    from bigdata1_spark.operators import ir
+    from bigdata1_spark.plans.checks import formatted_plan
+
+    df = ir.bm25_search(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    checks.assert_broadcast_join(df, "bm25_search")
+
+
+def test_cooccur_pmi_topk_no_global_sort(spark, sf_dir):
+    """PMI pairs come from array-local zipping and the top-n is
+    TakeOrderedAndProject; no pair ever rides a cartesian join."""
+    from bigdata1_spark.operators import ir
+    from bigdata1_spark.plans.checks import formatted_plan
+
+    plan = formatted_plan(ir.cooccur_pmi(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tfidf_bounded_exchanges(spark, sf_dir):
+    """TF-IDF: tf agg, df agg, df join-back, per-doc window — the
+    pipeline must stay within a fixed exchange budget (no hidden
+    re-shuffles of the exploded table)."""
+    from bigdata1_spark.operators import ir
+
+    df = ir.tfidf_topterms(spark, sf_dir)
+    checks.assert_max_exchanges(df, 5, "tfidf_topterms")
