@@ -629,3 +629,306 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_year")
     )
+
+
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 suppliers-who-kept-orders-waiting, adapted to the testdata
+    schema (no l_commitdate/l_receiptdate → "late" means shipped more
+    than 60 days after the order date; reference semantics preserved:
+    the supplier's line is late, the finished order has OTHER suppliers,
+    and NONE of the others were late).
+
+    Shape parity with the classic plan: one equi+non-equi LEFT SEMI
+    (exists another supplier's line) and one LEFT ANTI (no other LATE
+    line) on the order key — both are shuffle joins keyed on
+    l_orderkey, so all three legs co-partition and AQE reuses the
+    exchange; supplier and nation are broadcast dims. No per-row
+    subquery re-execution anywhere. The classic single-nation filter is
+    dropped (nation still joins through to prove the dim path): the
+    testdata's 25-nation × 100-supplier grid leaves ~4 suppliers per
+    nation, which degenerates to zero rows at small scale factors.
+    Columns: s_name, numwait (top 20 by numwait desc, s_name).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    ord_f = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    f_lines = li.join(
+        ord_f, F.col("l_orderkey") == F.col("o_orderkey")
+    ).select(
+        "l_orderkey", "l_suppkey",
+        (F.col("l_shipdate")
+         > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .alias("late"),
+    )
+    late_lines = f_lines.filter(F.col("late"))
+    l1 = late_lines.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    )
+    late_others = late_lines.select(
+        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
+    )
+    waiting = (
+        l1.join(
+            others,
+            (F.col("ok") == F.col("ok2")) & (F.col("sk") != F.col("sk2")),
+            "left_semi",
+        )
+        .join(
+            late_others,
+            (F.col("ok") == F.col("ok3")) & (F.col("sk") != F.col("sk3")),
+            "left_anti",
+        )
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        waiting.join(
+            F.broadcast(supp), F.col("sk") == F.col("s_suppkey")
+        )
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 parts/supplier relationship count, adapted (no partsupp →
+    the part-supplier association is the distinct (l_partkey,
+    l_suppkey) set observed in lineitem; no s_comment → the excluded
+    "complaint" suppliers are the deterministic s_name LIKE '%7'
+    subset).
+
+    Shape parity: attribute filters on part, a NOT-IN supplier
+    exclusion planned as a broadcast LEFT ANTI (the excluded set is
+    supplier-table-sized), and a COUNT(DISTINCT) per part attribute
+    triple. The distinct association collapses lineitem to |parts ×
+    suppliers-per-part| BEFORE any wide join.
+    Columns: p_brand, p_type, p_size, supplier_cnt.
+    """
+    assoc = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").startswith("PROMO"))
+        & (F.col("p_size").isin(1, 9, 17, 25, 33, 41, 49))
+    )
+    excluded = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_name").endswith("7")
+    ).select(F.col("s_suppkey").alias("x_suppkey"))
+    return (
+        assoc.join(
+            F.broadcast(excluded),
+            F.col("l_suppkey") == F.col("x_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"),
+            F.asc("p_size"),
+        )
+    )
+
+
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 potential part promotion, adapted (no partsupp.availqty →
+    a supplier qualifies when their 1998 shipped quantity of some
+    'red%'-named part exceeds 25 units; the classic nation filter is
+    dropped for the same small-scale-degeneracy reason as q21 — the
+    nation dim still joins through for the output column).
+
+    Shape parity: the nested-subquery chain becomes two cascaded
+    semi-join reductions — part filter semi-joins INTO the lineitem
+    aggregate (broadcast: the filtered part list is a dim), and the
+    qualifying supplier keys semi-join INTO supplier. Each stage only
+    shrinks; nothing re-expands. Columns: s_name, n_name (sorted).
+    """
+    red_parts = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").startswith("red")
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01"))
+    )
+    shipped = (
+        li.join(
+            F.broadcast(red_parts),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(exact_sum(F.col("l_quantity"), "qty"))
+        .filter(F.col("qty") > 25.0)
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        supp.join(
+            shipped, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 important stock identification, adapted (no partsupp value →
+    a part's "value" is its lineitem revenue; the significance
+    threshold is 1.1× the all-parts average, the q22-style
+    above-average scalar pattern, so the predicate is scale-free).
+
+    Shape parity: group-by-part aggregate, a global scalar aggregate
+    joined back as a broadcast 1-row cross join, a filter against the
+    scalar, and a value-ordered report. The threshold arithmetic is
+    (total / n_parts) * 1.1 — three identically-ordered double ops on
+    decimal-exact inputs, bit-equal across engines.
+    Columns: l_partkey, value.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,4)") - _dec("l_discount")
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.round(F.sum(rev), 2).cast("double").alias("value")
+    )
+    totals = per_part.agg(
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+        .cast("double").alias("total"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    threshold = (
+        F.col("total") / F.col("n_parts").cast("double") * F.lit(1.1)
+    )
+    return (
+        per_part.crossJoin(F.broadcast(totals))
+        .filter(F.col("value") > threshold)
+        .select("l_partkey", "value")
+        .orderBy(F.desc("value"), F.asc("l_partkey"))
+    )
+
+
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 minimum-cost supplier, adapted (no partsupp.supplycost → for
+    each qualifying part, the EUROPE supplier with the minimum
+    s_acctbal among suppliers that have actually shipped that part).
+
+    The correlated MIN subquery decorrelates into a window MIN over
+    the part key on the association table — computed on the SAME
+    partitioning the join produced, no second aggregate-join round
+    trip. Supplier/nation/region are broadcast dims; the association
+    (distinct part-supplier pairs from lineitem) is the only big
+    input. Top-100 via TakeOrderedAndProject.
+    Columns: s_acctbal, s_name, n_name, p_partkey, p_name.
+    """
+    from pyspark.sql import Window
+
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") < 10)
+    ).select("p_partkey", "p_name")
+    assoc = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    eligible = (
+        assoc.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+            "left_semi",
+        )
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        eligible.withColumn("min_bal", F.min("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+        .orderBy(
+            F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"),
+            F.asc("p_partkey"),
+        )
+        .limit(100)
+    )
+
+
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 product-type profit measure, adapted (no ps_supplycost → the
+    cost proxy is half the part's retail price per unit:
+    profit = Σ price·(1-disc) − 0.5·Σ retailprice·qty).
+
+    Shape parity: the 5-way join (lineitem ⋈ orders ⋈ part ⋈ supplier
+    ⋈ nation) with a substring part filter, grouped by (nation, year).
+    Both Σ terms are decimal-exact and rounded separately; the 0.5
+    factor applies OUTSIDE the sums as one double multiply — decimal
+    division parity across engines is not something to bet a hash on.
+    Columns: nation, o_year, profit.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("red")
+    ).select("p_partkey", "p_retailprice")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    rev = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,4)") - _dec("l_discount")
+    )
+    cost = _dec("p_retailprice") * _dec("l_quantity")
+    agg = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.date_format("o_orderdate", "yyyy").alias("o_year"),
+        )
+        .agg(
+            F.round(F.sum(rev), 2).cast("double").alias("sum_rev"),
+            F.round(F.sum(cost), 2).cast("double").alias("sum_cost"),
+        )
+    )
+    return agg.select(
+        "nation", "o_year",
+        (F.col("sum_rev") - F.col("sum_cost") * F.lit(0.5)).alias("profit"),
+    ).orderBy(F.asc("nation"), F.desc("o_year"))

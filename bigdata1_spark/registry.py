@@ -2247,3 +2247,160 @@ register(
     FROM scored ORDER BY ratio DESC, w1 ASC, w2 ASC LIMIT 50
     """,
 )
+
+# ---------------------------------------------------------------------------
+# TPC-H completion (round 5): the six remaining classic shapes, adapted to
+# the partsupp-less testdata schema exactly as documented on each operator
+# (q4/q12 set the adaptation precedent). With these the full 22-query
+# repertoire has a registered counterpart.
+# ---------------------------------------------------------------------------
+
+register(
+    "tpch_q21",
+    tpch.tpch_q21,
+    """
+    WITH f_lines AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY AS late
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+    ), waiting AS (
+      SELECT l1.l_orderkey, l1.l_suppkey
+      FROM f_lines l1
+      WHERE l1.late
+        AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (
+          SELECT 1 FROM f_lines l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+    )
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM waiting w
+    JOIN supplier s ON w.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY 1
+    ORDER BY numwait DESC, s.s_name ASC
+    LIMIT 20
+    """,
+)
+
+register(
+    "tpch_q16",
+    tpch.tpch_q16,
+    """
+    WITH assoc AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    )
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT a.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM assoc a
+    JOIN part p ON a.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type NOT LIKE 'PROMO%'
+      AND p.p_size IN (1, 9, 17, 25, 33, 41, 49)
+      AND a.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7')
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p.p_brand ASC, p.p_type ASC, p.p_size ASC
+    """,
+)
+
+register(
+    "tpch_q20",
+    tpch.tpch_q20,
+    """
+    SELECT s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_suppkey IN (
+        SELECT l_suppkey FROM (
+          SELECT l.l_suppkey, l.l_partkey,
+                 CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4)))
+                      AS DOUBLE) AS qty
+          FROM lineitem l
+          WHERE l.l_partkey IN (
+                  SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+            AND l.l_shipdate >= DATE '1998-01-01'
+            AND l.l_shipdate < DATE '1999-01-01'
+          GROUP BY 1, 2
+        ) WHERE qty > 25.0)
+    ORDER BY s.s_name
+    """,
+)
+
+register(
+    "tpch_q11",
+    tpch.tpch_q11,
+    """
+    WITH per_part AS (
+      SELECT l_partkey,
+             CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                     * (CAST(1 AS DECIMAL(18,4))
+                        - CAST(l_discount AS DECIMAL(18,4)))), 2)
+                  AS DOUBLE) AS value
+      FROM lineitem GROUP BY 1
+    ), totals AS (
+      SELECT CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS total,
+             COUNT(*) AS n_parts
+      FROM per_part
+    )
+    SELECT l_partkey, value
+    FROM per_part, totals
+    WHERE value > total / CAST(n_parts AS DOUBLE) * 1.1
+    ORDER BY value DESC, l_partkey ASC
+    """,
+)
+
+register(
+    "tpch_q2",
+    tpch.tpch_q2,
+    """
+    WITH assoc AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ), eligible AS (
+      SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name,
+             MIN(s.s_acctbal) OVER (PARTITION BY p.p_partkey) AS min_bal
+      FROM assoc a
+      JOIN part p ON a.l_partkey = p.p_partkey
+      JOIN supplier s ON a.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE p.p_type = 'STANDARD' AND p.p_size < 10
+        AND r.r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+    FROM eligible WHERE s_acctbal = min_bal
+    ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+    LIMIT 100
+    """,
+)
+
+register(
+    "tpch_q9",
+    tpch.tpch_q9,
+    """
+    SELECT nation, o_year, sum_rev - sum_cost * 0.5 AS profit FROM (
+      SELECT n.n_name AS nation,
+             strftime(o.o_orderdate, '%Y') AS o_year,
+             CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                     * (CAST(1 AS DECIMAL(18,4))
+                        - CAST(l.l_discount AS DECIMAL(18,4)))), 2)
+                  AS DOUBLE) AS sum_rev,
+             CAST(ROUND(SUM(CAST(p.p_retailprice AS DECIMAL(18,4))
+                     * CAST(l.l_quantity AS DECIMAL(18,4))), 2)
+                  AS DOUBLE) AS sum_cost
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE p.p_name LIKE '%red%'
+      GROUP BY 1, 2
+    )
+    ORDER BY nation ASC, o_year DESC
+    """,
+)

@@ -441,3 +441,40 @@ def test_tfidf_bounded_exchanges(spark, sf_dir):
 
     df = ir.tfidf_topterms(spark, sf_dir)
     checks.assert_max_exchanges(df, 5, "tfidf_topterms")
+
+
+def test_tpch_q21_semi_anti_shapes(spark, sf_dir):
+    """Q21's EXISTS/NOT EXISTS must plan as one LeftSemi and one
+    LeftAnti on the order key — never a row-multiplying inner join plus
+    distinct, and never a per-row subquery."""
+    from bigdata1_spark.operators import tpch
+    from bigdata1_spark.plans.checks import formatted_plan
+
+    plan = formatted_plan(tpch.tpch_q21(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    checks.assert_broadcast_join(tpch.tpch_q21(spark, sf_dir), "q21")
+
+
+def test_tpch_q2_windowed_argmin(spark, sf_dir):
+    """Q2's correlated MIN decorrelates into a window over p_partkey —
+    exactly one Window node, no aggregate-join round trip, dims
+    broadcast."""
+    from bigdata1_spark.operators import tpch
+    from bigdata1_spark.plans.checks import formatted_plan
+
+    df = tpch.tpch_q2(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("Window") >= 1
+    assert "TakeOrderedAndProject" in plan
+    checks.assert_broadcast_join(df, "q2")
+
+
+def test_tpch_q16_anti_join_exclusion(spark, sf_dir):
+    """Q16's NOT IN supplier exclusion must be a broadcast anti join
+    (the excluded set is dim-sized)."""
+    from bigdata1_spark.operators import tpch
+    from bigdata1_spark.plans.checks import formatted_plan
+
+    plan = formatted_plan(tpch.tpch_q16(spark, sf_dir))
+    assert "LeftAnti" in plan and "Broadcast" in plan
