@@ -2404,3 +2404,38 @@ register(
     ORDER BY nation ASC, o_year DESC
     """,
 )
+
+# ---------------------------------------------------------------------------
+# Streaming keys 3 + 4 (round 5): stream-stream interval join and the
+# at-least-once dedup guard, both drained availableNow through the
+# idempotent per-batch-directory sink (streaming/events.py).
+# ---------------------------------------------------------------------------
+
+register(
+    "events_attribution_streamed",
+    streaming_events.events_attribution_streamed,
+    """
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           p.value AS purchase_value
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+
+register(
+    "events_dedup_streamed",
+    streaming_events.events_dedup_streamed,
+    """
+    SELECT event_id, user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+           value
+    FROM events
+    """,
+)

@@ -342,3 +342,114 @@ def sessionize_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def _run_bounded_append(
+    spark: SparkSession, stream_df: DataFrame, work: str
+) -> DataFrame:
+    """Drain a bounded APPEND-mode stream through a foreachBatch sink
+    that writes each micro-batch to its own ``batch=<id>`` directory —
+    idempotent under replay (a re-run micro-batch overwrites ITS OWN
+    directory, never a neighbor's), correct under multiple batches
+    (unlike a whole-output overwrite, which only complete-mode
+    aggregations can afford). This is the production object-store
+    pattern; reading the directory tree back returns the union."""
+    import os
+
+    out = os.path.join(work, "out")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out, f"batch={batch_id}")
+        )
+
+    query = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    # batch=<id> reads back as an inferred partition column — sink
+    # bookkeeping, not part of the result contract.
+    return (
+        spark.read.parquet(out).drop("batch").localCheckpoint(eager=True)
+    )
+
+
+def events_attribution_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry-facing end-to-end run of the stream-stream interval
+    join (``click_purchase_join_stream``): clicks attributed to same-
+    user purchases within 1 hour, drained with availableNow through the
+    idempotent per-batch sink and returned as a batch DataFrame.
+
+    This banks the THIRD streaming pattern (after the append-mode
+    windowed agg and the update-mode stateful count) through a full
+    driver hash row: dual-watermark join state, bounded by the interval
+    condition on both sides. The oracle is the equivalent batch
+    self-join. Columns: user_id, click_id, click_ts, purchase_ts,
+    purchase_value.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="bigdata1_attribution_stream_")
+    try:
+        src = os.path.join(work, "src")
+        os.makedirs(src)
+        shutil.copy(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(src, "events.parquet"),
+        )
+        joined = click_purchase_join_stream(spark, src).select(
+            "user_id",
+            "click_id",
+            F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .alias("click_ts"),
+            F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .alias("purchase_ts"),
+            "purchase_value",
+        )
+        return _run_bounded_append(spark, joined, work)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def events_dedup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry-facing end-to-end run of the streaming ingestion guard
+    (``dedup_stream``): the source directory receives the events file
+    TWICE (simulated at-least-once redelivery), and
+    ``dropDuplicatesWithinWatermark`` on event_id must collapse the
+    second copy — state bounded by the watermark horizon, unlike a
+    plain dropDuplicates whose state grows forever.
+
+    The oracle is simply the single-copy events table (one row per
+    event_id), so the driver hash proves the guard removed EXACTLY the
+    redelivered rows. Columns: event_id, user_id, event_type, ts_s,
+    value.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="bigdata1_dedup_stream_")
+    try:
+        src = os.path.join(work, "src")
+        os.makedirs(src)
+        for copy_name in ("events_a.parquet", "events_b.parquet"):
+            shutil.copy(
+                os.path.join(sf_dir, "events.parquet"),
+                os.path.join(src, copy_name),
+            )
+        deduped = dedup_stream(spark, src).select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
+            "value",
+        )
+        return _run_bounded_append(spark, deduped, work)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
