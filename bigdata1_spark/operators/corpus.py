@@ -283,3 +283,42 @@ def shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             "-", F.col("lang"), F.col("pack_group"), F.col("shard_seq")
         ).alias("shard_id"),
     )
+
+
+# Per-language keep rates for sample_stratified, expressed as md5-bucket
+# thresholds out of 256 (exact integers — no float compare anywhere):
+# en keeps 192/256 = 75%, fr/de 128/256 = 50%, es/zh 64/256 = 25%.
+STRATA_THRESHOLDS: dict[str, int] = {
+    "en": 192,
+    "fr": 128,
+    "de": 128,
+    "es": 64,
+    "zh": 64,
+}
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-based stratified sampling: keep each document with a
+    per-language probability, decided by a content-independent
+    deterministic hash of the doc id (first md5 byte vs an integer
+    threshold).
+
+    Complements ``mixture_sample`` (which down-samples to absolute
+    CAPS and needs the per-language counts): rates need NO statistics
+    pass and NO shuffle at all — the operator is a pure filter over the
+    scan, reproducible under any partitioning, and composes with
+    predicate pushdown. The same-keyed doc keeps or drops identically
+    at every scale factor — the property training-data ablations rely
+    on. Columns: doc_id, lang, bucket.
+    """
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("long")
+    threshold = F.when(F.lit(False), F.lit(0))
+    for lang, t in STRATA_THRESHOLDS.items():
+        threshold = threshold.when(F.col("lang") == lang, F.lit(t))
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", bucket.alias("bucket"))
+        .filter(F.col("bucket") < threshold.otherwise(F.lit(0)))
+    )

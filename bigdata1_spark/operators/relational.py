@@ -413,3 +413,46 @@ def groupby_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "sum_qty",
     )
+
+
+def histogram(spark: SparkSession, sf_dir: str, n_buckets: int = 10) -> DataFrame:
+    """Equal-width histogram of ``events.value`` per event_type — the
+    data-profiling primitive behind distribution drift checks.
+
+    Per-type min/max is a 5-row aggregate broadcast back onto the fact
+    (the fact never re-shuffles for the stats); the bucket index and
+    its bounds derive from (value, vmin, vmax) through identically-
+    ordered double ops, so both engines bin identically — including the
+    value == vmax edge row, clamped into the last bucket. One fact
+    shuffle total (the final (type, bucket) count).
+    Columns: event_type, bucket, lo, hi, cnt.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    stats = ev.groupBy(F.col("event_type").alias("s_type")).agg(
+        F.min("value").alias("vmin"), F.max("value").alias("vmax")
+    )
+    nb = F.lit(float(n_buckets))
+    raw = F.floor(
+        (F.col("value") - F.col("vmin"))
+        / (F.col("vmax") - F.col("vmin")) * nb
+    )
+    bucket = F.least(raw, F.lit(n_buckets - 1)).cast("long")
+    width_frac = F.col("bucket").cast("double") / nb
+    width_frac_hi = (F.col("bucket") + F.lit(1)).cast("double") / nb
+    fixed6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return (
+        ev.join(F.broadcast(stats), F.col("event_type") == F.col("s_type"))
+        .withColumn("bucket", bucket)
+        .groupBy("event_type", "bucket", "vmin", "vmax")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "event_type",
+            "bucket",
+            fixed6(F.col("vmin") + (F.col("vmax") - F.col("vmin")) * width_frac)
+            .alias("lo"),
+            fixed6(
+                F.col("vmin") + (F.col("vmax") - F.col("vmin")) * width_frac_hi
+            ).alias("hi"),
+            "cnt",
+        )
+    )

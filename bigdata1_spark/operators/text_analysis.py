@@ -385,3 +385,48 @@ def ngram_freq(spark: SparkSession, sf_dir: str, top_n: int = 50) -> DataFrame:
         .orderBy(F.desc("freq"), F.asc("bigram"))
         .limit(top_n)
     )
+
+
+def doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's token distribution — the
+    repetitiveness signal quality pipelines gate on (low entropy =
+    boilerplate / degenerate text).
+
+    H = -Σ_w p_w·ln(p_w) is a float sum, so fold ORDER decides the
+    final bits: both engines fold the per-doc (count ordered by word)
+    array left-to-right from an explicit 0.0 — Spark ``F.aggregate``
+    over ``array_sort(collect_list(struct(word, cnt)))``, DuckDB
+    ``list_reduce(list_prepend(0.0, list(cnt ORDER BY word)))`` — so
+    every intermediate double matches (ln ulp drift survives only past
+    the floor-6 rounding boundary, measure-zero).
+
+    Scale: the (doc, word) count partial-aggregates map-side, so the
+    first shuffle carries distinct per-doc vocabularies (≪ token
+    stream); the per-doc array is bounded by doc vocabulary size.
+    Columns: doc_id, n_tokens, entropy.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select("doc_id", F.explode(_toks()).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    per_doc = wc.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.array_sort(F.collect_list(F.struct("word", "cnt"))).alias("wcs"),
+    )
+    ld = F.col("n_tokens").cast("double")
+    h = F.aggregate(
+        F.transform(
+            F.col("wcs"),
+            lambda x: (x["cnt"].cast("double") / ld)
+            * F.log(x["cnt"].cast("double") / ld),
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        (F.floor(-h * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("entropy"),
+    )

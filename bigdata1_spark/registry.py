@@ -2439,3 +2439,80 @@ register(
     FROM events
     """,
 )
+
+# ---------------------------------------------------------------------------
+# Profiling / sampling additions (round 5): histogram, per-doc entropy,
+# rate-based stratified sampling.
+# ---------------------------------------------------------------------------
+
+register(
+    "histogram",
+    relational.histogram,
+    """
+    WITH stats AS (
+      SELECT event_type AS s_type, MIN(value) AS vmin, MAX(value) AS vmax
+      FROM events GROUP BY 1
+    ), binned AS (
+      SELECT e.event_type,
+             CAST(LEAST(FLOOR((e.value - s.vmin) / (s.vmax - s.vmin)
+                              * 10.0), 9) AS BIGINT) AS bucket,
+             s.vmin, s.vmax
+      FROM events e JOIN stats s ON e.event_type = s.s_type
+    )
+    SELECT event_type, bucket,
+           FLOOR((vmin + (vmax - vmin)
+                  * (CAST(bucket AS DOUBLE) / 10.0)) * 1e6 + 0.5) / 1e6
+             AS lo,
+           FLOOR((vmin + (vmax - vmin)
+                  * (CAST(bucket + 1 AS DOUBLE) / 10.0)) * 1e6 + 0.5) / 1e6
+             AS hi,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM binned GROUP BY event_type, bucket, vmin, vmax
+    """,
+)
+
+register(
+    "doc_entropy",
+    text_analysis.doc_entropy,
+    """
+    WITH wc AS (
+      SELECT doc_id, word, COUNT(*) AS cnt
+      FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(text, '\\s+'),
+                                  x -> len(x) > 0)) AS word
+        FROM documents
+      ) GROUP BY 1, 2
+    ), per_doc AS (
+      SELECT doc_id, SUM(cnt) AS n_tokens,
+             list(cnt ORDER BY word) AS wcs
+      FROM wc GROUP BY 1
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           FLOOR(-list_reduce(
+             list_prepend(0.0, list_transform(wcs, c ->
+               (CAST(c AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+               * ln(CAST(c AS DOUBLE) / CAST(n_tokens AS DOUBLE)))),
+             (acc, t) -> acc + t) * 1e6 + 0.5) / 1e6 AS entropy
+    FROM per_doc
+    """,
+)
+
+register(
+    "sample_stratified",
+    corpus.sample_stratified,
+    """
+    SELECT doc_id, lang, bucket FROM (
+      SELECT doc_id, lang,
+             CAST(16 * (strpos('0123456789abcdef',
+                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+                  + (strpos('0123456789abcdef',
+                        substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+                  AS BIGINT) AS bucket
+      FROM documents
+    )
+    WHERE bucket < CASE lang
+      WHEN 'en' THEN 192 WHEN 'fr' THEN 128 WHEN 'de' THEN 128
+      WHEN 'es' THEN 64 WHEN 'zh' THEN 64 ELSE 0 END
+    """,
+)

@@ -140,3 +140,73 @@ def test_corpus_ops_survive_edge_docs(spark, tmp_path):
     for r in kept:
         bucket = int(hashlib.md5(rows[r["doc_id"]][0].encode()).hexdigest()[:2], 16)
         assert r["bucket"] == bucket
+
+
+def test_sample_stratified_rates_and_determinism(spark, sf_dir):
+    """Kept fraction per language must track its configured rate (the
+    md5 byte is uniform), and re-running yields the identical sample —
+    the reproducibility property ablations rely on."""
+    from pyspark.sql import functions as F
+
+    from bigdata1_spark.operators.corpus import (
+        STRATA_THRESHOLDS, sample_stratified,
+    )
+    from bigdata1_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    totals = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    kept = {
+        r["lang"]: r["n"]
+        for r in sample_stratified(spark, sf_dir)
+        .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for lang, thresh in STRATA_THRESHOLDS.items():
+        if totals.get(lang, 0) < 30:
+            continue  # too few docs for a rate assertion
+        rate = kept.get(lang, 0) / totals[lang]
+        expect = thresh / 256
+        assert abs(rate - expect) < 0.2, (lang, rate, expect)
+    first = {r["doc_id"] for r in sample_stratified(spark, sf_dir).collect()}
+    again = {r["doc_id"] for r in sample_stratified(spark, sf_dir).collect()}
+    assert first == again
+
+
+def test_histogram_partitions_all_rows(spark, sf_dir):
+    """Bucket counts must sum to the table size per type (no row lost
+    to an off-by-one at the vmax edge), buckets stay in [0, 9], and
+    each bucket's bounds nest inside the type's [vmin, vmax]."""
+    from pyspark.sql import functions as F
+
+    from bigdata1_spark.operators.relational import histogram
+    from bigdata1_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    per_type = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    hist = histogram(spark, sf_dir).collect()
+    got = {}
+    for r in hist:
+        assert 0 <= r["bucket"] <= 9
+        assert r["lo"] < r["hi"]
+        got[r["event_type"]] = got.get(r["event_type"], 0) + r["cnt"]
+    assert got == per_type
+
+
+def test_doc_entropy_bounds(spark, sf_dir):
+    """0 ≤ H ≤ ln(n_tokens) for every doc; a single-token doc has
+    exactly H = 0."""
+    import math
+
+    from bigdata1_spark.operators.text_analysis import doc_entropy
+
+    for r in doc_entropy(spark, sf_dir).collect():
+        # 1e-6 headroom: the floor-6 output rounding can land up to
+        # 5e-7 above the exact ln(n) bound for a uniform doc.
+        assert -1e-6 <= r["entropy"] <= math.log(max(r["n_tokens"], 2)) + 1e-6
