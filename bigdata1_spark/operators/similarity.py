@@ -263,3 +263,100 @@ def knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= KNN_K)
     )
+
+
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norm — the sanity/profiling pass before any cosine
+    pipeline (un-normalized or degenerate vectors distort every
+    downstream similarity).
+
+    Pure map over the scan: the norm is the module's order-stable fold
+    (``vectors.norm``), zero shuffles, codegen per-row. Floor-6 output
+    rounding per the cross-engine double discipline.
+    Columns: vec_id, label, norm.
+    """
+    emb = _emb(spark, sf_dir)
+    return emb.select(
+        "vec_id",
+        "label",
+        (F.floor(vectors.norm(F.col("v")) * F.lit(1e6) + F.lit(0.5))
+         / F.lit(1e6)).alias("norm"),
+    )
+
+
+def centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, one row per (label, dimension) — cluster
+    profiling / drift baseline over the embedding column.
+
+    Cross-engine determinism without bounded-state tricks: coordinates
+    quantize to exact integers (floor(x·1e6) — quantization error
+    ≤ 1e-6, irrelevant for profiling) so the per-group SUM is integer
+    arithmetic — order-free, partial-aggregable, correct at any group
+    size. The centroid then divides two exact numbers in one shared
+    expression. posexplode is array-local; the single shuffle is the
+    (label, dim) aggregate with map-side combine.
+    Columns: label, dim, n, centroid.
+    """
+    emb = _emb(spark, sf_dir)
+    exploded = emb.select(
+        "label", F.posexplode(F.col("v")).alias("pos", "e")
+    ).select(
+        "label",
+        (F.col("pos") + F.lit(1)).alias("dim"),
+        F.floor(F.col("e") * F.lit(1e6)).alias("q"),
+    )
+    return (
+        exploded.groupBy("label", "dim")
+        .agg(F.sum("q").alias("sq"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "label",
+            "dim",
+            "n",
+            ((F.col("sq").cast("double") / F.lit(1e6))
+             / F.col("n").cast("double")).alias("centroid"),
+        )
+    )
+
+
+def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote classification for the ``knn_join`` query set:
+    each query's predicted label is the most common label among its
+    ``KNN_K`` cosine neighbors (ties break to the smaller label).
+
+    Same scale shape as knn_join — broadcast query set, one corpus
+    scan, WindowGroupLimit per-query heap — plus a tiny (Q × ≤k)-row
+    vote count and an argmax window. Columns: q_id, pred_label, votes.
+    """
+    from pyspark.sql import Window
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < N_KNN_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        emb.filter(F.col("vec_id") >= N_KNN_QUERIES)
+        .crossJoin(F.broadcast(queries))
+        .select(
+            "q_id",
+            "vec_id",
+            "label",
+            vectors.cosine(F.col("v"), F.col("qv")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    neighbors = scored.withColumn(
+        "rnk", F.row_number().over(w)
+    ).filter(F.col("rnk") <= KNN_K)
+    votes = neighbors.groupBy("q_id", "label").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    wv = Window.partitionBy("q_id").orderBy(
+        F.desc("votes"), F.asc("label")
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select("q_id", F.col("label").alias("pred_label"), "votes")
+    )

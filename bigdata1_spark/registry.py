@@ -2516,3 +2516,67 @@ register(
       WHEN 'es' THEN 64 WHEN 'zh' THEN 64 ELSE 0 END
     """,
 )
+
+# ---------------------------------------------------------------------------
+# Embedding-column profiling + kNN classification (round 5).
+# ---------------------------------------------------------------------------
+
+register(
+    "embedding_norms",
+    similarity.embedding_norms,
+    f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    )
+    SELECT vec_id, label,
+           FLOOR(sqrt(list_dot_product(v, v)) * 1e6 + 0.5) / 1e6 AS norm
+    FROM e
+    """,
+)
+
+register(
+    "centroid_per_label",
+    similarity.centroid_per_label,
+    """
+    WITH exploded AS (
+      SELECT label, generate_subscripts(embedding, 1) AS dim,
+             FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS q
+      FROM embeddings
+    )
+    SELECT label, CAST(dim AS INT) AS dim, CAST(COUNT(*) AS BIGINT) AS n,
+           (CAST(SUM(q) AS DOUBLE) / 1e6) / CAST(COUNT(*) AS DOUBLE)
+             AS centroid
+    FROM exploded GROUP BY 1, 2
+    """,
+)
+
+register(
+    "knn_classify",
+    similarity.knn_classify,
+    f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), q AS (
+      SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 8
+    ), scored AS (
+      SELECT q.q_id, e.vec_id, e.label,
+             {_DUCK_COS.format(a='e.v', b='q.qv')} AS cos_sim
+      FROM e CROSS JOIN q WHERE e.vec_id >= 8
+    ), neighbors AS (
+      SELECT q_id, label FROM (
+        SELECT q_id, label, ROW_NUMBER() OVER (
+          PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rnk
+        FROM scored
+      ) WHERE rnk <= 5
+    ), votes AS (
+      SELECT q_id, label, CAST(COUNT(*) AS BIGINT) AS votes
+      FROM neighbors GROUP BY 1, 2
+    )
+    SELECT q_id, label AS pred_label, votes FROM (
+      SELECT q_id, label, votes, ROW_NUMBER() OVER (
+        PARTITION BY q_id ORDER BY votes DESC, label ASC) AS vr
+      FROM votes
+    ) WHERE vr = 1
+    """,
+)

@@ -478,3 +478,30 @@ def test_tpch_q16_anti_join_exclusion(spark, sf_dir):
 
     plan = formatted_plan(tpch.tpch_q16(spark, sf_dir))
     assert "LeftAnti" in plan and "Broadcast" in plan
+
+
+def test_embedding_norms_no_shuffle(spark, sf_dir):
+    """The norm pass is a pure map over the scan — zero exchanges."""
+    from bigdata1_spark.operators import similarity
+
+    df = similarity.embedding_norms(spark, sf_dir)
+    checks.assert_max_exchanges(df, 0, "embedding_norms")
+
+
+def test_centroid_single_shuffle(spark, sf_dir):
+    """posexplode is array-local; the only exchange is the (label, dim)
+    aggregate, and its integer SUM partial-aggregates map-side."""
+    from bigdata1_spark.operators import similarity
+
+    df = similarity.centroid_per_label(spark, sf_dir)
+    checks.assert_max_exchanges(df, 1, "centroid_per_label")
+
+
+def test_knn_classify_group_limit(spark, sf_dir):
+    """The neighbor ranking must use WindowGroupLimit (per-query k-heap)
+    like knn_join, with the query set broadcast."""
+    from bigdata1_spark.operators import similarity
+
+    df = similarity.knn_classify(spark, sf_dir)
+    checks.assert_window_group_limit(df, "knn_classify")
+    checks.assert_broadcast_join(df, "knn_classify")
