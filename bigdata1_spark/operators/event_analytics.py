@@ -1,0 +1,141 @@
+"""Product-analytics operators over the ``events`` table: funnel
+conversion, session concurrency, retention cohorts.
+
+No reference analog (SURVEY.md §1.2 — the reference has no event
+semantics at all); these are the three queries every event-analytics
+user runs first, expressed in the shapes that survive 100 TB:
+
+* funnel — three aggregates chained on the SAME user_id key, so AQE
+  reuses one exchange; no per-user iteration.
+* concurrency — the sweep-line reformulated as per-session hour-range
+  explosion + count (a global ordered sweep would serialize on one
+  partition; the explode is linear in session-hours and shuffles once).
+* retention — first-seen cohort join + distinct day counting, all
+  exact integer/date arithmetic.
+
+Every output column is an exact integer, date string, or sentinel —
+no floats anywhere, so oracle hashes cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata1_spark.sources.tables import load_table
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+NO_TS = ""  # sentinel for "stage not reached" (NULL breaks hash parity)
+
+FUNNEL_STAGES = ("signup", "click", "purchase")
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel signup → click → purchase per user: each stage
+    counts only events strictly after the previous stage's first hit.
+
+    Three min-aggregates on user_id with two join-backs — all keyed on
+    user_id, so the plan is one logical partitioning reused (no
+    re-shuffle of events between stages beyond the per-stage filters).
+    Columns: user_id, stage_reached (0–3), t_signup, t_click,
+    t_purchase (sentinel '' where unreached).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    t1 = (
+        ev.filter(F.col("event_type") == FUNNEL_STAGES[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == FUNNEL_STAGES[1])
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == FUNNEL_STAGES[2])
+        .join(t2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    users = ev.select("user_id").distinct()
+    stage = (
+        F.when(F.col("t3").isNotNull(), F.lit(3))
+        .when(F.col("t2").isNotNull(), F.lit(2))
+        .when(F.col("t1").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    fmt = lambda c: F.coalesce(F.date_format(c, TS_FMT), F.lit(NO_TS))  # noqa: E731
+    return (
+        users.join(t1, "user_id", "left")
+        .join(t2, "user_id", "left")
+        .join(t3, "user_id", "left")
+        .select(
+            "user_id",
+            stage.cast("long").alias("stage_reached"),
+            fmt("t1").alias("t_signup"),
+            fmt("t2").alias("t_click"),
+            fmt("t3").alias("t_purchase"),
+        )
+    )
+
+
+def concurrency(spark: SparkSession, sf_dir: str,
+                gap_min: int = 30) -> DataFrame:
+    """Active sessions per hour: how many (user) sessions — as defined
+    by the registry's ``sessionize`` (30-minute gap) — overlap each
+    hour bucket.
+
+    Scale shape: the naive sweep line (sort ALL boundaries globally,
+    running sum) serializes on one partition; instead each session
+    explodes to the hour buckets it overlaps (sessions are gap-bounded,
+    so the per-session range is short) and a single count shuffle
+    aggregates. Columns: hour, active_sessions.
+    """
+    from bigdata1_spark.operators.relational import sessionize
+
+    sessions = sessionize(spark, sf_dir, gap_min=gap_min).select(
+        F.to_timestamp("session_start").alias("s"),
+        F.to_timestamp("session_end").alias("e"),
+    )
+    hours = sessions.select(
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "s"),
+                F.date_trunc("hour", "e"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("h")
+    )
+    return (
+        hours.groupBy(F.date_format("h", "yyyy-MM-dd HH:00:00").alias("hour"))
+        .agg(F.count(F.lit(1)).alias("active_sessions"))
+    )
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention triangle: users grouped by first-seen day
+    (cohort), counted by distinct active day offset.
+
+    Two aggregates on user_id (first-seen, then distinct (user, day))
+    and one join-back on the same key; the final (cohort, offset)
+    count distinct is over users — exact integers end-to-end.
+    Columns: cohort, day_offset, n_users.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("day").alias("cohort"))
+    active = ev.distinct()
+    return (
+        active.join(first_seen, "user_id")
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort"),
+            F.datediff(F.col("day"), F.col("cohort")).alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )

@@ -2580,3 +2580,94 @@ register(
     ) WHERE vr = 1
     """,
 )
+
+# ---------------------------------------------------------------------------
+# Event analytics (operators/event_analytics.py): funnel, concurrency,
+# retention — exact-integer outputs, no float hazards by construction.
+# ---------------------------------------------------------------------------
+from bigdata1_spark.operators import event_analytics  # noqa: E402
+
+register(
+    "funnel_conversion",
+    event_analytics.funnel_conversion,
+    """
+    WITH t1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY 1
+    ), t2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN t1 ON e.user_id = t1.user_id
+      WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY 1
+    ), t3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN t2 ON e.user_id = t2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY 1
+    ), users AS (SELECT DISTINCT user_id FROM events)
+    SELECT u.user_id,
+           CAST(CASE WHEN t3.t3 IS NOT NULL THEN 3
+                     WHEN t2.t2 IS NOT NULL THEN 2
+                     WHEN t1.t1 IS NOT NULL THEN 1
+                     ELSE 0 END AS BIGINT) AS stage_reached,
+           COALESCE(strftime(t1.t1, '%Y-%m-%d %H:%M:%S.%f'), '')
+             AS t_signup,
+           COALESCE(strftime(t2.t2, '%Y-%m-%d %H:%M:%S.%f'), '')
+             AS t_click,
+           COALESCE(strftime(t3.t3, '%Y-%m-%d %H:%M:%S.%f'), '')
+             AS t_purchase
+    FROM users u
+    LEFT JOIN t1 ON u.user_id = t1.user_id
+    LEFT JOIN t2 ON u.user_id = t2.user_id
+    LEFT JOIN t3 ON u.user_id = t3.user_id
+    """,
+)
+
+register(
+    "concurrency",
+    event_analytics.concurrency,
+    """
+    WITH ordered AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(LAG(ts) OVER w)
+                       > 30 * 60 * 1000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), tagged AS (
+      SELECT *, SUM(new_sess) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM ordered
+    ), sessions AS (
+      SELECT MIN(ts) AS s, MAX(ts) AS e
+      FROM tagged GROUP BY user_id, sess_id
+    ), hours AS (
+      SELECT g.h
+      FROM sessions, LATERAL (
+        SELECT unnest(generate_series(
+          date_trunc('hour', s), date_trunc('hour', e),
+          INTERVAL 1 HOUR)) AS h
+      ) g
+    )
+    SELECT strftime(h, '%Y-%m-%d %H:00:00') AS hour,
+           CAST(COUNT(*) AS BIGINT) AS active_sessions
+    FROM hours GROUP BY 1
+    """,
+)
+
+register(
+    "retention_cohorts",
+    event_analytics.retention_cohorts,
+    """
+    WITH ev AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), first_seen AS (
+      SELECT user_id, MIN(day) AS cohort FROM ev GROUP BY 1
+    )
+    SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort,
+           CAST(e.day - f.cohort AS BIGINT) AS day_offset,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM ev e JOIN first_seen f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
