@@ -391,3 +391,23 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return r.crossJoin(n)
+
+
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (UNPIVOT/melt): lineitem's four measure
+    columns become (metric, value) rows keyed by (orderkey,
+    linenumber).
+
+    Uses the native ``DataFrame.unpivot`` — a zero-shuffle narrow
+    transform (each input row emits 4 output rows in place; Catalyst
+    plans an Expand node, the same machinery rollup/cube use). Values
+    pass through unchanged, so there is no float arithmetic to drift.
+    Columns: l_orderkey, l_linenumber, metric, value.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )

@@ -2671,3 +2671,22 @@ register(
     GROUP BY 1, 2
     """,
 )
+
+register(
+    "unpivot_metrics",
+    micro.unpivot_metrics,
+    """
+    SELECT l_orderkey, l_linenumber, metric, value FROM (
+      SELECT l_orderkey, l_linenumber,
+             'l_quantity' AS metric, l_quantity AS value FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber,
+             'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+      FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+    )
+    """,
+)

@@ -99,3 +99,25 @@ def test_small_files_compaction(spark, sf_dir, tmp_path):
     b = spark.read.parquet(compacted)
     assert a.count() == b.count()
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_write_compacted_sizes_files(spark, sf_dir, tmp_path):
+    """Compaction must merge a fragmented input into ~target-sized
+    files (the small-files fix) and preserve the exact row multiset."""
+    import glob
+
+    from bigdata1_spark.plans.compaction import write_compacted
+    from bigdata1_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").repartition(64)
+    path = str(tmp_path / "compacted")
+    n_rows = orders.count()
+    target = max(1, n_rows // 3)
+    n_tasks = write_compacted(orders, path, target_rows_per_file=target)
+    files = glob.glob(f"{path}/*.parquet")
+    assert n_tasks <= 4
+    # fragmented 64-partition input merged into a handful of files
+    assert len(files) <= 8, files
+    back = spark.read.parquet(path)
+    assert back.count() == n_rows
+    assert sorted(back.columns) == sorted(orders.columns)
