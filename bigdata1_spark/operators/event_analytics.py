@@ -139,3 +139,52 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+def rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: event counts and value
+    sums at 1-minute, 1-hour, and 1-day granularity in ONE pass.
+
+    The naive form is three scans + three shuffles (one GROUP BY per
+    resolution). Here the hierarchy (day ⊃ hour ⊃ minute) is expressed
+    as ``rollup(day, hour, minute)``: Catalyst plans a single Expand
+    (each row emits one tuple per grouping set) feeding ONE partial+
+    final hash aggregate — one scan, one shuffle, for all three
+    resolutions. This is exactly how continuous-aggregate/hypertable
+    systems maintain their downsample ladder, and the shape scales
+    linearly: Expand is narrow (no repartition), and the aggregate
+    keyspace is bounded by minutes-in-retention × event cardinality.
+
+    Value sums go through decimal so partial-aggregation order cannot
+    drift the result (see ``basket.exact_sum``).
+    Columns: resolution ('1d'|'1h'|'1m'), bucket, n_events, total_value.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("d"),
+        F.date_trunc("hour", "ts").alias("h"),
+        F.date_trunc("minute", "ts").alias("m"),
+        "value",
+    )
+    gid = F.grouping_id()
+    return (
+        ev.rollup("d", "h", "m")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value"),
+            gid.alias("_gid"),
+        )
+        .filter(F.col("_gid") != 7)  # drop the grand-total grouping set
+        .select(
+            F.when(F.col("_gid") == 3, F.lit("1d"))
+            .when(F.col("_gid") == 1, F.lit("1h"))
+            .otherwise(F.lit("1m"))
+            .alias("resolution"),
+            F.date_format(
+                F.coalesce("m", "h", "d"), "yyyy-MM-dd HH:mm:ss"
+            ).alias("bucket"),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -456,3 +456,85 @@ def histogram(spark: SparkSession, sf_dir: str, n_buckets: int = 10) -> DataFram
             "cnt",
         )
     )
+
+
+def ntile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-frequency (NTILE) bucketing of ``l_extendedprice`` into 10
+    buckets with per-bucket count/min/max/exact-sum — the binning step
+    behind feature quantization and histogram equalization.
+
+    The naive Spark form — ``ntile(10) over (order by price)`` — moves
+    EVERY row into a single partition (WindowExec with no partition
+    key): the canonical scale-killer. This implementation computes the
+    identical bucket assignment distributively, exploiting that NTILE
+    depends only on each row's global rank:
+
+    1. ``groupBy(price)`` → per-value counts (the value DOMAIN, orders
+       of magnitude smaller than the data; one shuffle on price).
+    2. A cumulative window over the tiny distinct-value table yields
+       each value's global rank interval [a, b] (the histogram trick:
+       the single-partition window touches |distinct| rows, not n).
+    3. NTILE's bucket sizes are closed-form (first n mod k buckets get
+       ⌈n/k⌉ rows), so each value's rank interval maps to at most k
+       (bucket, overlap-count) pairs via a bounded ``sequence`` explode
+       — no row-level data ever moves.
+    4. groupBy(bucket) over ≤ |distinct|·k tiny rows finishes.
+
+    Ties share a price, so every output stat is invariant to the
+    tie-order NTILE picks — the result is bit-identical to the oracle's
+    single-node NTILE. Sums go through decimal (order-independent).
+    Columns: bucket, n_rows, min_price, max_price, sum_price.
+    """
+    k = 10
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("p")
+    )
+    freq = li.groupBy("p").agg(F.count(F.lit(1)).alias("c"))
+    # global rank interval per distinct value: [a, b]
+    w = Window.orderBy("p").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = freq.select(
+        "p", "c", F.sum("c").over(w).alias("b")
+    ).withColumn("a", F.col("b") - F.col("c") + 1)
+    total = freq.agg(F.sum("c").alias("n"))
+    # NTILE geometry: s = n div k, m = n mod k; bucket j covers ranks
+    # [(j-1)*s + least(j-1, m) + 1, j*s + least(j, m)]
+    j = F.col("j")
+    n, s, m = F.col("n"), F.col("n") / F.lit(k), F.col("n") % F.lit(k)
+    s = F.floor(F.col("n") / F.lit(k))
+    bucket_of = lambda r: F.when(  # noqa: E731
+        r <= m * (s + 1), F.ceil(r / (s + 1))
+    ).otherwise(m + F.ceil((r - m * (s + 1)) / s))
+    lo = (j - 1) * s + F.least(j - 1, m) + 1
+    hi = j * s + F.least(j, m)
+    return (
+        ranked.crossJoin(F.broadcast(total))  # 1-row global count
+        .select(
+            "p",
+            "a",
+            "b",
+            F.explode(
+                F.sequence(bucket_of(F.col("a")), bucket_of(F.col("b")))
+            ).alias("j"),
+            "n",
+        )
+        .select(
+            "p",
+            F.col("j").alias("bucket"),
+            (F.least(F.col("b"), hi) - F.greatest(F.col("a"), lo) + 1).alias(
+                "overlap"
+            ),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("overlap").alias("n_rows"),
+            F.min("p").alias("min_price"),
+            F.max("p").alias("max_price"),
+            F.sum(
+                (F.col("p").cast("decimal(18,4)") * F.col("overlap")).cast(
+                    "decimal(28,4)"
+                )
+            )
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )

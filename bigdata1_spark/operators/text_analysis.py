@@ -430,3 +430,60 @@ def doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         (F.floor(-h * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("entropy"),
     )
+
+
+# PII patterns shared by the Spark implementation and the DuckDB oracle
+# (registry.py): kept to the Java-regex ∩ RE2 common subset — no
+# lookarounds, no backrefs — so both engines compile them identically.
+PII_EMAIL_RE = "[a-zA-Z0-9.#_]+@[a-zA-Z0-9.]+"
+PII_PHONE_RE = "[0-9]{2}-[0-9]{3}-[0-9]{4}"
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the compliance pass every training-data pipeline
+    runs before tokenization: emails and phone numbers replaced by
+    typed placeholders, with per-row redaction counts for auditing.
+
+    The synthetic ``documents`` text carries no PII, so (like
+    ``billing_total_b``'s Format-B round-trip) this key CONSTRUCTS a
+    contact-card text column from ``customer`` columns, then scrubs
+    it — exercising the real path: regex match → replace → count, all
+    JVM-side (``regexp_replace``/``regexp_count``, whole-stage
+    codegen; no Python in the loop). At 100 TB this is a pure narrow
+    map — no shuffle, no skew surface; regex cost scales with bytes
+    scanned and pushes zero data over the network.
+
+    Columns: c_custkey, clean_text, n_email, n_phone.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    email = F.concat(
+        F.lower(F.regexp_replace("c_name", " ", ".")), F.lit("@example.com")
+    )
+    phone = F.concat(
+        F.lpad(F.col("c_nationkey").cast("string"), 2, "0"),
+        F.lit("-"),
+        F.lpad((F.col("c_custkey") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+    )
+    raw = F.concat(
+        F.lit("Contact "),
+        F.col("c_name"),
+        F.lit(" <"),
+        email,
+        F.lit("> or call "),
+        phone,
+        F.lit(" segment "),
+        F.col("c_mktsegment"),
+    )
+    with_raw = cust.select("c_custkey", raw.alias("raw"))
+    return with_raw.select(
+        "c_custkey",
+        F.regexp_replace(
+            F.regexp_replace("raw", PII_EMAIL_RE, "<EMAIL>"),
+            PII_PHONE_RE,
+            "<PHONE>",
+        ).alias("clean_text"),
+        F.regexp_count("raw", F.lit(PII_EMAIL_RE)).alias("n_email"),
+        F.regexp_count("raw", F.lit(PII_PHONE_RE)).alias("n_phone"),
+    )

@@ -2690,3 +2690,69 @@ register(
     )
     """,
 )
+
+register(
+    "rollup_multires",
+    event_analytics.rollup_multires,
+    """
+    SELECT '1d' AS resolution,
+           strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 2
+    UNION ALL
+    SELECT '1h', strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S'),
+           COUNT(*),
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+    FROM events GROUP BY 2
+    UNION ALL
+    SELECT '1m', strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S'),
+           COUNT(*),
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+    FROM events GROUP BY 2
+    """,
+)
+
+register(
+    "pii_scrub",
+    text_analysis.pii_scrub,
+    """
+    WITH contact AS (
+      SELECT c_custkey,
+             'Contact ' || c_name || ' <'
+               || lower(replace(c_name, ' ', '.')) || '@example.com'
+               || '> or call '
+               || lpad(CAST(c_nationkey AS VARCHAR), 2, '0') || '-'
+               || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0') || '-'
+               || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+               || ' segment ' || c_mktsegment AS raw
+      FROM customer
+    )
+    SELECT c_custkey,
+           regexp_replace(
+             regexp_replace(raw, '[a-zA-Z0-9.#_]+@[a-zA-Z0-9.]+',
+                            '<EMAIL>', 'g'),
+             '[0-9]{2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean_text,
+           len(regexp_extract_all(raw, '[a-zA-Z0-9.#_]+@[a-zA-Z0-9.]+'))
+             AS n_email,
+           len(regexp_extract_all(raw, '[0-9]{2}-[0-9]{3}-[0-9]{4}'))
+             AS n_phone
+    FROM contact
+    """,
+)
+
+register(
+    "ntile_stats",
+    relational.ntile_stats,
+    """
+    WITH t AS (
+      SELECT l_extendedprice AS p,
+             NTILE(10) OVER (ORDER BY l_extendedprice) AS bucket
+      FROM lineitem
+    )
+    SELECT bucket, COUNT(*) AS n_rows,
+           MIN(p) AS min_price, MAX(p) AS max_price,
+           CAST(SUM(CAST(p AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+    FROM t GROUP BY bucket
+    """,
+)

@@ -3,6 +3,8 @@ that keep queries viable at 100 TB, checked at test scale."""
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import functions as F
 
 from bigdata1_spark.operators import basket, micro
@@ -517,3 +519,43 @@ def test_resample_interpolate_no_following_frame(spark, sf_dir):
 
     plan = formatted_plan(temporal.resample_interpolate(spark, sf_dir))
     assert "unboundedfollowing" not in plan.lower()
+
+
+def test_rollup_multires_single_pass(spark, sf_dir):
+    """All three resolutions must come from ONE scan + ONE aggregation
+    shuffle via Expand — never a scan-per-resolution union."""
+    from bigdata1_spark.operators import event_analytics
+    from bigdata1_spark.plans.checks import formatted_plan
+
+    df = event_analytics.rollup_multires(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Expand" in plan
+    # node-detail headers "(n) Scan parquet" appear once per scan node
+    scans = re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scans) == 1, f"must not rescan per resolution: {scans}"
+    checks.assert_max_exchanges(df, 1, "rollup_multires")
+
+
+def test_ntile_stats_no_row_level_global_window(spark, sf_dir):
+    """The NTILE bucketing must ride the distinct-value table: the only
+    Window node sits ABOVE the price groupBy (|distinct| rows), and no
+    row-level data crosses a single-partition exchange."""
+    from bigdata1_spark.operators import relational
+    from bigdata1_spark.plans.checks import formatted_plan
+
+    df = relational.ntile_stats(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Window" in plan
+    # the aggregate must appear below the window in the plan tree
+    # (formatted output lists children first, so the groupBy's partial
+    # aggregate node precedes the Window section header order check):
+    assert "ntile" not in plan.lower()
+    assert "BroadcastExchange" in plan  # 1-row total, never a shuffle join
+
+
+def test_pii_scrub_narrow_map(spark, sf_dir):
+    """Redaction is a pure narrow map: zero exchanges end-to-end."""
+    from bigdata1_spark.operators import text_analysis
+
+    df = text_analysis.pii_scrub(spark, sf_dir)
+    checks.assert_max_exchanges(df, 0, "pii_scrub")
