@@ -2756,3 +2756,49 @@ register(
     FROM t GROUP BY bucket
     """,
 )
+
+# ---------------------------------------------------------------------------
+# Graph analytics (operators/graph.py): degree, triangles, PageRank over
+# graphs derived from the order network
+# ---------------------------------------------------------------------------
+from bigdata1_spark.operators import graph  # noqa: E402
+
+register(
+    "graph_degree",
+    graph.graph_degree,
+    """
+    WITH e AS (
+      SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+      FROM lineitem x JOIN lineitem y
+        ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+    )
+    SELECT node, COUNT(*) AS degree
+    FROM (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+    GROUP BY node
+    """,
+)
+
+register(
+    "triangle_count",
+    graph.triangle_count,
+    """
+    WITH e AS (
+      SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+      FROM lineitem x JOIN lineitem y
+        ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+    ),
+    tri AS (
+      SELECT e1.a AS u, e1.b AS v, e2.b AS w
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT node, COUNT(*) AS n_triangles
+    FROM (SELECT u AS node FROM tri
+          UNION ALL SELECT v FROM tri
+          UNION ALL SELECT w FROM tri)
+    GROUP BY node
+    """,
+)
+
+register("pagerank", graph.pagerank)  # rows-only: iterative, non-SQL

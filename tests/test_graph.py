@@ -1,0 +1,56 @@
+"""Graph-family invariants (the oracle diff in test_oracle_diff.py
+covers degree/triangle values; these pin the structural claims and the
+rows-only PageRank)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata1_spark.operators import graph
+
+
+def test_handshake_lemma(spark, sf_dir):
+    """sum(degree) must equal 2 * |edges| — catches any asymmetry in
+    the array-local pair generation."""
+    e = graph._co_supplier_edges(spark, sf_dir)
+    deg = graph.graph_degree(spark, sf_dir)
+    n_edges = e.count()
+    assert n_edges > 0
+    total_deg = deg.agg(F.sum("degree")).collect()[0][0]
+    assert total_deg == 2 * n_edges
+    # a < b strictly — no self-loops, no mirrored duplicates
+    assert e.filter(F.col("a") >= F.col("b")).count() == 0
+
+
+def test_triangle_total_divisible_by_three(spark, sf_dir):
+    """Each triangle contributes exactly one count to each of its three
+    vertices — the global sum must be 3 × #triangles."""
+    t = graph.triangle_count(spark, sf_dir)
+    total = t.agg(F.sum("n_triangles")).collect()[0][0]
+    assert total is not None and total > 0
+    assert total % 3 == 0
+
+
+def test_pagerank_invariants(spark, sf_dir):
+    """No dangling nodes → damping conserves rank mass: sum(rank) = N
+    up to rounding. Ranks positive, bounded below by the base term."""
+    pr = graph.pagerank(spark, sf_dir).cache()
+    n = pr.count()
+    assert n > 0
+    total = pr.agg(F.sum("rank")).collect()[0][0]
+    assert abs(total - n) < 1e-3 * n
+    lo = pr.agg(F.min("rank")).collect()[0][0]
+    assert lo >= 0.15 - 1e-9
+    # both node namespaces present and disjoint encodings decoded
+    types = {r[0] for r in pr.select("node_type").distinct().collect()}
+    assert types == {"customer", "supplier"}
+    pr.unpersist(blocking=False)
+
+
+def test_pagerank_deterministic_across_runs(spark, sf_dir):
+    """Decimal-summed contributions make ranks bit-stable across
+    shuffle orderings — two independent runs must agree exactly."""
+    a = graph.pagerank(spark, sf_dir)
+    b = graph.pagerank(spark, sf_dir)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
