@@ -2802,3 +2802,29 @@ register(
 )
 
 register("pagerank", graph.pagerank)  # rows-only: iterative, non-SQL
+
+_SLIDING_ORACLE = """
+    WITH member AS (
+      SELECT date_trunc('hour', ts) AS ws, event_type, value FROM events
+      UNION ALL
+      SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type, value
+      FROM events
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM member GROUP BY 1, 2
+    """
+
+register(
+    "events_sliding",
+    streaming_events.events_sliding,
+    _SLIDING_ORACLE,
+)
+
+register(
+    "events_sliding_streamed",
+    streaming_events.events_sliding_streamed,
+    _SLIDING_ORACLE,
+)

@@ -453,3 +453,86 @@ def events_dedup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _run_bounded_append(spark, deduped, work)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+SLIDE_DURATION = "2 hours"
+SLIDE_STEP = "1 hour"
+
+
+def _sliding(events: DataFrame) -> DataFrame:
+    """Sliding-window aggregation shared by batch and streaming: each
+    event lands in TWO overlapping 2-hour windows (1-hour slide).
+    Catalyst expands the window memberships map-side (an Expand of
+    duration/slide = 2 rows per event) before the single aggregation
+    shuffle — the membership fan-out never crosses the network
+    unaggregated."""
+    return (
+        events.groupBy(
+            F.window(F.col("ts"), SLIDE_DURATION, SLIDE_STEP).alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch form of the sliding-window agg — full oracle (each event
+    contributes to the hour-aligned window it falls in AND the one
+    starting an hour earlier)."""
+    return _sliding(load_table(spark, sf_dir, "events"))
+
+
+def events_sliding_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end streaming run of the sliding-window agg: watermark +
+    overlapping windows → complete-mode foreachBatch overwrite sink →
+    read back. Same oracle as the batch twin ``events_sliding``
+    (identical logical plan via ``_sliding``); proves overlapping
+    window-state handling, the one streaming shape the tumbling keys
+    don't cover. State at scale: windows-per-event is duration/slide
+    (2 here) — state size is bounded by watermark horizon × slide
+    count, independent of input volume."""
+    import os
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="bigdata1_events_sliding_")
+    try:
+        src = os.path.join(work, "src")
+        os.makedirs(src)
+        shutil.copy(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(src, "events.parquet"),
+        )
+        out = os.path.join(work, "out")
+
+        def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+            batch_df.write.mode("overwrite").parquet(out)
+
+        stream = _read_events_stream(spark, src).withWatermark(
+            "ts", WATERMARK
+        )
+        query = (
+            _sliding(stream)
+            .writeStream.foreachBatch(write_batch)
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        return spark.read.parquet(out).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

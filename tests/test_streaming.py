@@ -203,3 +203,21 @@ def test_foreachbatch_parquet_sink(spark, sf_dir, stream_dir, tmp_path):
     n_src = se.events_window(spark, sf_dir).agg({"n_events": "sum"}).first()[0]
     n_out = spark.read.parquet(out).count()
     assert n_out == n_src
+
+
+def test_sliding_stream_matches_batch(spark, sf_dir):
+    """Overlapping-window state: the bounded sliding-window stream must
+    land exactly the batch answer (same logical plan via _sliding)."""
+    batch = {
+        tuple(r) for r in se.events_sliding(spark, sf_dir).collect()
+    }
+    got = {
+        tuple(r)
+        for r in se.events_sliding_streamed(spark, sf_dir).collect()
+    }
+    assert got == batch
+    # every event belongs to exactly 2 windows: total n_events doubles
+    from bigdata1_spark.sources.tables import load_table
+
+    n = load_table(spark, sf_dir, "events").count()
+    assert sum(r[2] for r in batch) == 2 * n
