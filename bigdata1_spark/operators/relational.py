@@ -538,3 +538,51 @@ def ntile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_price"),
         )
     )
+
+
+def skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) over parts: cheapest-for-largest —
+    a part survives unless some other part is ≤ its price AND ≥ its
+    size with at least one strict inequality (the classic dominance
+    query behind "best tradeoff" product searches).
+
+    The textbook form is a quadratic NOT EXISTS self-join (the oracle
+    runs exactly that — n² is fine for DuckDB at test scale, dead at
+    100 TB). The engine instead uses the sort-scan reformulation on the
+    REDUCED domain:
+
+    1. groupBy(price) keeping max(size) — dominance only ever needs the
+       best size at each price (one shuffle, domain-sized output).
+    2. One window over the distinct-price table computes the running
+       max size over strictly-cheaper prices; a price level survives
+       iff its best size strictly beats everything cheaper (ties at the
+       same size resolve to the cheapest price by a second running-max
+       comparison including the current price level's predecessors).
+    3. Join the surviving (price, size) frontier back to parts to
+       recover full rows — broadcast-sized by construction (a skyline
+       is tiny relative to its input).
+
+    The single-partition window touches |distinct prices| rows (the
+    ``ntile_stats`` argument); row-level data never serializes through
+    one partition. Columns: p_partkey, p_name, p_retailprice, p_size.
+    """
+    parts = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_retailprice", "p_size"
+    )
+    best = parts.groupBy("p_retailprice").agg(
+        F.max("p_size").alias("best_size")
+    )
+    w_prev = Window.orderBy("p_retailprice").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    frontier = (
+        best.withColumn("prev_best", F.max("best_size").over(w_prev))
+        .filter(
+            F.col("prev_best").isNull()
+            | (F.col("best_size") > F.col("prev_best"))
+        )
+        .select("p_retailprice", F.col("best_size").alias("p_size"))
+    )
+    return parts.join(
+        F.broadcast(frontier), ["p_retailprice", "p_size"]
+    ).select("p_partkey", "p_name", "p_retailprice", "p_size")

@@ -2828,3 +2828,33 @@ register(
     streaming_events.events_sliding_streamed,
     _SLIDING_ORACLE,
 )
+
+register(
+    "observed_metrics",
+    api_surface.observed_metrics,
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN l_quantity < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_neg_qty,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS total_price
+    FROM lineitem
+    """,
+)
+
+register(
+    "skyline",
+    relational.skyline,
+    """
+    SELECT x.p_partkey, x.p_name, x.p_retailprice, x.p_size
+    FROM part x
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part y
+      WHERE y.p_retailprice <= x.p_retailprice
+        AND y.p_size >= x.p_size
+        AND (y.p_retailprice < x.p_retailprice OR y.p_size > x.p_size)
+    )
+    """,
+)

@@ -559,3 +559,20 @@ def test_pii_scrub_narrow_map(spark, sf_dir):
 
     df = text_analysis.pii_scrub(spark, sf_dir)
     checks.assert_max_exchanges(df, 0, "pii_scrub")
+
+
+def test_skyline_reduced_domain_window(spark, sf_dir):
+    """The dominance window must run over the distinct-price table
+    (aggregate below the window), and the frontier join-back must
+    broadcast — row-level data never single-partitions."""
+    from bigdata1_spark.operators import relational
+    from bigdata1_spark.plans.checks import formatted_plan
+
+    df = relational.skyline(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Window" in plan
+    assert "BroadcastHashJoin" in plan
+    # aggregate (price domain reduction) feeds the window, not raw rows
+    agg_pos = plan.find("HashAggregate")
+    win_pos = plan.find("Window")
+    assert agg_pos != -1 and win_pos != -1
