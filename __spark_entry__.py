@@ -26,8 +26,8 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # Keys with at least one driver CORRECTNESS row across rounds 1-4 (union of
 # CORRECTNESS_r0{1..4}.json). The driver samples ~50 keys per round, so
 # queries() emits never-sampled keys FIRST — a capped run banks fresh rows
-# for them (27 keys as of round 5: the 7 flagged in the round-4 VERDICT
-# plus the 20 round-5 additions) before re-verifying old green keys.
+# for them (41 keys as of late round 5: the 7 flagged in the round-4
+# VERDICT plus the 34 round-5 additions) before re-verifying old greens.
 # sim_topk_lsh and fingerprint gained full oracles in round 2 but their
 # only driver rows predate that, so they ride second in priority.
 _DRIVER_CHECKED = frozenset({

@@ -121,3 +121,30 @@ def test_write_compacted_sizes_files(spark, sf_dir, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == n_rows
     assert sorted(back.columns) == sorted(orders.columns)
+
+
+def test_write_compacted_partitioned(spark, sf_dir, tmp_path):
+    """partition_by path: rows land under partition directories, file
+    sizing survives the hive layout, and the row multiset round-trips
+    (maxRecordsPerFile backstops skewed partition values)."""
+    import glob
+
+    from bigdata1_spark.plans.compaction import write_compacted
+    from bigdata1_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "status", F.col("o_orderstatus")
+    )
+    path = str(tmp_path / "by_status")
+    n_rows = orders.count()
+    write_compacted(
+        orders, path, target_rows_per_file=n_rows, partition_by=["status"]
+    )
+    part_dirs = glob.glob(f"{path}/status=*")
+    assert len(part_dirs) >= 2, part_dirs
+    back = spark.read.parquet(path)
+    assert back.count() == n_rows
+    # no partition directory exceeds the per-file cap by fragmentation:
+    # one partition value -> small handful of files
+    for d in part_dirs:
+        assert len(glob.glob(f"{d}/*.parquet")) <= 4, d
