@@ -411,3 +411,34 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+def scalar_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing surface (``parse_url``): host / path / query-param
+    extraction — the first transform of any web-crawl curation pipeline.
+
+    The testdata carries no URL column, so (the ``billing_total_b`` /
+    ``pii_scrub`` construct→parse round-trip pattern) a canonical URL is
+    built from customer columns, then decomposed with the JVM-side
+    ``parse_url`` — the result columns must invert the construction
+    exactly. Pure narrow map: zero shuffles, whole-stage codegen.
+    Columns: c_custkey, host, path, seg.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    url = F.concat(
+        F.lit("https://mkt-"),
+        F.lower(F.col("c_mktsegment")),
+        F.lit(".example.com/customers/"),
+        F.col("c_custkey").cast("string"),
+        F.lit("?seg="),
+        F.lower(F.col("c_mktsegment")),
+        F.lit("&n="),
+        F.col("c_nationkey").cast("string"),
+    )
+    with_url = cust.select("c_custkey", url.alias("url"))
+    return with_url.select(
+        "c_custkey",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("seg")).alias("seg"),
+    )

@@ -2858,3 +2858,23 @@ register(
     )
     """,
 )
+
+register(
+    "scalar_url",
+    micro.scalar_url,
+    """
+    WITH u AS (
+      SELECT c_custkey,
+             'https://mkt-' || lower(c_mktsegment)
+               || '.example.com/customers/' || CAST(c_custkey AS VARCHAR)
+               || '?seg=' || lower(c_mktsegment)
+               || '&n=' || CAST(c_nationkey AS VARCHAR) AS url
+      FROM customer
+    )
+    SELECT c_custkey,
+           regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
+           regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1) AS path,
+           regexp_extract(url, '[?&]seg=([^&#]*)', 1) AS seg
+    FROM u
+    """,
+)
