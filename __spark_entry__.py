@@ -23,13 +23,11 @@ from bigdata1_spark import registry  # noqa: E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
-# Keys with at least one driver CORRECTNESS row across rounds 1-4 (union of
-# CORRECTNESS_r0{1..4}.json). The driver samples ~50 keys per round, so
-# queries() emits never-sampled keys FIRST — a capped run banks fresh rows
-# for them (41 keys as of late round 5: the 7 flagged in the round-4
-# VERDICT plus the 34 round-5 additions) before re-verifying old greens.
-# sim_topk_lsh and fingerprint gained full oracles in round 2 but their
-# only driver rows predate that, so they ride second in priority.
+# Keys with at least one driver CORRECTNESS row across rounds 1-5 (union of
+# CORRECTNESS_r0{1..5}.json). The driver samples ~50 keys per round, so
+# queries() emits re-verify-first keys FIRST (latest driver row is red or
+# the implementation/oracle changed since it was banked), then keys with no
+# driver row yet, then old greens.
 _DRIVER_CHECKED = frozenset({
     "agg_distinct", "agg_stats", "approx_sketch", "array_ops",
     "asof_join", "assoc_rules", "billing_total_b", "collect_list_agg",
@@ -58,19 +56,40 @@ _DRIVER_CHECKED = frozenset({
     "tpch_q6", "udtf_tokens", "upsert_apply", "window_first_last",
     "window_lag", "window_range_frame", "window_rank",
     "window_running_sum",
+    # round-5 driver sample (CORRECTNESS_r05.json)
+    "anomaly_zscore", "bm25_search", "centroid_per_label", "concurrency",
+    "cooccur_pmi", "doc_entropy", "embedding_norms",
+    "events_attribution_streamed", "events_dedup_streamed",
+    "events_sliding", "events_sliding_streamed", "ewma", "fingerprint",
+    "funnel_conversion", "graph_degree", "groupby_grouping_sets",
+    "histogram", "knn_classify", "knn_join", "mixture_sample",
+    "ntile_stats", "observed_metrics", "pagerank", "pii_scrub",
+    "resample_interpolate", "retention_cohorts", "rollup_multires",
+    "sample_stratified", "scalar_url", "scd2_intervals", "shard_pack",
+    "sim_topk_lsh", "skyline", "tfidf_topterms", "tpch_q11", "tpch_q16",
+    "tpch_q2", "tpch_q20", "tpch_q21", "tpch_q7", "tpch_q8", "tpch_q9",
+    "triangle_count", "unpivot_metrics",
 })
 
-# Oracle upgraded after their last driver row — re-verify before old greens.
-_STALE_ROW = ("sim_topk_lsh", "fingerprint")
+# Re-verify BEFORE everything else: latest driver row is red/stale, or the
+# implementation or oracle changed after the last driver row was banked.
+# events_window_streamed / events_user_counts_streamed: latest driver rows
+# are r04 FAILs that predate the normalize_event_ts fix (locally green in
+# CORRECTNESS_local_r5.json) — force a fresh green row.
+_REVERIFY_FIRST = (
+    "events_window_streamed",
+    "events_user_counts_streamed",
+)
 
 
 def _priority_order() -> list[str]:
     keys = list(registry.QUERIES)
+    first = [k for k in _REVERIFY_FIRST if k in keys]
     never = [k for k in keys
-             if k not in _DRIVER_CHECKED and k not in _STALE_ROW]
-    stale = [k for k in keys if k in _STALE_ROW]
-    rest = [k for k in keys if k in _DRIVER_CHECKED]
-    return never + stale + rest
+             if k not in _DRIVER_CHECKED and k not in _REVERIFY_FIRST]
+    rest = [k for k in keys
+            if k in _DRIVER_CHECKED and k not in _REVERIFY_FIRST]
+    return first + never + rest
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -25,10 +25,17 @@ ranks between runs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdata1_spark.sources.tables import load_table
+
+# Dense-mode cutoff for triangle counting: with |V| node-index bits per
+# bitset, total adjacency is |V|^2/8 bytes — at 16384 nodes that is
+# 32 MiB, comfortably inside the session's 64 MiB broadcast threshold.
+# Past it, bitsets stop being broadcast-able and the sparse wedge-join
+# path (arboricity-bounded) is the right plan.
+_DENSE_MAX_NODES = 16384
 
 
 def _co_supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -79,40 +86,131 @@ def graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-node triangle participation counts in the co-supplier graph.
+def _triangle_count_dense(
+    spark: SparkSession, sf_dir: str, n_nodes_bound: int
+) -> DataFrame:
+    """Packed-bitmap triangle counting for dense derived graphs.
+
+    The co-supplier graph at small SF is near-complete (density ~0.9 at
+    sf0.1), so any per-triangle enumeration pays Θ(n³) row traffic —
+    the round-5 bench's heaviest key (16.5 s) was exactly that. The
+    dense-mode plan is the HPC formulation instead: map node ids to
+    dense indices, pack each node's neighborhood into an array<long>
+    bitset (|V| bits), and compute per-edge common-neighbor counts as
+    `sum(bit_count(a AND b))` via zip_with — 16 word-ops per edge at
+    |V|=1000 instead of ~n wedge rows. Per-node counts follow from
+    t(w) = ½ · Σ_{edges (w,x)} |N(w) ∩ N(x)| (each triangle at w is
+    seen once through each of its two other vertices, so the incident
+    sum is exactly 2·t(w) — integer division is exact).
+
+    Everything is JVM built-ins (sequence/transform/aggregate/zip_with/
+    bit_count); bitsets are broadcast-joined to the edge list (total
+    adjacency |V|²/8 ≤ 32 MiB under the dense cutoff). The dense-index
+    assignment is a row_number over the |V|-row node table — single
+    partition by construction, but dense mode PRESUPPOSES |V| is
+    broadcast-small, so that window never grows past the cutoff.
+    """
+    nwords = (n_nodes_bound + 63) // 64
+    e = _co_supplier_edges(spark, sf_dir).localCheckpoint()
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    idx = nodes.select(
+        "node", (F.row_number().over(Window.orderBy("node")) - 1).alias("i")
+    )
+    ia = idx.select(F.col("node").alias("a"), F.col("i").alias("ia"))
+    ib = idx.select(F.col("node").alias("b"), F.col("i").alias("ib"))
+    ei = e.join(F.broadcast(ia), "a").join(F.broadcast(ib), "b")
+    inc = ei.select(F.col("ia").alias("x"), F.col("ib").alias("y")).union(
+        ei.select(F.col("ib").alias("x"), F.col("ia").alias("y"))
+    )
+    bits = (
+        inc.groupBy("x")
+        .agg(F.collect_set("y").alias("nbrs"))
+        .select(
+            "x",
+            F.expr(
+                f"""
+                transform(sequence(0, {nwords - 1}),
+                  w -> aggregate(filter(nbrs, i -> i div 64 = w), 0L,
+                                 (acc, i) -> acc | shiftleft(1L, cast(i % 64 as int))))
+                """
+            ).alias("bs"),
+        )
+    )
+    ba = bits.select(F.col("x").alias("ia"), F.col("bs").alias("bsa"))
+    bb = bits.select(F.col("x").alias("ib"), F.col("bs").alias("bsb"))
+    per_edge = (
+        ei.join(F.broadcast(ba), "ia")
+        .join(F.broadcast(bb), "ib")
+        .select(
+            "a",
+            "b",
+            F.expr(
+                "aggregate(zip_with(bsa, bsb, (p, q) -> bit_count(p & q)),"
+                " 0, (acc, x) -> acc + x)"
+            )
+            .cast("long")
+            .alias("common"),
+        )
+    )
+    return (
+        per_edge.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("a").alias("node"), F.col("common").alias("c")
+                    ),
+                    F.struct(
+                        F.col("b").alias("node"), F.col("common").alias("c")
+                    ),
+                )
+            ).alias("t")
+        )
+        .groupBy(F.col("t.node").alias("node"))
+        .agg((F.sum("t.c") / F.lit(2)).cast("long").alias("n_triangles"))
+        .where(F.col("n_triangles") > 0)
+    )
+
+
+def _triangle_count_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wedge-join triangle counting for sparse graphs (the general path).
 
     Degree-ordered orientation: each undirected edge points from its
     lower-(degree, id) endpoint, so every triangle is enumerated exactly
-    once — from its lowest-degree vertex. Wedge generation (the e1⋈e2
-    join) is then bounded by sum(min-degree per edge) — the arboricity
-    bound — instead of sum(degree²): this is what keeps the join alive
-    on power-law graphs at 100 TB. The closing-edge check is one more
-    equi-join on the (u, w) pair key. The triangle count itself is
-    orientation-invariant, so the oracle can use plain id-ordering.
-    Columns: node, n_triangles (nodes in ≥1 triangle).
+    once and wedge generation is bounded by the arboricity (sum of
+    min-degree per edge), not sum(degree²) — what keeps the join alive
+    on power-law graphs at 100 TB. The tiny edge list (2 longs/row) is
+    localCheckpoint-ed once so the degree pass and the orientation pass
+    share one materialization instead of re-running the whole
+    generation chain; both triangle joins are broadcast (the oriented
+    edge list is |E| rows of 16 bytes). Per-node attribution avoids the
+    3-per-triangle array explode via GROUPING SETS (u),(v),(w): Expand
+    replicates rows inside codegen with no allocation.
     """
-    e = _co_supplier_edges(spark, sf_dir)
-    deg = graph_degree(spark, sf_dir)
-    # orient: keep (src, dst) with (deg, id) strictly increasing
-    da = deg.select(
-        F.col("node").alias("a"), F.col("degree").alias("deg_a")
+    e = _co_supplier_edges(spark, sf_dir).localCheckpoint()
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
     )
-    db = deg.select(
-        F.col("node").alias("b"), F.col("degree").alias("deg_b")
-    )
-    withdeg = e.join(da, "a").join(db, "b")
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("deg_b"))
+    withdeg = e.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
     lt = (F.col("deg_a") < F.col("deg_b")) | (
         (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
     )
     oriented = withdeg.select(
         F.when(lt, F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(lt, F.col("b")).otherwise(F.col("a")).alias("dst"),
-    ).cache()
+    ).localCheckpoint()
     wedges = (
         oriented.alias("e1")
         .join(
-            oriented.alias("e2"),
+            F.broadcast(oriented.alias("e2")),
             F.col("e1.dst") == F.col("e2.src"),
         )
         .select(
@@ -121,18 +219,41 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e2.dst").alias("w"),
         )
     )
-    closing = oriented.select(
-        F.col("src").alias("u"), F.col("dst").alias("w")
+    closing = F.broadcast(
+        oriented.select(F.col("src").alias("u"), F.col("dst").alias("w"))
     )
     tris = wedges.join(closing, ["u", "w"])
-    out = (
-        tris.select(
-            F.explode(F.array("u", "v", "w")).alias("node")
-        )
+    return (
+        tris.groupingSets([["u"], ["v"], ["w"]], "u", "v", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.coalesce("u", "v", "w").alias("node"), "c")
         .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .agg(F.sum("c").alias("n_triangles"))
     )
-    return out
+
+
+def triangle_count(
+    spark: SparkSession,
+    sf_dir: str,
+    dense_max_nodes: int = _DENSE_MAX_NODES,
+) -> DataFrame:
+    """Per-node triangle participation counts in the co-supplier graph.
+
+    Hybrid physical strategy, chosen from catalog stats the way a
+    cost-based planner would: the supplier row count (a parquet
+    metadata read, no scan) bounds |V|; under ``dense_max_nodes`` the
+    packed-bitmap dense plan runs (|V|²/8 bytes of total adjacency is
+    broadcast-small, and near-complete derived graphs make per-triangle
+    enumeration Θ(n³)); above it the degree-ordered wedge-join sparse
+    plan runs (arboricity-bounded, never materializes a bitset).
+    The count itself is orientation- and plan-invariant, so the oracle
+    uses plain id-ordering. Columns: node, n_triangles (bigint; nodes
+    in ≥1 triangle).
+    """
+    n_sup = load_table(spark, sf_dir, "supplier").count()
+    if n_sup <= dense_max_nodes:
+        return _triangle_count_dense(spark, sf_dir, n_sup)
+    return _triangle_count_sparse(spark, sf_dir)
 
 
 def pagerank(

@@ -31,6 +31,16 @@ def test_triangle_total_divisible_by_three(spark, sf_dir):
     assert total % 3 == 0
 
 
+def test_triangle_dense_sparse_agree(spark, sf_dir):
+    """The packed-bitmap dense plan and the wedge-join sparse plan are
+    physical strategies for the same logical result — they must agree
+    row-for-row (dense_max_nodes=0 forces the sparse path)."""
+    dense = graph.triangle_count(spark, sf_dir)
+    sparse = graph.triangle_count(spark, sf_dir, dense_max_nodes=0)
+    assert dense.exceptAll(sparse).count() == 0
+    assert sparse.exceptAll(dense).count() == 0
+
+
 def test_pagerank_invariants(spark, sf_dir):
     """No dangling nodes → damping conserves rank mass: sum(rank) = N
     up to rounding. Ranks positive, bounded below by the base term."""
