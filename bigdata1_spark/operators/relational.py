@@ -458,6 +458,70 @@ def histogram(spark: SparkSession, sf_dir: str, n_buckets: int = 10) -> DataFram
     )
 
 
+def _range_partitioned_running(
+    df: DataFrame,
+    key: str,
+    val: str,
+    out: str,
+    agg: str = "sum",
+    inclusive: bool = True,
+    num_ranges: int = 32,
+) -> DataFrame:
+    """Distributed running aggregate over a value-ordered table.
+
+    ``sum(val) over (order by key)`` with no partition key collapses
+    every row into one task — fine while the input is a reduced value
+    DOMAIN, a scale risk once that domain grows with the data (TPC-H
+    price domains grow with |part|). This is the classic two-pass
+    prefix-sum instead: range-shuffle on ``key`` (co-locating each key
+    range), compute the running aggregate WITHIN each range, aggregate
+    one total per range, and broadcast the cross-range offsets back.
+    The only unpartitioned window left runs over ``num_ranges`` rows —
+    a constant chosen by the planner, independent of data volume.
+
+    ``agg`` is "sum" (offsets add) or "max" (offsets fold via greatest,
+    null-safe so the first range / first row keep "no predecessor"
+    semantics); ``inclusive=False`` gives the strict-predecessor frame
+    (rows < current), the shape dominance checks need.
+
+    The range-stamped frame is localCheckpoint-ed (domain-sized, not
+    data-sized) because both the offset branch and the join branch read
+    ``_pid``: range boundaries come from seeded sampling, so the stamp
+    must be materialized once, not recomputed per branch.
+    """
+    aggf = {"sum": F.sum, "max": F.max}[agg]
+    rp = (
+        df.repartitionByRange(num_ranges, key)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    wloc = (
+        Window.partitionBy("_pid")
+        .orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, 0 if inclusive else -1)
+    )
+    local = rp.withColumn("_loc", aggf(val).over(wloc))
+    # one row per range; the offset window is constant-bounded
+    woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        local.groupBy("_pid")
+        .agg(aggf(val).alias("_tot"))
+        .withColumn("_off", aggf("_tot").over(woff))
+        .select("_pid", "_off")
+    )
+    if agg == "max":
+        combined = F.greatest("_loc", "_off")  # greatest skips nulls
+    else:
+        combined = F.coalesce("_loc", F.lit(0)) + F.coalesce(
+            "_off", F.lit(0)
+        )
+    return (
+        local.join(F.broadcast(offs), "_pid")
+        .withColumn(out, combined)
+        .drop("_pid", "_loc", "_off")
+    )
+
+
 def ntile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-frequency (NTILE) bucketing of ``l_extendedprice`` into 10
     buckets with per-bucket count/min/max/exact-sum — the binning step
@@ -471,9 +535,10 @@ def ntile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     1. ``groupBy(price)`` → per-value counts (the value DOMAIN, orders
        of magnitude smaller than the data; one shuffle on price).
-    2. A cumulative window over the tiny distinct-value table yields
-       each value's global rank interval [a, b] (the histogram trick:
-       the single-partition window touches |distinct| rows, not n).
+    2. A range-partitioned two-pass prefix sum over the distinct-value
+       table yields each value's global rank interval [a, b] (the
+       histogram trick) — distributed even if the value domain itself
+       grows with the data; see ``_range_partitioned_running``.
     3. NTILE's bucket sizes are closed-form (first n mod k buckets get
        ⌈n/k⌉ rows), so each value's rank interval maps to at most k
        (bucket, overlap-count) pairs via a bounded ``sequence`` explode
@@ -491,9 +556,8 @@ def ntile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     freq = li.groupBy("p").agg(F.count(F.lit(1)).alias("c"))
     # global rank interval per distinct value: [a, b]
-    w = Window.orderBy("p").rowsBetween(Window.unboundedPreceding, 0)
-    ranked = freq.select(
-        "p", "c", F.sum("c").over(w).alias("b")
+    ranked = _range_partitioned_running(
+        freq, "p", "c", "b", agg="sum", inclusive=True
     ).withColumn("a", F.col("b") - F.col("c") + 1)
     total = freq.agg(F.sum("c").alias("n"))
     # NTILE geometry: s = n div k, m = n mod k; bucket j covers ranks
@@ -553,18 +617,18 @@ def skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     1. groupBy(price) keeping max(size) — dominance only ever needs the
        best size at each price (one shuffle, domain-sized output).
-    2. One window over the distinct-price table computes the running
-       max size over strictly-cheaper prices; a price level survives
-       iff its best size strictly beats everything cheaper (ties at the
-       same size resolve to the cheapest price by a second running-max
-       comparison including the current price level's predecessors).
+    2. A range-partitioned running max over the distinct-price table
+       (strict-predecessor frame; see ``_range_partitioned_running``)
+       gives the best size over strictly-cheaper prices; a price level
+       survives iff its best size strictly beats everything cheaper.
     3. Join the surviving (price, size) frontier back to parts to
        recover full rows — broadcast-sized by construction (a skyline
        is tiny relative to its input).
 
-    The single-partition window touches |distinct prices| rows (the
-    ``ntile_stats`` argument); row-level data never serializes through
-    one partition. Columns: p_partkey, p_name, p_retailprice, p_size.
+    Row-level data never serializes through one partition, and neither
+    does the price domain: the running max is range-partitioned with
+    broadcast offsets. Columns: p_partkey, p_name, p_retailprice,
+    p_size.
     """
     parts = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_name", "p_retailprice", "p_size"
@@ -572,11 +636,15 @@ def skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     best = parts.groupBy("p_retailprice").agg(
         F.max("p_size").alias("best_size")
     )
-    w_prev = Window.orderBy("p_retailprice").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
     frontier = (
-        best.withColumn("prev_best", F.max("best_size").over(w_prev))
+        _range_partitioned_running(
+            best,
+            "p_retailprice",
+            "best_size",
+            "prev_best",
+            agg="max",
+            inclusive=False,
+        )
         .filter(
             F.col("prev_best").isNull()
             | (F.col("best_size") > F.col("prev_best"))

@@ -551,6 +551,13 @@ def test_ntile_stats_no_row_level_global_window(spark, sf_dir):
     # aggregate node precedes the Window section header order check):
     assert "ntile" not in plan.lower()
     assert "BroadcastExchange" in plan  # 1-row total, never a shuffle join
+    # the domain cumsum must be range-partitioned: every window ordered
+    # by the price domain carries the _pid partition key; the only
+    # unpartitioned window runs over the constant range-count table
+    assert not re.search(r"windowspecdefinition\(p#\d+ ASC", plan), (
+        "unpartitioned window over the price domain"
+    )
+    assert re.search(r"windowspecdefinition\(_pid#\d+, p#\d+ ASC", plan)
 
 
 def test_pii_scrub_narrow_map(spark, sf_dir):
@@ -576,3 +583,10 @@ def test_skyline_reduced_domain_window(spark, sf_dir):
     agg_pos = plan.find("HashAggregate")
     win_pos = plan.find("Window")
     assert agg_pos != -1 and win_pos != -1
+    # running max over the price domain must be range-partitioned
+    assert not re.search(
+        r"windowspecdefinition\(p_retailprice#\d+ ASC", plan
+    ), "unpartitioned window over the price domain"
+    assert re.search(
+        r"windowspecdefinition\(_pid#\d+, p_retailprice#\d+ ASC", plan
+    )
