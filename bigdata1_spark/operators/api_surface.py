@@ -125,4 +125,12 @@ def observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_price"),
     )
     observed.count()  # the action the metrics piggyback on
-    return spark.createDataFrame([obs.get])
+    # explicit schema: dict-based inference is deprecated AND orders
+    # columns alphabetically — pin the documented order and types
+    cols = ["n_rows", "n_neg_qty", "min_price", "max_price", "total_price"]
+    got = obs.get
+    return spark.createDataFrame(
+        [tuple(got[c] for c in cols)],
+        schema="n_rows bigint, n_neg_qty bigint, min_price double, "
+        "max_price double, total_price double",
+    )

@@ -168,7 +168,10 @@ def cooccur_pmi(spark: SparkSession, sf_dir: str, top_n: int = 50,
     docs = load_table(spark, sf_dir, "documents").select(
         tokens(F.col("text")).alias("toks")
     )
-    pairs = docs.select(
+    # a doc tokenizing to <2 tokens has no bigrams; without this guard
+    # an empty array would make the slice length -1 (a runtime error),
+    # while the oracle's generate_series(1, len-1) degrades gracefully
+    pairs = docs.where(F.size("toks") >= 2).select(
         F.explode(
             F.arrays_zip(
                 F.slice(F.col("toks"), 1, F.size("toks") - 1).alias("w1"),

@@ -371,6 +371,13 @@ def _run_bounded_append(
         .start()
     )
     query.awaitTermination()
+    # a bounded stream over an empty source produces zero micro-batches
+    # and never creates the sink directory — surface that as an empty
+    # result with the stream's schema, not an AnalysisException
+    if not os.path.isdir(out):
+        return spark.createDataFrame(
+            [], stream_df.schema
+        ).localCheckpoint(eager=True)
     # batch=<id> reads back as an inferred partition column — sink
     # bookkeeping, not part of the result contract.
     return (

@@ -221,3 +221,15 @@ def test_sliding_stream_matches_batch(spark, sf_dir):
 
     n = load_table(spark, sf_dir, "events").count()
     assert sum(r[2] for r in batch) == 2 * n
+
+
+def test_bounded_append_empty_source(spark, tmp_path):
+    """A bounded stream over an empty source drains zero micro-batches;
+    the sink directory never exists and the drain must hand back an
+    empty frame with the stream's schema instead of raising."""
+    src = tmp_path / "empty_src"
+    src.mkdir()
+    sdf = spark.readStream.schema("x BIGINT, y STRING").parquet(str(src))
+    out = se._run_bounded_append(spark, sdf, str(tmp_path / "work"))
+    assert out.columns == ["x", "y"]
+    assert out.count() == 0
