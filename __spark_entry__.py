@@ -76,9 +76,12 @@ _DRIVER_CHECKED = frozenset({
 # events_window_streamed / events_user_counts_streamed: latest driver rows
 # are r04 FAILs that predate the normalize_event_ts fix (locally green in
 # CORRECTNESS_local_r5.json) — force a fresh green row.
+# approx_sketch: promoted from rows-only to a bounds-asserted full oracle
+# in round 6 — its last driver row predates the new output contract.
 _REVERIFY_FIRST = (
     "events_window_streamed",
     "events_user_counts_streamed",
+    "approx_sketch",
 )
 
 

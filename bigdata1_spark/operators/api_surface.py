@@ -37,6 +37,51 @@ def sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sql_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog/DDL round-trip — a switching user's first touch: register
+    every table with ``CREATE OR REPLACE TEMPORARY VIEW ... USING
+    parquet`` (textual DDL, not the DataFrame shortcut), discover them
+    back through ``SHOW TABLES``, introspect each with ``DESCRIBE
+    TABLE``, then ``DROP VIEW`` — proving create/list/describe/drop all
+    work against the session catalog.
+
+    The result is pure catalog metadata (one row per table: column
+    count + names in ordinal position, straight from the DESCRIBE
+    output rows), so the driver-side assembly is bounded by the number
+    of TABLES, never the data — catalog ops are metadata ops at any
+    scale. Oracle: DuckDB's ``information_schema.columns`` over the
+    same pre-registered views. Columns: table_name, n_cols, cols_csv.
+    """
+    from bigdata1_spark.sources.tables import TABLES
+
+    for t in TABLES:
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY VIEW cat_{t} "
+            f"USING parquet OPTIONS (path '{sf_dir}/{t}.parquet')"
+        )
+    shown = {
+        r["tableName"]
+        for r in spark.sql("SHOW TABLES").collect()
+        if r["tableName"].startswith("cat_")
+    }
+    rows = []
+    for t in sorted(TABLES):
+        assert f"cat_{t}" in shown, f"SHOW TABLES lost cat_{t}"
+        # DESCRIBE on a simple view is a LocalRelation in column order
+        cols = [r["col_name"] for r in spark.sql(f"DESCRIBE TABLE cat_{t}").collect()]
+        rows.append((t, len(cols), ",".join(cols)))
+        spark.sql(f"DROP VIEW cat_{t}")
+    left = [
+        r["tableName"]
+        for r in spark.sql("SHOW TABLES").collect()
+        if r["tableName"].startswith("cat_")
+    ]
+    assert not left, f"DROP VIEW left {left} behind"
+    return spark.createDataFrame(
+        rows, schema="table_name string, n_cols bigint, cols_csv string"
+    )
+
+
 def udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF (table function): one row per '-'-token of the order
     priority with its ordinal — the lateral-view shape via the UDTF API.

@@ -256,6 +256,23 @@ def triangle_count(
     return _triangle_count_sparse(spark, sf_dir)
 
 
+def pagerank_iter1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exactly-unrolled PageRank iteration — the full-oracle anchor
+    for the rows-only fixed-point ``pagerank``.
+
+    A single iteration from uniform rank 1.0 is ONE join + ONE
+    aggregate, i.e. plain SQL: rank(v) = 0.15 + 0.85 · Σ_{(u,v)∈E}
+    1/outdeg(u). The Spark side reuses the production loop body
+    verbatim (``pagerank`` with ``iters=1``), so a green hash here pins
+    the per-iteration kernel — contribution division, decimal-summed
+    shuffle, damping arithmetic, 1e-6 floor rounding — against DuckDB
+    bit-for-bit; only the iteration *count* stays outside the oracle
+    (covered by the invariant tests in tests/test_graph.py).
+    Columns: node_type, node_id, rank.
+    """
+    return pagerank(spark, sf_dir, iters=1)
+
+
 def pagerank(
     spark: SparkSession, sf_dir: str, iters: int = 3, damping: float = 0.85
 ) -> DataFrame:

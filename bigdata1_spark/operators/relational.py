@@ -220,16 +220,41 @@ def approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximate percentile per return flag — the single-pass,
     fixed-memory forms that replace exact distinct/percentile at 100 TB
     (exact versions shuffle every distinct value; sketches merge
-    partial states). Rows-only driver check by design (sketch outputs
-    are implementation-defined), but the error IS pinned locally:
-    ``tests/test_extensions.py::test_approx_sketch_bounded_error``
-    asserts apx_parts within 5% of agg_distinct's exact count and
-    apx_med_price inside the exact [p45, p55] percentile band."""
+    partial states; a user would select ``apx_parts``/``apx_med_price``
+    directly at scale).
+
+    The raw sketch values are implementation-defined, so the checkable
+    contract IS the error bound: the hashed output carries the exact
+    distinct count plus booleans asserting each sketch landed inside
+    its published band (HLL within 5% of exact; approx median between
+    the exact 45th/55th percentiles — far looser than the sketch's
+    1/1000 rank guarantee, so it never flakes, but tight enough to
+    catch a broken sketch). DuckDB reproduces the exact columns and
+    pins the booleans to true, making this a full value-hash oracle
+    instead of a rows-only check. ``tests/test_extensions.py::
+    test_approx_sketch_bounded_error`` additionally asserts the raw
+    sketch values locally. Columns: l_returnflag, exact_parts,
+    parts_within_5pct, med_in_band."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("apx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
         F.expr("approx_percentile(l_extendedprice, 0.5, 1000)")
         .alias("apx_med_price"),
+        F.expr("percentile(l_extendedprice, 0.45)").alias("p45"),
+        F.expr("percentile(l_extendedprice, 0.55)").alias("p55"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("apx_parts") - F.col("exact_parts"))
+            <= F.lit(0.05) * F.col("exact_parts")
+        ).alias("parts_within_5pct"),
+        (
+            (F.col("apx_med_price") >= F.col("p45"))
+            & (F.col("apx_med_price") <= F.col("p55"))
+        ).alias("med_in_band"),
     )
 
 

@@ -1084,9 +1084,20 @@ register(
     """,
 )
 
-# sketch outputs are implementation-defined → rows-only driver check;
-# bounded error vs exact values is asserted in tests.
-register("approx_sketch", relational.approx_sketch)
+# Raw sketch values are implementation-defined, so the checkable contract
+# is the error bound: Spark emits exact counterparts + in-band booleans,
+# and the oracle reproduces the exact columns and pins the booleans true.
+register(
+    "approx_sketch",
+    relational.approx_sketch,
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS exact_parts,
+           true AS parts_within_5pct,
+           true AS med_in_band
+    FROM lineitem GROUP BY 1
+    """,
+)
 
 # ---------------------------------------------------------------------------
 # Classic TPC-H query shapes + ranking/statistical breadth
@@ -1537,6 +1548,24 @@ register(
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE l.l_returnflag = 'R'
     GROUP BY o.o_orderpriority
+    """,
+)
+
+# Catalog DDL round-trip (CREATE VIEW / SHOW TABLES / DESCRIBE / DROP);
+# the oracle reads the same schemas from DuckDB's information_schema.
+register(
+    "sql_catalog",
+    api_surface.sql_catalog,
+    """
+    SELECT table_name,
+           COUNT(*) AS n_cols,
+           string_agg(column_name, ',' ORDER BY ordinal_position)
+             AS cols_csv
+    FROM information_schema.columns
+    WHERE table_name IN ('region', 'nation', 'customer', 'supplier',
+                         'part', 'orders', 'lineitem', 'events',
+                         'documents', 'embeddings')
+    GROUP BY table_name
     """,
 )
 
@@ -2802,6 +2831,38 @@ register(
 )
 
 register("pagerank", graph.pagerank)  # rows-only: iterative, non-SQL
+
+# One exactly-unrolled iteration of the same kernel IS plain SQL — this
+# pins the per-iteration join/agg/damping arithmetic against DuckDB;
+# only the iteration count stays rows-only (invariants in test_graph.py).
+register(
+    "pagerank_iter1",
+    graph.pagerank_iter1,
+    """
+    WITH cs AS (
+      SELECT DISTINCT o_custkey AS c, -l_suppkey AS s
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+      SELECT c AS src, s AS dst FROM cs
+      UNION ALL
+      SELECT s AS src, c AS dst FROM cs
+    ),
+    outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    contrib AS (
+      SELECT e.dst AS node,
+             CAST(SUM(CAST(CAST(1.0 AS DOUBLE) / o.outdeg
+                           AS DECIMAL(27,15))) AS DOUBLE) AS in_sum
+      FROM edges e JOIN outdeg o ON e.src = o.src
+      GROUP BY e.dst
+    )
+    SELECT CASE WHEN node > 0 THEN 'customer' ELSE 'supplier' END
+             AS node_type,
+           abs(node) AS node_id,
+           floor((0.15 + 0.85 * in_sum) * 1e6 + 0.5) / 1e6 AS rank
+    FROM contrib
+    """,
+)
 
 _SLIDING_ORACLE = """
     WITH member AS (

