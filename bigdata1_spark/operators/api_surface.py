@@ -37,6 +37,36 @@ def sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF — the remaining vectorized-UDF
+    flavor after scalar (``fingerprint``), grouped-map
+    (``grouped_map_normalize``), map-iter (``multimodal_pipeline``) and
+    UDTF (``udtf_tokens``): a custom aggregate that Spark evaluates per
+    group over Arrow batches, composable inside a normal ``groupBy``.
+
+    The aggregate itself (revenue in integer cents) rounds each value
+    to int64 BEFORE summing, so the result is order-free exact — the
+    same decimal-not-double discipline as ``exact_sum``, proven here
+    through the pandas path and pinned by a full DuckDB oracle. Like
+    ``udtf_tokens`` this key exists to prove the API surface; the
+    built-in decimal sum is the production path.
+    Columns: l_returnflag, revenue_cents.
+    """
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def cents_sum(price: pd.Series) -> int:
+        return int(
+            np.floor(price.to_numpy() * 100.0 + 0.5).astype("int64").sum()
+        )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        cents_sum("l_extendedprice").alias("revenue_cents")
+    )
+
+
 def sql_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Catalog/DDL round-trip — a switching user's first touch: register
     every table with ``CREATE OR REPLACE TEMPORARY VIEW ... USING

@@ -141,6 +141,40 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day — the growth-curve query
+    (distinct-count over an ever-expanding window), reformulated so no
+    window ever sees row-level data: a naive
+    ``COUNT(DISTINCT) OVER (ORDER BY day)`` re-scans every prefix.
+
+    Each user contributes exactly once, at their first-seen day, so the
+    cumulative distinct count is the running SUM of first-seen counts:
+    one agg on user_id, one agg on day, one cumulative window over the
+    DAY table — whose size is bounded by the calendar (decades of
+    retention ≈ 10⁴ rows), so the unpartitioned ordered window is
+    constant-bounded, not data-bounded (the distinction
+    ``ntile_stats``/``skyline`` had to engineer around).
+    Columns: day, n_new, n_cum.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("day").alias("day"))
+    per_day = first_seen.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_day.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_new",
+        F.sum("n_new").over(w).alias("n_cum"),
+    )
+
+
 def rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style multi-resolution rollup: event counts and value
     sums at 1-minute, 1-hour, and 1-day granularity in ONE pass.

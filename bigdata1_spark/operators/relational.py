@@ -258,6 +258,108 @@ def approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profiling — the ``describe()``/``summary()`` analog as a
+    first-class query: per-column null count, exact distinct count,
+    min/max, and a decimal-exact mean for lineitem's measure columns.
+
+    ONE aggregation pass computes every statistic (the distinct counts
+    expand map-side, still a single shuffle), then a ``stack`` unpivots
+    the 1-row result into long form — zero extra exchanges. The mean is
+    a decimal sum divided by the count so it is bit-stable across
+    partial-agg orderings (same discipline as ``exact_sum``). At 100 TB
+    this is the profile pass a pipeline runs before schema decisions;
+    only the exact distinct counts are scale-sensitive, and
+    ``approx_sketch`` is the documented sketch fallback.
+    Columns: col_name, n_nulls, n_distinct, min_val, max_val, mean_val.
+    """
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    li = load_table(spark, sf_dir, "lineitem").select(*cols)
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long").alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+            F.sum(F.col(c).cast("decimal(18,4)")).alias(f"{c}__sum"),
+            F.count(c).alias(f"{c}__cnt"),
+        ]
+    row = li.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max, "
+        f"cast({c}__sum as double) / {c}__cnt"
+        for c in cols
+    )
+    return row.selectExpr(
+        f"stack({len(cols)}, {stacked}) AS "
+        "(col_name, n_nulls, n_distinct, min_val, max_val, mean_val)"
+    )
+
+
+def runtime_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter semijoin reduction — the shuffle-join
+    counterpart to broadcast pruning, for selective dimension sides too
+    big to broadcast at 100 TB.
+
+    With ``spark.sql.optimizer.runtime.bloomFilter.enabled`` Catalyst
+    injects ``bloom_filter_agg`` over the filtered (creation) side's
+    join keys and a ``might_contain`` filter directly above the probe
+    side's scan, so the fact table is pruned BEFORE its shuffle — rows
+    whose order key cannot match never cross the network. Bloom false
+    positives are removed by the exact join that follows, so the result
+    is identical to the plain join: exactly what the oracle checks.
+    The thresholds are demo-forced here because the toy inputs sit
+    below the production defaults (10 GB creation side); at real scale
+    the defaults trigger untouched. Confs apply for the duration of
+    this plan (eager materialization) and are restored after.
+    ``tests/test_plans.py`` asserts the injected might_contain /
+    bloom_filter_agg pair. Columns: month, n_lines, revenue.
+    """
+    confs = RUNTIME_FILTER_CONFS
+    old = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        return _runtime_filter_plan(spark, sf_dir).localCheckpoint(eager=True)
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+
+
+# Conf keys runtime_filter_join toggles — shared with the plan test so
+# it can build the same plan un-materialized and assert the injection.
+# autoBroadcastJoinThreshold=-1 forces the shuffle join: with a
+# broadcast the probe-side prune is implicit and no runtime filter is
+# needed; thresholds are demo-forced for toy inputs (defaults trigger
+# untouched at production scale).
+RUNTIME_FILTER_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def _runtime_filter_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The logical plan behind runtime_filter_join (conf handling is the
+    caller's job): selective orders side ⋈ lineitem, monthly rollup."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey", "o_orderdate")
+    joined = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    return joined.groupBy(
+        month_of(F.col("o_orderdate")).alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        exact_sum(F.col("l_extendedprice"), "revenue"),
+    )
+
+
 def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking-function surface: rank / dense_rank / percent_rank /
     ntile over a deterministic total order (month is unique per item)."""

@@ -360,3 +360,77 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vr") == 1)
         .select("q_id", F.col("label").alias("pred_label"), "votes")
     )
+
+
+PQ_SUBSPACES = 4   # M: subvectors per embedding
+PQ_CODEWORDS = 8   # K: codebook size per subspace
+PQ_SUBDIM = 16     # dim / M for the 64-d testdata embeddings
+
+
+def pq_encode(
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = PQ_SUBSPACES,
+    k: int = PQ_CODEWORDS,
+    dsub: int = PQ_SUBDIM,
+) -> DataFrame:
+    """Product quantization — the memory side of large-scale ANN
+    (IVF-PQ): each vector is encoded as ``m`` small codes, one per
+    subspace, compressing a 64-d float vector to ``m`` bytes while
+    supporting asymmetric distance scans over the codes.
+
+    Codebooks are hash-sampled like ``_ivf_scored``'s centroids (the
+    ``k`` vectors with smallest ``md5(vec_id)``; codeword ``j`` of
+    subspace ``s`` is dims ``[s*dsub, (s+1)*dsub)`` of seed ``j``) — a
+    k-means refinement would drift between engines, hash-sampling keeps
+    the oracle exact while the plan shape is identical. Encoding is one
+    broadcast of the k-row codebook against the scan: per-subspace
+    squared-L2 via an index-ordered fold (bit-reproducible vs DuckDB's
+    ``list_reduce``), argmin per (vector, subspace) via a lexicographic
+    struct-min — ties break to the smaller codeword id in both engines.
+    No shuffle of the corpus at all: broadcast + per-row argmin, then a
+    single groupBy on vec_id whose partial aggregation is the struct-min
+    itself. Columns: vec_id, code_1..code_m, recon_err (sum of the m
+    subspace distances, 1e-6 floor-rounded).
+    """
+    emb = _emb(spark, sf_dir)
+    cents = (
+        emb.select(
+            F.col("vec_id").alias("cid"),
+            F.col("v").alias("cv"),
+            F.md5(F.col("vec_id").cast("string")).alias("h"),
+        )
+        .orderBy("h", "cid")
+        .limit(k)
+        .select("cid", "cv")
+    )
+    pairs = emb.crossJoin(F.broadcast(cents))
+    for s in range(m):
+        lo = s * dsub + 1  # 1-based slice start
+        pairs = pairs.withColumn(
+            f"d{s}",
+            F.expr(
+                f"aggregate(zip_with(slice(v, {lo}, {dsub}),"
+                f" slice(cv, {lo}, {dsub}),"
+                " (a, b) -> (a - b) * (a - b)),"
+                " 0D, (acc, x) -> acc + x)"
+            ),
+        )
+    best = pairs.groupBy("vec_id").agg(
+        *[
+            F.min(
+                F.struct(
+                    F.col(f"d{s}").alias("d"), F.col("cid").alias("c")
+                )
+            ).alias(f"s{s}")
+            for s in range(m)
+        ]
+    )
+    err = sum(F.col(f"s{s}.d") for s in range(m))
+    return best.select(
+        "vec_id",
+        *[F.col(f"s{s}.c").alias(f"code_{s + 1}") for s in range(m)],
+        (F.floor(err * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "recon_err"
+        ),
+    )

@@ -376,6 +376,23 @@ register(
     """,
 )
 
+# JSONL source/sink round-trip; the distinct-md5 count pins payload
+# equality through the escape/unescape cycle, not just row counts.
+from bigdata1_spark.sources import jsonl  # noqa: E402
+
+_TEXT_SOURCE_ORACLE = """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           COUNT(DISTINCT md5(text)) AS n_texts
+    FROM documents GROUP BY lang
+    """
+
+register("scan_jsonl", jsonl.scan_jsonl, _TEXT_SOURCE_ORACLE)
+
+# Same rollup through the CSV source/sink pair (header + quoting path).
+register("scan_csv", jsonl.scan_csv, _TEXT_SOURCE_ORACLE)
+
 # ---------------------------------------------------------------------------
 # North-star extensions (SURVEY.md §2.9): dedup, similarity, text analysis
 # ---------------------------------------------------------------------------
@@ -1084,6 +1101,63 @@ register(
     """,
 )
 
+# describe()/summary() analog: one agg pass + stack unpivot; the mean is
+# decimal-exact so the hash is stable across partial-agg orderings.
+register(
+    "column_profile",
+    relational.column_profile,
+    """
+    SELECT 'l_quantity' AS col_name,
+           COUNT(CASE WHEN l_quantity IS NULL THEN 1 END) AS n_nulls,
+           COUNT(DISTINCT l_quantity) AS n_distinct,
+           MIN(l_quantity) AS min_val, MAX(l_quantity) AS max_val,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+             / COUNT(l_quantity) AS mean_val
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice',
+           COUNT(CASE WHEN l_extendedprice IS NULL THEN 1 END),
+           COUNT(DISTINCT l_extendedprice),
+           MIN(l_extendedprice), MAX(l_extendedprice),
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+             / COUNT(l_extendedprice)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount',
+           COUNT(CASE WHEN l_discount IS NULL THEN 1 END),
+           COUNT(DISTINCT l_discount),
+           MIN(l_discount), MAX(l_discount),
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+             / COUNT(l_discount)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_tax',
+           COUNT(CASE WHEN l_tax IS NULL THEN 1 END),
+           COUNT(DISTINCT l_tax),
+           MIN(l_tax), MAX(l_tax),
+           CAST(SUM(CAST(l_tax AS DECIMAL(18,4))) AS DOUBLE)
+             / COUNT(l_tax)
+    FROM lineitem
+    """,
+)
+
+# Runtime bloom-filter semijoin reduction: Catalyst prunes the fact side
+# before its shuffle; the exact join removes bloom false positives, so
+# the result equals the plain join the oracle computes.
+register(
+    "runtime_filter_join",
+    relational.runtime_filter_join,
+    """
+    SELECT strftime(o.o_orderdate, '%Y-%m') AS month,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY 1
+    """,
+)
+
 # Raw sketch values are implementation-defined, so the checkable contract
 # is the error bound: Spark emits exact counterparts + in-band booleans,
 # and the oracle reproduces the exact columns and pins the booleans true.
@@ -1548,6 +1622,19 @@ register(
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE l.l_returnflag = 'R'
     GROUP BY o.o_orderpriority
+    """,
+)
+
+# Grouped-aggregate pandas UDF surface; per-row int rounding before the
+# sum keeps the custom aggregate order-free exact (oracle mirrors it).
+register(
+    "pandas_grouped_agg",
+    api_surface.pandas_grouped_agg,
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM lineitem GROUP BY l_returnflag
     """,
 )
 
@@ -2469,6 +2556,24 @@ register(
     """,
 )
 
+# Streaming MERGE/upsert sink: two micro-batches folded through
+# versioned latest-per-user outputs must equal the batch argmax.
+register(
+    "events_upsert_streamed",
+    streaming_events.events_upsert_streamed,
+    """
+    SELECT user_id, event_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+           value
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    WHERE rn = 1
+    """,
+)
+
 # ---------------------------------------------------------------------------
 # Profiling / sampling additions (round 5): histogram, per-doc entropy,
 # rate-based stratified sampling.
@@ -2549,6 +2654,54 @@ register(
 # ---------------------------------------------------------------------------
 # Embedding-column profiling + kNN classification (round 5).
 # ---------------------------------------------------------------------------
+
+# Product quantization: hash-sampled codebooks keep the oracle exact;
+# recon_err is summed in fixed subspace order on BOTH sides so the
+# floating addition order (and hence the 1e-6 rounding) cannot drift.
+register(
+    "pq_encode",
+    similarity.pq_encode,
+    """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cents AS (
+      SELECT vec_id AS cid, v AS cv
+      FROM (SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) AS h FROM e
+            ORDER BY h, vec_id LIMIT 8)
+    ),
+    dists AS (
+      SELECT e.vec_id, c.cid, s.s,
+             list_reduce(
+               list_transform(generate_series(1, 16),
+                 i -> (e.v[(s.s - 1) * 16 + i] - c.cv[(s.s - 1) * 16 + i])
+                    * (e.v[(s.s - 1) * 16 + i] - c.cv[(s.s - 1) * 16 + i])),
+               (a, b) -> a + b) AS d
+      FROM e, cents c, (SELECT unnest(generate_series(1, 4)) AS s) s
+    ),
+    best AS (
+      SELECT vec_id, s, cid, d,
+             ROW_NUMBER() OVER (
+               PARTITION BY vec_id, s ORDER BY d, cid) AS rn
+      FROM dists
+    ),
+    per_sub AS (
+      SELECT vec_id,
+             MAX(CASE WHEN s = 1 THEN cid END) AS code_1,
+             MAX(CASE WHEN s = 2 THEN cid END) AS code_2,
+             MAX(CASE WHEN s = 3 THEN cid END) AS code_3,
+             MAX(CASE WHEN s = 4 THEN cid END) AS code_4,
+             MAX(CASE WHEN s = 1 THEN d END) AS d1,
+             MAX(CASE WHEN s = 2 THEN d END) AS d2,
+             MAX(CASE WHEN s = 3 THEN d END) AS d3,
+             MAX(CASE WHEN s = 4 THEN d END) AS d4
+      FROM best WHERE rn = 1 GROUP BY vec_id
+    )
+    SELECT vec_id, code_1, code_2, code_3, code_4,
+           FLOOR((d1 + d2 + d3 + d4) * 1e6 + 0.5) / 1e6 AS recon_err
+    FROM per_sub
+    """,
+)
 
 register(
     "embedding_norms",
@@ -2698,6 +2851,26 @@ register(
            CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
     FROM ev e JOIN first_seen f ON e.user_id = f.user_id
     GROUP BY 1, 2
+    """,
+)
+
+# Growth curve: cumulative distinct = running sum of first-seen counts,
+# so no window ever sees row-level data (day table is calendar-bounded).
+register(
+    "cumulative_distinct",
+    event_analytics.cumulative_distinct,
+    """
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS day FROM events GROUP BY 1
+    ), per_day AS (
+      SELECT day, COUNT(*) AS n_new FROM first_seen GROUP BY 1
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           n_new,
+           CAST(SUM(n_new) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS n_cum
+    FROM per_day
     """,
 )
 

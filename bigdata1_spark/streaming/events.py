@@ -204,7 +204,11 @@ def events_user_counts_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
-def _read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+def _read_events_stream(
+    spark: SparkSession,
+    source_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """Parquet-dir streaming source for events.
 
     A file stream needs an explicit schema, but hard-coding one bakes in
@@ -222,9 +226,12 @@ def _read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
     # as long instead of failing the read; no-op for micros encodings.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(source_dir).schema
-    return normalize_event_ts(
-        spark.readStream.schema(schema).parquet(source_dir)
-    )
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        # Source option (not a sink one): caps each micro-batch at N
+        # files, so a bounded availableNow drain replays multi-batch.
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return normalize_event_ts(reader.parquet(source_dir))
 
 
 def click_purchase_join_stream(
@@ -583,5 +590,108 @@ def events_sliding_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             query.awaitTermination()
         return spark.read.parquet(out).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _latest_per_user(df: DataFrame) -> DataFrame:
+    """Argmax per user by (ts, event_id) — associative and idempotent,
+    which is what makes the streaming MERGE below replay-safe: merging
+    a batch twice, or in any order, yields the same winners."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def events_upsert_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming upsert (MERGE) sink over plain parquet — the CDC
+    pattern a table format gives you, built from primitives: maintain
+    "latest event per user" across MULTIPLE micro-batches.
+
+    The source is split into two files drained one per micro-batch
+    (``maxFilesPerTrigger=1``), so the merge genuinely runs cross-batch
+    state through the sink, not a single-batch drain. Each batch writes
+    a full new VERSION directory (``v=<batch_id>``) computed as
+    latest-per-user over (previous version ∪ batch) — the
+    object-store-safe way to upsert without a table format: no
+    read-modify-write of a live path, and a replayed batch rebuilds
+    its own version from its predecessor, so recovery is exactly-once.
+    The merge function (argmax by ts, event_id) is associative +
+    idempotent, which is what makes that replay claim true.
+
+    At scale each version write shuffles once on user_id; table
+    formats (Delta/Iceberg) replace the full rewrite with file-level
+    merge-on-read, but the orchestration shown here is identical.
+    Oracle: batch latest-event-per-user over the events table.
+    Columns: user_id, event_id, event_type, ts_s, value.
+    """
+    import glob
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="bigdata1_upsert_stream_")
+    try:
+        src = os.path.join(work, "src")
+        os.makedirs(src)
+        # Split the source deterministically into two half-files so the
+        # bounded drain produces two ordered micro-batches.
+        ev = load_table(spark, sf_dir, "events")
+        for i in range(2):
+            half_dir = os.path.join(work, f"half{i}")
+            ev.where(
+                F.pmod(F.xxhash64("event_id"), F.lit(2)) == i
+            ).coalesce(1).write.parquet(half_dir)
+            (part,) = glob.glob(os.path.join(half_dir, "part-*.parquet"))
+            dst = os.path.join(src, f"{i:02d}.parquet")
+            shutil.move(part, dst)
+            os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+        out = os.path.join(work, "out")
+        os.makedirs(out)
+
+        def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+            versions = sorted(glob.glob(os.path.join(out, "v=*")))
+            prev = (
+                spark.read.parquet(versions[-1])
+                if versions
+                else batch_df.limit(0)
+            )
+            merged = _latest_per_user(
+                prev.unionByName(_latest_per_user(batch_df))
+            )
+            merged.write.mode("overwrite").parquet(
+                os.path.join(out, f"v={batch_id:05d}")
+            )
+
+        stream = _read_events_stream(
+            spark, src, max_files_per_trigger=1
+        ).select("user_id", "event_id", "event_type", "ts", "value")
+        with _state_sized_partitions(spark, src):
+            query = (
+                stream.writeStream.foreachBatch(merge_batch)
+                .outputMode("append")
+                .option("checkpointLocation", os.path.join(work, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            query.awaitTermination()
+        versions = sorted(glob.glob(os.path.join(out, "v=*")))
+        assert len(versions) >= 2, (
+            f"expected multi-batch upsert, got {len(versions)} versions"
+        )
+        final = spark.read.parquet(versions[-1]).select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
+            "value",
+        )
+        return final.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -50,6 +50,26 @@ def test_revenue_column_pruning(spark, sf_dir):
     )
 
 
+def test_runtime_filter_injection(spark, sf_dir):
+    """runtime_filter_join's whole point is the injected bloom filter:
+    with the confs set, the physical plan must carry bloom_filter_agg
+    on the creation side and a might_contain probe filter above the
+    fact scan — i.e. the fact side is pruned before its shuffle."""
+    from bigdata1_spark.operators import relational
+
+    old = {k: spark.conf.get(k) for k in relational.RUNTIME_FILTER_CONFS}
+    for k, v in relational.RUNTIME_FILTER_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        df = relational._runtime_filter_plan(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, "no bloom build in plan"
+        assert "might_contain" in plan, "no bloom probe filter in plan"
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+
+
 def test_asof_join_single_shuffle(spark, sf_dir):
     """The as-of join's union-merge formulation must shuffle exactly
     once (on user_id) — a range self-join shape would blow up at scale."""
