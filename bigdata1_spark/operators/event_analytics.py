@@ -175,6 +175,78 @@ def cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def session_window_native(
+    spark: SparkSession, sf_dir: str, gap_min: int = 30
+) -> DataFrame:
+    """Sessionization via Spark's NATIVE ``session_window`` aggregation —
+    the API-surface twin of the gaps-and-islands ``sessionize``
+    (relational.py): same logical result, but expressed as a single
+    groupBy on a merging session window instead of lag→flag→cumsum.
+
+    Semantics note pinned by the oracle: ``session_window`` treats a
+    window as [t, t+gap) with an EXCLUSIVE end, so an event arriving at
+    exactly gap minutes starts a NEW session (``>=`` in the oracle),
+    whereas ``sessionize``'s ``>`` keeps it — the one boundary where the
+    two APIs differ.
+
+    Scale shape: one shuffle on user_id; session merging happens inside
+    the aggregation operator (no windowed sort over the whole corpus),
+    and this exact plan is the one Structured Streaming reuses for the
+    streaming twin ``events_session_streamed``.
+    Columns: user_id, session_start, session_end, n_events.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    return (
+        ev.groupBy(
+            F.session_window("ts", f"{gap_min} minutes"), F.col("user_id")
+        )
+        .agg(
+            F.date_format(F.min("ts"), TS_FMT).alias("session_start"),
+            F.date_format(F.max("ts"), TS_FMT).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+
+
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for each (from_type → to_type) adjacent pair, its count
+    and conditional probability P(to | from).
+
+    The sequence pairing is a single ``lead`` window per user (one
+    shuffle on user_id, the same partitioning every other per-user
+    operator here uses); the transition table itself is
+    |event_types|² rows, so the normalizing per-from_type sum is a
+    window over a constant-bounded frame, never over row-level data.
+    prob is one IEEE division of two exact integer counts — identical
+    in both engines. Columns: from_type, to_type, cnt, prob.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "cnt",
+        (
+            F.col("cnt").cast("double")
+            / F.sum("cnt").over(tot).cast("double")
+        ).alias("prob"),
+    )
+
+
 def rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style multi-resolution rollup: event counts and value
     sums at 1-minute, 1-hour, and 1-day granularity in ONE pass.

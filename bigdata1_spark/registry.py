@@ -2874,6 +2874,59 @@ register(
     """,
 )
 
+# Native session_window API twin of `sessionize` — `>=` gap boundary
+# (session windows are [t, t+gap), end-exclusive; see the docstring).
+_SESSION_NATIVE_ORACLE = """
+    WITH ev AS (
+      SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events
+    ), flagged AS (
+      SELECT user_id, event_id, ts, us,
+             CASE WHEN LAG(us) OVER w IS NULL
+                    OR us - LAG(us) OVER w >= 30 * 60 * 1000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS sess_id
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sess_id
+"""
+
+register(
+    "session_window_fn",
+    event_analytics.session_window_native,
+    _SESSION_NATIVE_ORACLE,
+)
+
+register(
+    "event_transitions",
+    event_analytics.event_transitions,
+    """
+    WITH pairs AS (
+      SELECT event_type AS from_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS to_type
+      FROM events
+    ), counts AS (
+      SELECT from_type, to_type, COUNT(*) AS cnt
+      FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, cnt,
+           CAST(cnt AS DOUBLE) /
+             CAST(SUM(cnt) OVER (PARTITION BY from_type) AS DOUBLE) AS prob
+    FROM counts
+    """,
+)
+
 register(
     "unpivot_metrics",
     micro.unpivot_metrics,
@@ -3061,6 +3114,14 @@ register(
     "events_sliding_streamed",
     streaming_events.events_sliding_streamed,
     _SLIDING_ORACLE,
+)
+
+# Streaming twin of session_window_fn: append-mode native session_window
+# aggregation, watermark-finalized via sentinel flush (same oracle).
+register(
+    "events_session_streamed",
+    streaming_events.events_session_streamed,
+    _SESSION_NATIVE_ORACLE,
 )
 
 register(

@@ -695,3 +695,92 @@ def events_upsert_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         return final.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def events_session_streamed(
+    spark: SparkSession, sf_dir: str, gap_min: int = 30
+) -> DataFrame:
+    """Streaming twin of ``session_window_native``: native
+    ``session_window`` aggregation over the event stream in APPEND mode
+    — the first append-mode *aggregation* in this module (the windowed
+    agg uses complete mode; the join and dedup drains emit eagerly).
+
+    Append mode only emits a session once the watermark passes its end,
+    and a bounded availableNow drain stops when the data runs out — so
+    sessions inside the final watermark horizon would be withheld
+    forever (and an availableNow drain terminates without running a
+    closing no-data micro-batch, measured here: single-sentinel runs
+    leave the last day's sessions in state). The production answer is
+    sentinel flush events: two schema-matched far-future rows
+    (user_id = -1, max_ts + 7/14 days) in their own files, drained one
+    file per micro-batch — the batch AFTER the first sentinel runs with
+    the advanced watermark and emits every finalized real session. The
+    sentinel rows must flow through the watermark node to drive the
+    clock — an in-stream ``user_id >= 0`` filter does NOT work, because
+    Catalyst pushes deterministic filters below EventTimeWatermark
+    (measured: the sentinels never advanced the clock) — so sentinel
+    sessions are dropped from the read-back batch result instead.
+
+    State is bounded by the watermark horizon (sessions evict once
+    finalized), which is what makes this the scale path: a 100 TB
+    replay holds only in-horizon sessions, never the whole history.
+    Oracle: same gaps-and-islands SQL as the batch native key
+    (``>=`` gap boundary). Columns: user_id, session_start,
+    session_end, n_events.
+    """
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="bigdata1_session_stream_")
+    try:
+        import glob
+
+        src = os.path.join(work, "src")
+        os.makedirs(src)
+        data_file = os.path.join(src, "00_events.parquet")
+        shutil.copy(os.path.join(sf_dir, "events.parquet"), data_file)
+        os.utime(data_file, (1_000_000, 1_000_000))
+        # Sentinel flush rows: schema-matched single events 7 and 14 days
+        # past the real max ts, one file each. The max() probe is a
+        # scalar aggregate over one column — statistics-scale, not a
+        # data collect.
+        ev = load_table(spark, sf_dir, "events")
+        max_ts = ev.agg(F.max("ts")).first()[0]
+        for i, days in enumerate((7, 14), start=1):
+            sentinel = ev.limit(1).select(
+                F.lit(-i).cast("long").alias("event_id"),
+                (F.lit(max_ts) + F.expr(f"INTERVAL {days} DAYS"))
+                .alias("ts"),
+                F.lit(-1).cast("long").alias("user_id"),
+                F.lit("flush").alias("event_type"),
+                F.lit(0.0).alias("value"),
+                F.lit("").alias("props"),
+            )
+            tmp_dir = os.path.join(work, f"sentinel{i}")
+            sentinel.coalesce(1).write.parquet(tmp_dir)
+            (part,) = glob.glob(os.path.join(tmp_dir, "part-*.parquet"))
+            dst = os.path.join(src, f"{i:02d}_sentinel.parquet")
+            shutil.move(part, dst)
+            os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+
+        stream = _read_events_stream(
+            spark, src, max_files_per_trigger=1
+        ).withWatermark("ts", WATERMARK)
+        sessions = (
+            stream.groupBy(
+                F.session_window("ts", f"{gap_min} minutes"),
+                F.col("user_id"),
+            )
+            .agg(
+                F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+                .alias("session_start"),
+                F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+                .alias("session_end"),
+                F.count(F.lit(1)).alias("n_events"),
+            )
+            .select("user_id", "session_start", "session_end", "n_events")
+        )
+        drained = _run_bounded_append(spark, sessions, work)
+        return drained.filter(F.col("user_id") >= 0)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -85,6 +85,10 @@ def main() -> None:
         )
 
     qs, osql = entry.queries(), entry.oracle_sql()
+    only = os.environ.get("ONLY_KEYS")
+    if only:
+        wanted = {k.strip() for k in only.split(",") if k.strip()}
+        qs = {k: v for k, v in qs.items() if k in wanted}
     report: dict[str, dict] = {}
     for key in sorted(qs):
         row = {"rows_match": None, "schema_match": None, "hash_match": None,
