@@ -322,3 +322,73 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", bucket.alias("bucket"))
         .filter(F.col("bucket") < threshold.otherwise(F.lit(0)))
     )
+
+
+# Training-chunk geometry: 64-token windows advancing by 48 (16-token
+# overlap) — the sliding-context packing LLM pipelines cut documents
+# into before sequence packing (shard_pack) takes over.
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cut each document into overlapping fixed-size token windows —
+    the chunking step between cleaning and sequence packing in a
+    pretraining pipeline (and the passage splitter for retrieval
+    indexes).
+
+    Chunk starts are a generated arithmetic sequence over the token
+    count (1, 1+stride, … ≤ max(n,1)), posexploded so every chunk is a
+    row; the chunk itself is an array ``slice`` — all built-in
+    higher-order functions, zero Python, zero shuffles (the whole
+    operator is a narrow map over the scan; at 100 TB it pipelines
+    into whatever shuffle follows it). Chunk text is fingerprinted
+    with md5 so the output stays narrow while still pinning the exact
+    chunk content through the oracle hash. Empty docs yield one empty
+    chunk (the word_shingles degenerate-doc convention).
+    Columns: doc_id, chunk_id, n_tokens, chunk_md5.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    chunked = docs.select(
+        "doc_id",
+        F.posexplode(
+            let(
+                tokens(F.col("text")),
+                lambda tk: F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        F.greatest(F.size(tk), F.lit(1)),
+                        F.lit(CHUNK_STRIDE),
+                    ),
+                    lambda start: F.slice(tk, start, CHUNK_TOKENS),
+                ),
+            )
+        ).alias("chunk_id", "chunk"),
+    )
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size("chunk").cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", F.col("chunk"))).alias("chunk_md5"),
+    )
+
+
+def decontaminate_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply-side of the contamination check: the candidate corpus with
+    benchmark-contaminated documents removed (the quarantine step that
+    actually edits the training set).
+
+    Reuses ``contamination_ngrams``'s inverted-index plan and keeps the
+    docs whose overlap stayed under threshold — a semi-join of the
+    corpus against the small clean-verdict side; benchmark docs
+    (source='src0') are excluded by construction, exactly as a real
+    decontamination pass drops the eval corpus itself from training.
+    Columns: doc_id, source, n_chars.
+    """
+    clean = contamination_ngrams(spark, sf_dir).filter(
+        F.col("contaminated") == 0
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.join(clean.select("doc_id"), "doc_id").select(
+        "doc_id", "source", "n_chars"
+    )

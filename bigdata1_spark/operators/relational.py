@@ -781,3 +781,97 @@ def skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parts.join(
         F.broadcast(frontier), ["p_retailprice", "p_size"]
     ).select("p_partkey", "p_name", "p_retailprice", "p_size")
+
+
+def groupby_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group exact median (the ``median`` aggregate) and
+    DETERMINISTIC mode.
+
+    Native ``mode()`` returns an arbitrary value on frequency ties in
+    both engines, so the mode here is the tie-broken argmax — count per
+    (group, value), then one row_number over the per-group count table
+    (bounded by the value domain, |groups|×|distinct qty| ≤ a few
+    hundred rows, so the window is never over row-level data). Median
+    interpolates identically to DuckDB's (verified bit-for-bit by
+    ``groupby_quantiles``). Columns: l_returnflag, med_qty, mode_qty,
+    mode_cnt.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.median("l_quantity").alias("med_qty")
+    )
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("cnt"), F.asc("l_quantity")
+    )
+    mode = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").alias("mode_qty"),
+            F.col("cnt").alias("mode_cnt"),
+        )
+    )
+    return med.join(mode, "l_returnflag").select(
+        "l_returnflag", "med_qty", "mode_qty", "mode_cnt"
+    )
+
+
+def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: diff two versions of the orders table
+    into added / removed / changed rows (the audit step after any
+    upsert/backfill, and the CDC-extraction primitive when a source
+    can't emit change streams).
+
+    Snapshot B is derived deterministically from A — ``%13==3`` keys
+    deleted, ``%7==0`` keys re-prioritized, ``%11==5`` keys re-inserted
+    under a shifted key — all integer/string edits, no float in the
+    compared payload. The diff itself is the generic shape: full outer
+    join on the key comparing null-safe payload equality, emitting only
+    differences. One shuffle on the join key (bucketed snapshots would
+    make it zero); 'unchanged' rows are filtered before the join output
+    materializes anywhere. Columns: o_orderkey, change.
+    """
+    a = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    b = (
+        a.filter(F.col("o_orderkey") % 13 != 3)
+        .withColumn(
+            "o_orderpriority",
+            F.when(
+                F.col("o_orderkey") % 7 == 0, F.lit("0-ESCALATED")
+            ).otherwise(F.col("o_orderpriority")),
+        )
+        .unionByName(
+            a.filter(F.col("o_orderkey") % 11 == 5).select(
+                (F.col("o_orderkey") + F.lit(10_000_000))
+                .alias("o_orderkey"),
+                F.lit("N").alias("o_orderstatus"),
+                F.lit("9-BACKFILL").alias("o_orderpriority"),
+            )
+        )
+    )
+    joined = a.alias("a").join(
+        b.alias("b"),
+        F.col("a.o_orderkey") == F.col("b.o_orderkey"),
+        "full_outer",
+    )
+    same = F.col("a.o_orderstatus").eqNullSafe(
+        F.col("b.o_orderstatus")
+    ) & F.col("a.o_orderpriority").eqNullSafe(F.col("b.o_orderpriority"))
+    return (
+        joined.select(
+            F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey"))
+            .alias("o_orderkey"),
+            F.when(F.col("a.o_orderkey").isNull(), F.lit("added"))
+            .when(F.col("b.o_orderkey").isNull(), F.lit("removed"))
+            .when(~same, F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+            .alias("change"),
+        )
+        .filter(F.col("change") != "unchanged")
+    )

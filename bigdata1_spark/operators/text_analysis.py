@@ -487,3 +487,43 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("raw", F.lit(PII_EMAIL_RE)).alias("n_email"),
         F.regexp_count("raw", F.lit(PII_PHONE_RE)).alias("n_phone"),
     )
+
+
+def heavy_hitters(
+    spark: SparkSession, sf_dir: str, k: int = 1000
+) -> DataFrame:
+    """Exact corpus-level heavy hitters: every token whose frequency is
+    ≥ 1/k of all token occurrences (the φ-frequent-items problem with
+    φ = 1/k, solved exactly).
+
+    Scale shape: explode → count is ONE shuffle carrying one row per
+    DISTINCT token (map-side partial aggregation collapses the raw
+    occurrences), and the grand total is a 1-row broadcast — the same
+    aggregate-vs-global-scalar pattern as tpch_q15. The threshold test
+    is pure integer arithmetic (``cnt * k >= total``), so no float
+    boundary can disagree between engines; ``frac`` is one IEEE
+    division of exact integers. At 100 TB the candidate set after the
+    count shuffle is vocabulary-sized, not corpus-sized — the sketch
+    alternative (count-min / SpaceSaving) only matters when even the
+    vocabulary doesn't fit, and ``approx_sketch`` covers that posture.
+    Columns: token, cnt, frac.
+    """
+    from bigdata1_spark.functions.textfns import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * k >= F.col("total"))
+        .select(
+            "token",
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("total").cast("double"))
+            .alias("frac"),
+        )
+    )

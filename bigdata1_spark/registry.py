@@ -1843,6 +1843,26 @@ register(
 )
 
 register(
+    "heavy_hitters",
+    text_analysis.heavy_hitters,
+    """
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                                x -> len(x) > 0)) AS token
+      FROM documents
+    ), counts AS (
+      SELECT token, COUNT(*) AS cnt FROM toks GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM counts
+    )
+    SELECT token, cnt,
+           CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) AS frac
+    FROM counts, tot
+    WHERE cnt * 1000 >= total
+    """,
+)
+
+register(
     "join_cross",
     micro.join_cross,
     """
@@ -1962,6 +1982,42 @@ register(
                 AS BIGINT) AS contaminated
     FROM cand c LEFT JOIN bench b ON c.gram = b.gram
     GROUP BY c.doc_id
+    """,
+)
+
+# Apply-side of decontamination: same inverted-index plan, candidates
+# kept iff under threshold (oracle wraps the contamination oracle so the
+# two can never drift).
+register(
+    "decontaminate_apply",
+    corpus.decontaminate_apply,
+    f"""
+    WITH contam AS ({ORACLES["contamination_ngrams"]})
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d JOIN contam c ON d.doc_id = c.doc_id
+    WHERE c.contaminated = 0
+    """,
+)
+
+register(
+    "doc_chunking",
+    corpus.doc_chunking,
+    """
+    WITH words AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'),
+                         x -> len(x) > 0) AS w
+      FROM documents
+    ), starts AS (
+      SELECT doc_id, w,
+             unnest(generate_series(1, greatest(len(w), 1), 48)) AS s
+      FROM words
+    )
+    SELECT doc_id,
+           CAST((s - 1) / 48 AS BIGINT) AS chunk_id,
+           CAST(len(w[s:s+63]) AS BIGINT) AS n_tokens,
+           md5(array_to_string(w[s:s+63], ' ')) AS chunk_md5
+    FROM starts
     """,
 )
 
@@ -3171,5 +3227,104 @@ register(
            regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1) AS path,
            regexp_extract(url, '[?&]seg=([^&#]*)', 1) AS seg
     FROM u
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# Round-6 batch: entity matching, data layout, deterministic mode, snapshot
+# diff
+# ---------------------------------------------------------------------------
+
+from bigdata1_spark.operators import layout, matching  # noqa: E402
+
+register(
+    "fuzzy_join",
+    matching.fuzzy_join,
+    """
+    SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+           a.p_name AS a_name, b.p_name AS b_name,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+
+# zval arithmetic mirrored term-for-term between engines (bitwise ops are
+# exact integer arithmetic — no float anywhere).
+_ZORDER_TERMS = " + ".join(
+    f"(((cell_x >> {i}) & 1) << {2 * i})"
+    f" + (((cell_y >> {i}) & 1) << {2 * i + 1})"
+    for i in range(6)
+)
+
+register(
+    "zorder_cluster",
+    layout.zorder_cluster,
+    f"""
+    WITH q AS (
+      SELECT p_partkey,
+             least(greatest(CAST(p_size AS BIGINT), 0), 63) AS cell_x,
+             least(greatest(CAST(floor(p_retailprice / 32.0) AS BIGINT),
+                            0), 63) AS cell_y
+      FROM part
+    )
+    SELECT p_partkey, cell_x, cell_y,
+           CAST({_ZORDER_TERMS} AS BIGINT) AS zval
+    FROM q
+    """,
+)
+
+register(
+    "groupby_median_mode",
+    relational.groupby_median_mode,
+    """
+    WITH med AS (
+      SELECT l_returnflag, median(l_quantity) AS med_qty
+      FROM lineitem GROUP BY 1
+    ), counts AS (
+      SELECT l_returnflag, l_quantity, COUNT(*) AS cnt
+      FROM lineitem GROUP BY 1, 2
+    ), ranked AS (
+      SELECT l_returnflag, l_quantity AS mode_qty, cnt AS mode_cnt,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_returnflag
+               ORDER BY cnt DESC, l_quantity ASC
+             ) AS rn
+      FROM counts
+    )
+    SELECT m.l_returnflag, m.med_qty, r.mode_qty, r.mode_cnt
+    FROM med m JOIN ranked r
+      ON m.l_returnflag = r.l_returnflag AND r.rn = 1
+    """,
+)
+
+register(
+    "table_diff",
+    relational.table_diff,
+    """
+    WITH a AS (
+      SELECT o_orderkey, o_orderstatus, o_orderpriority FROM orders
+    ), b AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0 THEN '0-ESCALATED'
+                  ELSE o_orderpriority END AS o_orderpriority
+      FROM orders WHERE o_orderkey % 13 <> 3
+      UNION ALL
+      SELECT o_orderkey + 10000000, 'N', '9-BACKFILL'
+      FROM orders WHERE o_orderkey % 11 = 5
+    ), diff AS (
+      SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+             CASE
+               WHEN a.o_orderkey IS NULL THEN 'added'
+               WHEN b.o_orderkey IS NULL THEN 'removed'
+               WHEN a.o_orderstatus IS DISTINCT FROM b.o_orderstatus
+                 OR a.o_orderpriority IS DISTINCT FROM b.o_orderpriority
+                 THEN 'changed'
+               ELSE 'unchanged'
+             END AS change
+      FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+    )
+    SELECT o_orderkey, change FROM diff WHERE change <> 'unchanged'
     """,
 )

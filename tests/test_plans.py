@@ -610,3 +610,47 @@ def test_skyline_reduced_domain_window(spark, sf_dir):
     assert re.search(
         r"windowspecdefinition\(_pid#\d+, p_retailprice#\d+ ASC", plan
     )
+
+
+def test_doc_chunking_zero_shuffle(spark, sf_dir):
+    """Chunking is a pure narrow map over the scan — any Exchange in its
+    plan means a 100 TB chunk pass would shuffle the whole corpus."""
+    from bigdata1_spark.operators import corpus
+
+    df = corpus.doc_chunking(spark, sf_dir)
+    checks.assert_max_exchanges(df, 0, "doc_chunking")
+
+
+def test_heavy_hitters_broadcast_total(spark, sf_dir):
+    """The grand-total side is one row — it must come back to the
+    vocabulary table as a broadcast, never a shuffle join."""
+    from bigdata1_spark.operators import text_analysis
+
+    df = text_analysis.heavy_hitters(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan, f"heavy_hitters total not broadcast:\n{plan}"
+
+
+def test_fuzzy_join_no_cartesian(spark, sf_dir):
+    """Blocked matching must plan as an equi-join on the blocking key —
+    a cartesian/nested-loop pair generator is the quadratic failure."""
+    from bigdata1_spark.operators import matching
+
+    df = matching.fuzzy_join(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, (
+        f"fuzzy_join planned a cartesian product:\n{plan}"
+    )
+
+
+def test_zorder_range_partitioning(spark, sf_dir):
+    """The layout pass must carry exactly one exchange: the range
+    repartitioning on the z-value (the encode itself is narrow)."""
+    from bigdata1_spark.operators import layout
+
+    df = layout.zorder_cluster(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower(), (
+        f"zorder_cluster missing range partitioning:\n{plan}"
+    )
+    checks.assert_max_exchanges(df, 1, "zorder_cluster")
