@@ -3180,6 +3180,39 @@ register(
     _SESSION_NATIVE_ORACLE,
 )
 
+# applyInPandasWithState sessionizer drained against the SAME oracle as
+# the batch gaps-and-islands key (`>` gap semantics — microsecond state).
+register(
+    "events_stateful_sessions_streamed",
+    streaming_events.events_stateful_sessions_streamed,
+    ORACLES["sessionize"],
+)
+
+# Watermark-finalized stream-stream LEFT OUTER interval join: unmatched
+# clicks emit with NULLs only after state eviction proves no match can
+# still arrive.
+register(
+    "events_leftjoin_streamed",
+    streaming_events.events_leftjoin_streamed,
+    """
+    WITH clicks AS (
+      SELECT user_id, event_id AS click_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    ), purch AS (
+      SELECT user_id AS p_user, ts AS purchase_ts, value AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.user_id, c.click_id,
+           strftime(c.click_ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+           strftime(p.purchase_ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           p.purchase_value
+    FROM clicks c LEFT JOIN purch p
+      ON c.user_id = p.p_user
+     AND p.purchase_ts >= c.click_ts
+     AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+    """,
+)
+
 register(
     "observed_metrics",
     api_surface.observed_metrics,

@@ -307,8 +307,64 @@ def user_running_counts_stream(spark: SparkSession, source_dir: str) -> DataFram
     )
 
 
+def _flush_source(
+    spark: SparkSession,
+    sf_dir: str,
+    work: str,
+    event_types: tuple[str, ...] = ("flush",),
+) -> str:
+    """Build a bounded stream source directory: the events file plus two
+    far-future sentinel files (user_id = -1, max_ts + 7/14 days, one row
+    per requested event_type), ordered by mod-time for one-file-per-
+    micro-batch drains.
+
+    Append-mode streams only emit rows the watermark has finalized, and
+    an availableNow drain terminates without a closing no-data batch —
+    so the batch AFTER the first sentinel is what flushes every real
+    row out of state. Callers drop ``user_id < 0`` rows from the
+    drained result (an in-stream filter cannot be used: Catalyst pushes
+    deterministic filters below EventTimeWatermark, which would stop
+    the sentinels from advancing the clock).
+    """
+    import glob
+    import shutil
+
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    data_file = os.path.join(src, "00_events.parquet")
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), data_file)
+    os.utime(data_file, (1_000_000, 1_000_000))
+    # The max() probe is a scalar aggregate over one column —
+    # statistics-scale, not a data collect.
+    ev = load_table(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    for i, days in enumerate((7, 14), start=1):
+        rows = None
+        for j, etype in enumerate(event_types):
+            row = ev.limit(1).select(
+                F.lit(-(i * 10 + j)).cast("long").alias("event_id"),
+                (F.lit(max_ts) + F.expr(f"INTERVAL {days} DAYS"))
+                .alias("ts"),
+                F.lit(-1).cast("long").alias("user_id"),
+                F.lit(etype).alias("event_type"),
+                F.lit(0.0).alias("value"),
+                F.lit("").alias("props"),
+            )
+            rows = row if rows is None else rows.unionByName(row)
+        tmp_dir = os.path.join(work, f"sentinel{i}")
+        rows.coalesce(1).write.parquet(tmp_dir)
+        (part,) = glob.glob(os.path.join(tmp_dir, "part-*.parquet"))
+        dst = os.path.join(src, f"{i:02d}_sentinel.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+    return src
+
+
 def sessionize_stream(
-    spark: SparkSession, source_dir: str, gap_min: int = 30
+    spark: SparkSession,
+    source_dir: str,
+    gap_min: int = 30,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Custom stateful streaming operator: per-user sessionization via
     ``applyInPandasWithState``.
@@ -318,12 +374,16 @@ def sessionize_stream(
     event-time watermark passes its gap timeout. This is the engine's
     pattern for stateful logic that windowed aggregation can't express
     (the batch twin is the gaps-and-islands ``sessionize`` query,
-    oracle-checked in the registry). Emits only CLOSED sessions.
+    oracle-checked in the registry — and
+    ``events_stateful_sessions_streamed`` drains THIS operator against
+    that same oracle). Emits only CLOSED sessions. State timestamps are
+    kept at full microsecond precision (the state store holds plain
+    BIGINTs; only the timeout clock is millisecond-grained).
     Columns: user_id, session_start, session_end, n_events.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    gap_ms = gap_min * 60 * 1000
+    gap_us = gap_min * 60 * 1_000_000
     out_schema = (
         "user_id BIGINT, session_start TIMESTAMP, "
         "session_end TIMESTAMP, n_events BIGINT"
@@ -339,8 +399,8 @@ def sessionize_stream(
             yield pd.DataFrame(
                 {
                     "user_id": [key[0]],
-                    "session_start": [pd.Timestamp(start, unit="ms")],
-                    "session_end": [pd.Timestamp(end, unit="ms")],
+                    "session_start": [pd.Timestamp(start, unit="us")],
+                    "session_end": [pd.Timestamp(end, unit="us")],
                     "n_events": [n],
                 }
             )
@@ -349,36 +409,36 @@ def sessionize_stream(
         cur = state.get if state.exists else None
         ts_all = []
         for pdf in pdfs:
-            ts_all.extend(
-                int(t.value // 1_000_000) for t in pdf["ts"]
-            )
+            ts_all.extend(int(t.value // 1_000) for t in pdf["ts"])
         for t in sorted(ts_all):
             if cur is None:
                 cur = (t, t, 1)
-            elif t - cur[1] > gap_ms:
+            elif t - cur[1] > gap_us:
                 closed.append(cur)
                 cur = (t, t, 1)
             else:
                 cur = (cur[0], t, cur[2] + 1)
         if cur is not None:
             state.update(cur)
-            state.setTimeoutTimestamp(cur[1] + gap_ms)
+            state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)
         if closed:
             yield pd.DataFrame(
                 {
                     "user_id": [key[0]] * len(closed),
                     "session_start": [
-                        pd.Timestamp(c[0], unit="ms") for c in closed
+                        pd.Timestamp(c[0], unit="us") for c in closed
                     ],
                     "session_end": [
-                        pd.Timestamp(c[1], unit="ms") for c in closed
+                        pd.Timestamp(c[1], unit="us") for c in closed
                     ],
                     "n_events": [c[2] for c in closed],
                 }
             )
 
     stream = (
-        _read_events_stream(spark, source_dir)
+        _read_events_stream(
+            spark, source_dir, max_files_per_trigger=max_files_per_trigger
+        )
         .withWatermark("ts", "1 hour")
         .select("user_id", "ts")
     )
@@ -733,36 +793,7 @@ def events_session_streamed(
 
     work = tempfile.mkdtemp(prefix="bigdata1_session_stream_")
     try:
-        import glob
-
-        src = os.path.join(work, "src")
-        os.makedirs(src)
-        data_file = os.path.join(src, "00_events.parquet")
-        shutil.copy(os.path.join(sf_dir, "events.parquet"), data_file)
-        os.utime(data_file, (1_000_000, 1_000_000))
-        # Sentinel flush rows: schema-matched single events 7 and 14 days
-        # past the real max ts, one file each. The max() probe is a
-        # scalar aggregate over one column — statistics-scale, not a
-        # data collect.
-        ev = load_table(spark, sf_dir, "events")
-        max_ts = ev.agg(F.max("ts")).first()[0]
-        for i, days in enumerate((7, 14), start=1):
-            sentinel = ev.limit(1).select(
-                F.lit(-i).cast("long").alias("event_id"),
-                (F.lit(max_ts) + F.expr(f"INTERVAL {days} DAYS"))
-                .alias("ts"),
-                F.lit(-1).cast("long").alias("user_id"),
-                F.lit("flush").alias("event_type"),
-                F.lit(0.0).alias("value"),
-                F.lit("").alias("props"),
-            )
-            tmp_dir = os.path.join(work, f"sentinel{i}")
-            sentinel.coalesce(1).write.parquet(tmp_dir)
-            (part,) = glob.glob(os.path.join(tmp_dir, "part-*.parquet"))
-            dst = os.path.join(src, f"{i:02d}_sentinel.parquet")
-            shutil.move(part, dst)
-            os.utime(dst, (1_000_000 + i, 1_000_000 + i))
-
+        src = _flush_source(spark, sf_dir, work)
         stream = _read_events_stream(
             spark, src, max_files_per_trigger=1
         ).withWatermark("ts", WATERMARK)
@@ -781,6 +812,114 @@ def events_session_streamed(
             .select("user_id", "session_start", "session_end", "n_events")
         )
         drained = _run_bounded_append(spark, sessions, work)
+        return drained.filter(F.col("user_id") >= 0)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def events_stateful_sessions_streamed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Registry-facing drain of the ``applyInPandasWithState``
+    sessionizer — the CUSTOM-stateful-operator pattern (arbitrary
+    per-key state + event-time timeouts), now with full oracle parity:
+    microsecond-precision state means the drained sessions hash-match
+    the SAME gaps-and-islands oracle as the batch ``sessionize`` key
+    (gap semantics ``>``, unlike the native session_window's ``>=``).
+
+    Open sessions only emit when the event-time timeout fires, so the
+    bounded drain uses the sentinel-flush source: the micro-batch after
+    the first sentinel runs every real key's timeout. This banks the
+    last streaming execution surface (grouped custom state) through a
+    driver hash row. Columns: user_id, session_start, session_end,
+    n_events.
+    """
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="bigdata1_stateful_sess_")
+    try:
+        src = _flush_source(spark, sf_dir, work)
+        sessions = sessionize_stream(
+            spark, src, max_files_per_trigger=1
+        ).select(
+            "user_id",
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .alias("session_start"),
+            F.date_format("session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .alias("session_end"),
+            "n_events",
+        )
+        drained = _run_bounded_append(spark, sessions, work)
+        return drained.filter(F.col("user_id") >= 0)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def events_leftjoin_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every click, attributed
+    to a same-user purchase within 1 hour where one exists, emitted
+    with nulls where none does.
+
+    The outer side is the hard streaming case: an unmatched click can
+    only emit once the watermark proves no matching purchase can still
+    arrive (wm past click_ts + horizon), so correctness depends on
+    state *eviction*, not just matching — exactly what the inner-join
+    key (``events_attribution_streamed``) cannot exercise. The bounded
+    drain flushes eviction with sentinel click+purchase pairs (both
+    types, because each side's filter runs before its watermark node —
+    a flush row must survive the filter to advance that side's clock).
+    Columns: user_id, click_id, click_ts, purchase_ts, purchase_value
+    (last two NULL for unmatched clicks).
+    """
+    import shutil
+    import tempfile
+
+    horizon = "1 hour"
+    work = tempfile.mkdtemp(prefix="bigdata1_leftjoin_stream_")
+    try:
+        src = _flush_source(
+            spark, sf_dir, work, event_types=("click", "purchase")
+        )
+        clicks = (
+            _read_events_stream(spark, src, max_files_per_trigger=1)
+            .filter(F.col("event_type") == "click")
+            .select(
+                "user_id",
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("click_ts"),
+            )
+            .withWatermark("click_ts", horizon)
+        )
+        purchases = (
+            _read_events_stream(spark, src, max_files_per_trigger=1)
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("purchase_ts"),
+                F.col("value").alias("purchase_value"),
+            )
+            .withWatermark("purchase_ts", horizon)
+        )
+        joined = clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")
+            ),
+            "left_outer",
+        ).select(
+            "user_id",
+            "click_id",
+            F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .alias("click_ts"),
+            F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .alias("purchase_ts"),
+            "purchase_value",
+        )
+        drained = _run_bounded_append(spark, joined, work)
         return drained.filter(F.col("user_id") >= 0)
     finally:
         shutil.rmtree(work, ignore_errors=True)
