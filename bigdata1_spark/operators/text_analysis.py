@@ -527,3 +527,87 @@ def heavy_hitters(
             .alias("frac"),
         )
     )
+
+
+def bpe_pair_counts(
+    spark: SparkSession, sf_dir: str, top_n: int = 50
+) -> DataFrame:
+    """The inner loop of BPE tokenizer training: frequency of every
+    adjacent symbol pair, weighted by word frequency — the statistic a
+    merge step argmaxes over (here at the character level, i.e. the
+    first merge iteration).
+
+    Two shuffles total, both vocabulary-bounded: tokens collapse to a
+    (word, count) table via map-side combine, then each DISTINCT word
+    explodes into its len−1 character pairs (substring over a generated
+    index — all built-in HOFs, no Python), and pair counts aggregate
+    the word WEIGHTS. At 100 TB the corpus is touched once; everything
+    after the first count is vocabulary-scale, which is why BPE
+    training is feasible on web-scale corpora at all. Deterministic
+    top-N tie-break on the pair string. Columns: pair, freq.
+    """
+    from bigdata1_spark.functions.textfns import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wcnt"))
+        .filter(F.length("word") >= 2)
+    )
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word") - 1),
+                lambda i: F.substring(F.col("word"), i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "wcnt",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wcnt").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("pair"))
+        .limit(top_n)
+    )
+
+
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode text canonicalization: NFC-normalize + casefold-lower,
+    the first pass of any multilingual ingest (dedup and tokenization
+    both assume one canonical byte form per visible string).
+
+    Spark has no NFC built-in, so this is one of the repo's documented
+    Python touchpoints: an Arrow-vectorized pandas_udf over the text
+    column (SCALE.md rules — batch-at-a-time, no per-row Python
+    dispatch). The oracle pins exact semantic parity against DuckDB's
+    native ``nfc_normalize``; a decomposed-accent prefix (``Cafe´``
+    built from a combining acute) is prepended so the normalization is
+    exercised for real, not vacuously on ASCII. Output carries the
+    md5 + length of the normalized text, keeping rows narrow while
+    hashing every byte of the result. Columns: doc_id, n_chars_norm,
+    norm_md5.
+    """
+    import pandas as pd
+
+    @F.pandas_udf("string")
+    def nfc_lower(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda x: None
+            if x is None
+            else unicodedata.normalize("NFC", x).lower()
+        )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # DECOMPOSED accent (e + combining acute U+0301): NFC must
+    # compose it, so the oracle catches a normalization that
+    # silently no-ops.
+    raw = F.concat(F.lit("Cafe\u0301 \u2014 "), F.col("text"))
+    norm = nfc_lower(raw)
+    return docs.select(
+        "doc_id",
+        F.length(norm).cast("long").alias("n_chars_norm"),
+        F.md5(norm.cast("binary")).alias("norm_md5"),
+    )

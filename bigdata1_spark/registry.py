@@ -1863,6 +1863,47 @@ register(
 )
 
 register(
+    "bpe_pair_counts",
+    text_analysis.bpe_pair_counts,
+    """
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                                x -> len(x) > 0)) AS word
+      FROM documents
+    ), words AS (
+      SELECT word, COUNT(*) AS wcnt FROM toks
+      WHERE length(word) >= 2 GROUP BY 1
+    ), pairs AS (
+      SELECT substring(word, i, 2) AS pair, wcnt
+      FROM words,
+           (SELECT unnest(generate_series(1, length(word) - 1)) AS i)
+    )
+    SELECT pair, CAST(SUM(wcnt) AS BIGINT) AS freq
+    FROM pairs GROUP BY 1
+    ORDER BY freq DESC, pair ASC
+    LIMIT 50
+    """,
+)
+
+register(
+    "text_normalize",
+    text_analysis.text_normalize,
+    """
+    WITH norm AS (
+      SELECT doc_id,
+             lower(nfc_normalize(
+               'Cafe' || chr(769) || ' ' || chr(8212) || ' ' || text
+             )) AS n
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(n) AS BIGINT) AS n_chars_norm,
+           md5(n) AS norm_md5
+    FROM norm
+    """,
+)
+
+register(
     "join_cross",
     micro.join_cross,
     """
