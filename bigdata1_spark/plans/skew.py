@@ -113,3 +113,39 @@ def salted_count(df: DataFrame, keys: Sequence[str], n_salts: int = 16) -> DataF
         {"n": (F.count(F.lit(1)), lambda c: F.sum(c).cast("long"))},
         n_salts=n_salts,
     )
+
+
+def skew_salted_agg(spark, sf_dir: str) -> DataFrame:
+    """Registry-facing skew-safe aggregation over the hottest real key
+    in the testdata: event_type has single-digit cardinality over
+    millions of rows — the exact shape where a plain GROUP BY funnels
+    each key's raw rows onto one task and AQE cannot split them.
+
+    Runs the two-stage salted plan (partial on (key, salt), merge on
+    key); the result equals the plain aggregation by associativity —
+    which is precisely what the plain-SQL oracle pins. Value sums go
+    through decimal at BOTH stages so re-association cannot drift the
+    double. Columns: event_type, n_events, total_value.
+    """
+    from bigdata1_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n_events": (
+                F.count(F.lit(1)),
+                lambda c: F.sum(c).cast("long"),
+            ),
+            "total_value": (
+                F.sum(F.col("value").cast("decimal(18,4)")),
+                lambda c: F.sum(c),
+            ),
+        },
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.col("total_value").cast("double").alias("total_value"),
+    )

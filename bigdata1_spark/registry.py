@@ -3310,6 +3310,20 @@ register(
 # ---------------------------------------------------------------------------
 
 from bigdata1_spark.operators import layout, matching  # noqa: E402
+from bigdata1_spark.plans import skew as plans_skew  # noqa: E402
+
+# Two-stage salted aggregation over the hottest real key — equals the
+# plain GROUP BY by associativity, which the oracle pins.
+register(
+    "skew_salted_agg",
+    plans_skew.skew_salted_agg,
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1
+    """,
+)
 
 register(
     "fuzzy_join",
