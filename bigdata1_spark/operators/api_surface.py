@@ -209,3 +209,82 @@ def observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="n_rows bigint, n_neg_qty bigint, min_price double, "
         "max_price double, total_price double",
     )
+
+
+def cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-map pandas transform (``cogroup().applyInPandas``) —
+    the last vectorized-UDF flavor: two DataFrames shuffled on the same
+    key and handed to Python SIDE BY SIDE, for logic that needs both
+    groups at once (reconciliation, interval alignment, custom joins).
+
+    The cogroup key is a COARSE bucket (o_orderkey % 64), not the raw
+    order key: grouped-map dispatches one Python call per key, so
+    keying on the 1.5M raw orders would mean 1.5M Arrow round-trips —
+    bucketing keeps it at 64 calls of vectorized pandas work, the same
+    batch-not-row discipline as every other Python touchpoint
+    (SCALE.md). Inside each bucket the reconciliation is pure pandas:
+    per-order line counts + cent-exact totals, outer-merged against
+    the order list so both orphan sides surface. Cents are int64
+    (``round(price*100)`` — a 2-decimal value times 100 is within an
+    ulp of an integer, so half-boundary cases cannot occur), keeping
+    the output float-free. Columns: o_orderkey, n_lines, total_cents,
+    has_order.
+    """
+    n_buckets = 64
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey")
+        .withColumn("bucket", F.pmod("o_orderkey", F.lit(n_buckets)))
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice")
+        .withColumn("bucket", F.pmod("l_orderkey", F.lit(n_buckets)))
+    )
+
+    def recon(opdf: pd.DataFrame, lpdf: pd.DataFrame) -> pd.DataFrame:
+        lsum = (
+            lpdf.assign(
+                cents=(lpdf["l_extendedprice"] * 100)
+                .round()
+                .astype("int64")
+            )
+            .groupby("l_orderkey")
+            .agg(n_lines=("cents", "size"), total_cents=("cents", "sum"))
+            .reset_index()
+        )
+        o_keys = (
+            opdf[["o_orderkey"]].drop_duplicates().assign(has_order=1)
+        )
+        merged = pd.merge(
+            o_keys,
+            lsum,
+            left_on="o_orderkey",
+            right_on="l_orderkey",
+            how="outer",
+        )
+        key = merged["o_orderkey"].where(
+            merged["o_orderkey"].notna(), merged["l_orderkey"]
+        )
+        return pd.DataFrame(
+            {
+                "o_orderkey": key.astype("int64"),
+                "n_lines": merged["n_lines"].fillna(0).astype("int64"),
+                "total_cents": merged["total_cents"]
+                .fillna(0)
+                .astype("int64"),
+                "has_order": merged["has_order"].fillna(0).astype("int64"),
+            }
+        )
+
+    return (
+        o.groupby("bucket")
+        .cogroup(li.groupby("bucket"))
+        .applyInPandas(
+            recon,
+            schema=(
+                "o_orderkey bigint, n_lines bigint, "
+                "total_cents bigint, has_order bigint"
+            ),
+        )
+    )

@@ -4,14 +4,25 @@ No reference analog (the reference joins only on exact keys); this is
 the record-linkage surface a switching user needs for dirty-dimension
 reconciliation — match names/addresses/titles that differ by typos.
 
-The design is the canonical blocked comparison: candidate pairs are
-generated ONLY within a blocking key (here p_brand), never corpus ×
-corpus, and a cheap length-band prefilter runs before the edit-distance
-kernel. At 100 TB the blocking key is what bounds the quadratic term:
-pair count is Σ_b |block_b|², so skewed blocks get a secondary blocking
-pass (name prefix / sorted-neighborhood), exactly like the LSH
-hot-bucket chunking in dedup.py — the mechanism here is the single-key
-version of that.
+The design is the canonical two-level blocked comparison:
+
+1. **Conflate identical surface forms first.** The edit-distance kernel
+   runs over DISTINCT name pairs only — real dirty dimensions have
+   massive surface-form repetition (here 64 distinct names across 20k
+   parts at sf0.1), so conflation collapses the quadratic kernel from
+   millions of row pairs to thousands of name pairs. The row-level
+   result is recovered by exploding per-(block, name) key arrays,
+   which is output-bound work, not kernel work.
+2. **Block the expansion.** Candidate groups pair only within a
+   blocking key (p_brand), never corpus × corpus; pair count is
+   Σ_b |block_b|², so skewed blocks get a secondary blocking pass
+   (name prefix / sorted neighborhood) — the single-key version of the
+   LSH hot-bucket chunking in dedup.py.
+
+When surface forms are near-unique (no conflation win), the kernel is
+the bottleneck again and the right tool is the threshold-bounded
+``levenshtein(l, r, k)`` (O(k·n) banded DP with early exit) under
+q-gram/LSH blocking — the bounded kernel is used here too.
 """
 
 from __future__ import annotations
@@ -25,39 +36,80 @@ from bigdata1_spark.sources.tables import load_table
 def fuzzy_join(
     spark: SparkSession, sf_dir: str, max_dist: int = 2
 ) -> DataFrame:
-    """Within-brand fuzzy self-match on part names: all pairs whose
-    Levenshtein distance is ≤ ``max_dist``.
+    """Within-brand fuzzy self-match on part names: all part pairs
+    (a_key < b_key) whose names are within Levenshtein distance
+    ``max_dist``.
 
-    One shuffle on the blocking key (p_brand); the length-band
-    prefilter ``|len(a) − len(b)| ≤ max_dist`` is implied by the
-    distance bound (deleting/inserting beyond it cannot be repaired in
-    ≤ max_dist edits), so it is a pure pruning step the oracle safely
-    omits — it cuts the edit-distance evaluations without touching the
-    result. ``p_partkey < p_partkey`` gives each unordered pair once.
+    Plan: one shuffle groups parts to (brand, name, sorted key array);
+    the name-pair distance table (distinct names ≤ vocabulary size) is
+    computed with the threshold-bounded kernel and BROADCAST, as is the
+    right-hand group table — so the expansion joins are broadcast-side
+    and the only remaining cost is materializing the actual matches.
+    ``name_a <= name_b`` enumerates unordered name pairs once; key
+    ordering is restored per pair with least/greatest (names swap with
+    their keys), and the equal-name case (dist 0 — same group joined to
+    itself) takes ``ka < kb`` combinations.
     Columns: a_key, b_key, a_name, b_name, dist.
     """
     p = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_brand", "p_name"
     )
-    a = p.alias("a")
-    b = p.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.p_brand") == F.col("b.p_brand"))
-        & (F.col("a.p_partkey") < F.col("b.p_partkey"))
-        & (
-            F.abs(F.length("a.p_name") - F.length("b.p_name"))
-            <= F.lit(max_dist)
-        ),
+    groups = p.groupBy("p_brand", "p_name").agg(
+        F.sort_array(F.collect_list("p_partkey")).alias("keys")
     )
-    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
-    return (
-        pairs.select(
-            F.col("a.p_partkey").alias("a_key"),
-            F.col("b.p_partkey").alias("b_key"),
-            F.col("a.p_name").alias("a_name"),
-            F.col("b.p_name").alias("b_name"),
-            dist.cast("long").alias("dist"),
+    names = p.select("p_name").distinct()
+    # Bounded-distance kernel over distinct name pairs only: returns -1
+    # past the threshold (banded DP, early exit), so the filter keeps
+    # 0..max_dist.
+    npairs = (
+        names.alias("x")
+        .join(
+            names.alias("y"),
+            F.col("x.p_name") <= F.col("y.p_name"),
         )
-        .filter(F.col("dist") <= max_dist)
+        .select(
+            F.col("x.p_name").alias("name_a"),
+            F.col("y.p_name").alias("name_b"),
+            F.levenshtein(
+                F.col("x.p_name"), F.col("y.p_name"), max_dist
+            ).cast("long").alias("dist"),
+        )
+        .filter(F.col("dist") >= 0)
+    )
+    ga = groups.alias("ga")
+    gb = groups.select(
+        F.col("p_brand").alias("b_brand"),
+        F.col("p_name").alias("b_gname"),
+        F.col("keys").alias("keys_b"),
+    )
+    cand = (
+        ga.join(F.broadcast(npairs), F.col("ga.p_name") == F.col("name_a"))
+        .join(
+            F.broadcast(gb),
+            (F.col("b_brand") == F.col("ga.p_brand"))
+            & (F.col("b_gname") == F.col("name_b")),
+        )
+    )
+    expanded = (
+        cand.select(
+            "name_a", "name_b", "dist",
+            F.explode("keys").alias("ka"), "keys_b",
+        )
+        .select(
+            "name_a", "name_b", "dist", "ka",
+            F.explode("keys_b").alias("kb"),
+        )
+        .filter(
+            (F.col("name_a") != F.col("name_b")) | (F.col("ka") < F.col("kb"))
+        )
+    )
+    flip = F.col("ka") > F.col("kb")
+    return expanded.select(
+        F.least("ka", "kb").alias("a_key"),
+        F.greatest("ka", "kb").alias("b_key"),
+        F.when(flip, F.col("name_b")).otherwise(F.col("name_a"))
+        .alias("a_name"),
+        F.when(flip, F.col("name_a")).otherwise(F.col("name_b"))
+        .alias("b_name"),
+        "dist",
     )

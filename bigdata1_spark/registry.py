@@ -393,6 +393,22 @@ register("scan_jsonl", jsonl.scan_jsonl, _TEXT_SOURCE_ORACLE)
 # Same rollup through the CSV source/sink pair (header + quoting path).
 register("scan_csv", jsonl.scan_csv, _TEXT_SOURCE_ORACLE)
 
+# Same rollup through the bundled columnar ORC source/sink pair.
+register("scan_orc", jsonl.scan_orc, _TEXT_SOURCE_ORACLE)
+
+# Hive-partitioned write + planning-time partition-pruned read (the
+# function asserts PartitionFilters structurally before returning).
+register(
+    "scan_partitioned",
+    jsonl.scan_partitioned,
+    """
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents WHERE lang = 'fr' GROUP BY source
+    """,
+)
+
 # ---------------------------------------------------------------------------
 # North-star extensions (SURVEY.md §2.9): dedup, similarity, text analysis
 # ---------------------------------------------------------------------------
@@ -1635,6 +1651,30 @@ register(
            CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
                 AS BIGINT) AS revenue_cents
     FROM lineitem GROUP BY l_returnflag
+    """,
+)
+
+# Cogrouped-map pandas surface: orders ⋈ lineitem reconciliation with a
+# COARSE bucket key (64 Python calls, vectorized inside — never one call
+# per raw order key).
+register(
+    "cogrouped_map",
+    api_surface.cogrouped_map,
+    """
+    WITH li AS (
+      SELECT l_orderkey,
+             COUNT(*) AS n_lines,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS total_cents
+      FROM lineitem GROUP BY 1
+    ), o AS (
+      SELECT DISTINCT o_orderkey FROM orders
+    )
+    SELECT COALESCE(o.o_orderkey, li.l_orderkey) AS o_orderkey,
+           COALESCE(li.n_lines, 0) AS n_lines,
+           COALESCE(li.total_cents, 0) AS total_cents,
+           CAST(o.o_orderkey IS NOT NULL AS BIGINT) AS has_order
+    FROM o FULL OUTER JOIN li ON o.o_orderkey = li.l_orderkey
     """,
 )
 

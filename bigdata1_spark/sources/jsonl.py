@@ -77,3 +77,62 @@ def scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
         return res.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents → ORC sink → ORC source → per-language rollup.
+
+    ORC is the remaining bundled columnar format (avro ships as a
+    separate package and is deliberately out of scope); the round-trip
+    proves the full predicate-pushdown-capable binary path next to the
+    text formats. Same rollup and content-pinning (distinct-md5) as
+    ``scan_jsonl``. Columns: lang, n_docs, total_chars, n_texts.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="bigdata1_orc_")
+    try:
+        path = os.path.join(work, "docs_orc")
+        docs.write.mode("overwrite").orc(path)
+        back = spark.read.schema(docs.schema).orc(path)
+        res = back.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.countDistinct(F.md5("text")).alias("n_texts"),
+        )
+        return res.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def scan_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned write + partition-PRUNED read: documents
+    written ``partitionBy(lang)``, then one partition read back through
+    a partition-column filter.
+
+    The assert is structural, not just value-level: the read's file
+    index must report exactly one selected partition (partition
+    pruning happened at planning time — at 100 TB this is the
+    difference between listing one prefix and scanning the corpus).
+    The rollup aggregates source/doc stats for the pruned language.
+    Columns: source, n_docs, total_chars.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="bigdata1_part_")
+    try:
+        path = os.path.join(work, "docs_part")
+        docs.write.mode("overwrite").partitionBy("lang").parquet(path)
+        back = spark.read.parquet(path).filter(F.col("lang") == "fr")
+        # Structural pruning check: the scan node must carry the lang
+        # predicate as a PARTITION filter (planning-time pruning), not
+        # a post-scan data filter.
+        plan = back._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "fr" in plan, (
+            f"partition pruning missing from scan:\n{plan}"
+        )
+        res = back.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        return res.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
