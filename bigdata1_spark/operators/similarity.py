@@ -434,3 +434,121 @@ def pq_encode(
             "recon_err"
         ),
     )
+
+
+def sim_topk_ivf_pq(
+    spark: SparkSession,
+    sf_dir: str,
+    n_cells: int = IVF_CELLS,
+    n_probes: int = IVF_PROBES,
+    m: int = PQ_SUBSPACES,
+    k: int = PQ_CODEWORDS,
+    dsub: int = PQ_SUBDIM,
+) -> DataFrame:
+    """Full IVF-PQ ANN query — the production composition of the coarse
+    quantizer (``sim_topk_ivf``) and product quantization
+    (``pq_encode``): probe the ``n_probes`` nearest cells, then rank
+    candidates by ASYMMETRIC distance computed from their m-byte PQ
+    codes against a per-query distance table, never touching the full
+    vectors of the candidates.
+
+    This is the memory story of billion-scale ANN: the scan side needs
+    only (cell, code_1..code_m) — m bytes + a partition key per vector
+    — while the query precomputes a k×m table of
+    subvector-to-codeword distances (here k·m = 32 doubles, broadcast).
+    ADC ranking is then m tiny broadcast joins (code → table row) and
+    one sum; no corpus shuffle anywhere. The scale plan: cell is a
+    partition column (probe = partition prune), codes live in the
+    parquet payload.
+
+    Determinism mirrors pq_encode: hash-sampled codebooks, index-
+    ordered folds for every subdistance, lexicographic argmin, the ADC
+    sum left-associated identically in SQL, and the output rounded at
+    1e-6 with ordering on the ROUNDED value + vec_id in both engines.
+    Columns: vec_id, label, adc_dist (ascending = nearest).
+    """
+    asg = _ivf_assign(_ivf_scored(spark, sf_dir, n_cells))
+    emb = _emb(spark, sf_dir)
+    cents = (
+        emb.select(
+            F.col("vec_id").alias("cid"),
+            F.col("v").alias("cv"),
+            F.md5(F.col("vec_id").cast("string")).alias("h"),
+        )
+        .orderBy("h", "cid")
+        .limit(k)
+        .select("cid", "cv")
+    )
+
+    def subdist(s: int, vcol: str) -> Column:
+        lo = s * dsub + 1
+        return F.expr(
+            f"aggregate(zip_with(slice({vcol}, {lo}, {dsub}),"
+            f" slice(cv, {lo}, {dsub}),"
+            " (a, b) -> (a - b) * (a - b)),"
+            " 0D, (acc, x) -> acc + x)"
+        )
+
+    # PQ codes per corpus vector (keep label + cell through the agg).
+    pairs = asg.crossJoin(F.broadcast(cents))
+    for s in range(m):
+        pairs = pairs.withColumn(f"d{s}", subdist(s, "v"))
+    codes = pairs.groupBy("vec_id", "label", "cell").agg(
+        *[
+            F.min(
+                F.struct(F.col(f"d{s}").alias("d"), F.col("cid").alias("c"))
+            ).alias(f"s{s}")
+            for s in range(m)
+        ]
+    )
+
+    # Per-query distance table: k rows of (cid, qd_0..qd_{m-1}).
+    q = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("v").alias("qv")
+    )
+    qtab = q.crossJoin(F.broadcast(cents))
+    for s in range(m):
+        lo = s * dsub + 1
+        qtab = qtab.withColumn(
+            f"qd{s}",
+            F.expr(
+                f"aggregate(zip_with(slice(qv, {lo}, {dsub}),"
+                f" slice(cv, {lo}, {dsub}),"
+                " (a, b) -> (a - b) * (a - b)),"
+                " 0D, (acc, x) -> acc + x)"
+            ),
+        )
+    qtab = qtab.select("cid", *[f"qd{s}" for s in range(m)])
+
+    # Probe cells: the n_probes centroids nearest the query.
+    probes = (
+        _ivf_scored(spark, sf_dir, n_cells)
+        .filter(F.col("vec_id") == QUERY_VEC_ID)
+        .orderBy(F.desc("cscore"), F.asc("cid"))
+        .limit(n_probes)
+        .select(F.col("cid").alias("pcell"))
+    )
+
+    cand = (
+        codes.join(
+            F.broadcast(probes), F.col("cell") == F.col("pcell")
+        )
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+    )
+    # ADC: m broadcast lookups (code_s → query table row s).
+    for s in range(m):
+        qs = qtab.select(
+            F.col("cid").alias(f"qc{s}"), F.col(f"qd{s}").alias(f"adc{s}")
+        )
+        cand = cand.join(
+            F.broadcast(qs), F.col(f"s{s}.c") == F.col(f"qc{s}")
+        )
+    adc = F.col("adc0")
+    for s in range(1, m):
+        adc = adc + F.col(f"adc{s}")
+    rounded = F.floor(adc * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return (
+        cand.select("vec_id", "label", rounded.alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )

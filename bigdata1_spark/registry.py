@@ -599,6 +599,78 @@ register(
     """,
 )
 
+# Full IVF-PQ ANN: coarse probe + asymmetric-distance ranking over PQ
+# codes. Every float mirrors pq_encode's fold-order discipline; the ADC
+# sum is left-associated identically and ordering is on the ROUNDED
+# value in both engines.
+register(
+    "sim_topk_ivf_pq",
+    similarity.sim_topk_ivf_pq,
+    f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), ivf_cents AS (
+      SELECT vec_id AS cid, v AS cv FROM e
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT {similarity.IVF_CELLS}
+    ), scored AS (
+      SELECT e.vec_id, e.label, e.v, c.cid,
+             {_DUCK_COS.format(a='e.v', b='c.cv')} AS cscore
+      FROM e CROSS JOIN ivf_cents c
+    ), asg AS (
+      SELECT vec_id, label, v, cid AS cell FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY cscore DESC, cid ASC) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ), probes AS (
+      SELECT cid AS pcell FROM scored WHERE vec_id = 0
+      ORDER BY cscore DESC, cid ASC LIMIT {similarity.IVF_PROBES}
+    ), pq_cents AS (
+      SELECT vec_id AS cid, v AS cv
+      FROM (SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) AS h FROM e
+            ORDER BY h, vec_id LIMIT {similarity.PQ_CODEWORDS})
+    ), dists AS (
+      SELECT e.vec_id, c.cid, s.s,
+             list_reduce(
+               list_transform(generate_series(1, {similarity.PQ_SUBDIM}),
+                 i -> (e.v[(s.s - 1) * {similarity.PQ_SUBDIM} + i]
+                       - c.cv[(s.s - 1) * {similarity.PQ_SUBDIM} + i])
+                    * (e.v[(s.s - 1) * {similarity.PQ_SUBDIM} + i]
+                       - c.cv[(s.s - 1) * {similarity.PQ_SUBDIM} + i])),
+               (a, b) -> a + b) AS d
+      FROM e, pq_cents c,
+           (SELECT unnest(generate_series(1, {similarity.PQ_SUBSPACES}))
+            AS s) s
+    ), best AS (
+      SELECT vec_id, s, cid, d,
+             ROW_NUMBER() OVER (
+               PARTITION BY vec_id, s ORDER BY d, cid) AS rn
+      FROM dists
+    ), codes AS (
+      SELECT vec_id,
+             MAX(CASE WHEN s = 1 THEN cid END) AS code_1,
+             MAX(CASE WHEN s = 2 THEN cid END) AS code_2,
+             MAX(CASE WHEN s = 3 THEN cid END) AS code_3,
+             MAX(CASE WHEN s = 4 THEN cid END) AS code_4
+      FROM best WHERE rn = 1 GROUP BY vec_id
+    ), qd AS (
+      SELECT cid, s, d FROM dists WHERE vec_id = 0
+    )
+    SELECT c.vec_id, a.label,
+           FLOOR((q1.d + q2.d + q3.d + q4.d) * 1e6 + 0.5) / 1e6
+             AS adc_dist
+    FROM codes c
+    JOIN asg a ON a.vec_id = c.vec_id
+    JOIN qd q1 ON q1.cid = c.code_1 AND q1.s = 1
+    JOIN qd q2 ON q2.cid = c.code_2 AND q2.s = 2
+    JOIN qd q3 ON q3.cid = c.code_3 AND q3.s = 3
+    JOIN qd q4 ON q4.cid = c.code_4 AND q4.s = 4
+    WHERE c.vec_id <> 0 AND a.cell IN (SELECT pcell FROM probes)
+    ORDER BY adc_dist ASC, c.vec_id ASC LIMIT {similarity.TOP_K}
+    """,
+)
+
 register(
     "sim_topk_ivf_multiprobe",
     similarity.sim_topk_ivf_multiprobe,
