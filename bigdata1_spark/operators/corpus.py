@@ -392,3 +392,32 @@ def decontaminate_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(clean.select("doc_id"), "doc_id").select(
         "doc_id", "source", "n_chars"
     )
+
+
+SAMPLE_K = 20
+
+
+def sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size per-group sampling: precisely K docs per language,
+    chosen by content-hash order — the deterministic replacement for
+    reservoir sampling when the sample must be the SAME set on every
+    run, partition layout, or retry (rate-based sampling like
+    ``sample_stratified`` can't promise an exact count).
+
+    One shuffle on lang; the per-group window ranks by (md5(text),
+    doc_id) — content decides membership, so re-ingesting the corpus
+    reproduces the sample. At 100 TB the window is the textbook top-K
+    per group: WindowGroupLimit pushes the K cutoff into the shuffle's
+    partial sort, so no group ever materializes fully.
+    Columns: lang, doc_id, rk.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.md5("text"), F.asc("doc_id"))
+    return (
+        docs.select(
+            "lang", "doc_id", F.row_number().over(w).alias("rk")
+        )
+        .filter(F.col("rk") <= SAMPLE_K)
+    )

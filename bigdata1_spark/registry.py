@@ -3421,8 +3421,94 @@ register(
 # diff
 # ---------------------------------------------------------------------------
 
-from bigdata1_spark.operators import layout, matching  # noqa: E402
+from bigdata1_spark.operators import dq, layout, matching  # noqa: E402
 from bigdata1_spark.plans import skew as plans_skew  # noqa: E402
+
+# Deequ-style expectation suite: all row-local checks in ONE aggregate
+# pass; only the referential check pays a (key-only) join.
+register(
+    "dq_expectations",
+    dq.dq_expectations,
+    """
+    WITH m AS (
+      SELECT COUNT(*) AS n_rows,
+             SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+               AS nulls_qty,
+             SUM(CASE WHEN l_discount < 0 OR l_discount > 0.5
+                 THEN 1 ELSE 0 END) AS oor_discount,
+             SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END)
+               AS nonpos_price,
+             COUNT(DISTINCT (l_orderkey, l_linenumber)) AS n_keys
+      FROM lineitem
+    ), orph AS (
+      SELECT COUNT(*) AS n_orphans FROM lineitem l
+      WHERE NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey
+      )
+    ), long AS (
+      SELECT 'completeness_quantity' AS check_name, nulls_qty AS metric
+      FROM m
+      UNION ALL SELECT 'range_discount', oor_discount FROM m
+      UNION ALL SELECT 'positive_price', nonpos_price FROM m
+      UNION ALL SELECT 'unique_line_key', n_rows - n_keys FROM m
+      UNION ALL SELECT 'orders_referential', n_orphans FROM orph
+    )
+    SELECT check_name, CAST(metric AS BIGINT) AS metric,
+           CAST(metric = 0 AS BIGINT) AS passed
+    FROM long
+    """,
+)
+
+# PSI drift per bucket: exact integer counts, one fixed-order IEEE chain
+# per row (the doc_entropy ln-parity discipline), floor-rounded 1e-6.
+register(
+    "psi_drift",
+    dq.psi_drift,
+    """
+    WITH tagged AS (
+      SELECT least(greatest(CAST(FLOOR((l_extendedprice - 0.0) / 20000.0)
+                                 AS BIGINT), 0), 9) AS bucket,
+             (strpos('0123456789abcdef',
+                     substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 1)) - 1)
+               % 2 AS half
+      FROM lineitem
+    ), counts AS (
+      SELECT bucket,
+             CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b
+      FROM tagged GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(n_a) AS BIGINT) AS tot_a,
+             CAST(SUM(n_b) AS BIGINT) AS tot_b
+      FROM counts
+    )
+    SELECT bucket, n_a, n_b,
+           FLOOR(((CAST(n_a + 1 AS DOUBLE) / CAST(tot_a + 10 AS DOUBLE))
+                  - (CAST(n_b + 1 AS DOUBLE) / CAST(tot_b + 10 AS DOUBLE)))
+                 * ln((CAST(n_a + 1 AS DOUBLE) / CAST(tot_a + 10 AS DOUBLE))
+                      / (CAST(n_b + 1 AS DOUBLE)
+                         / CAST(tot_b + 10 AS DOUBLE)))
+                 * 1e6 + 0.5) / 1e6 AS psi_term
+    FROM counts, tot
+    """,
+)
+
+# Exact-K deterministic per-group sample (content-hash order).
+register(
+    "sample_exact_k",
+    corpus.sample_exact_k,
+    """
+    SELECT lang, doc_id, rk FROM (
+      SELECT lang, doc_id,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY md5(text), doc_id
+             ) AS BIGINT) AS rk
+      FROM documents
+    ) WHERE rk <= 20
+    """,
+)
 
 # Two-stage salted aggregation over the hottest real key — equals the
 # plain GROUP BY by associativity, which the oracle pins.
