@@ -310,3 +310,99 @@ def resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("v").isNull(), F.lit(1)).otherwise(F.lit(0))
         .cast("long").alias("interpolated"),
     )
+
+
+HW_ALPHA = 0.5  # level smoothing
+HW_BETA = 0.3   # trend smoothing
+COVERAGE_US = 900_000_000  # 15-minute activity interval per event
+
+
+def holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (double-exponential) smoothing per user: level +
+    trend recursion over the value series, emitting the final state and
+    the one-step forecast — the trend-aware upgrade of ``ewma``.
+
+    l_t = α·x_t + (1−α)(l_{t−1} + b_{t−1});
+    b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1};  init l₁ = x₁, b₁ = 0.
+
+    The recursion carries a PAIR of floats, so the cross-engine parity
+    trick is a struct-accumulator left-fold: both engines fold the same
+    (ts, event_id)-ordered value array with the same expression tree
+    (the l_t subexpression is deliberately duplicated inside the b_t
+    term in BOTH engines rather than let-bound in one). One shuffle on
+    user_id; per-user state is two doubles regardless of series
+    length — the same bounded state a streaming version would keep.
+    Columns: user_id, n, level, trend, forecast (floor-rounded 1e-6).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("xs")
+    )
+    vals = F.transform(F.col("xs"), lambda x: x["value"])
+    a, b = HW_ALPHA, HW_BETA
+    lnew = lambda acc, v: (  # noqa: E731 — shared subexpression builder
+        F.lit(a) * v + F.lit(1.0 - a) * (acc["l"] + acc["b"])
+    )
+    folded = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.struct(
+            F.element_at(vals, 1).alias("l"), F.lit(0.0).alias("b")
+        ),
+        lambda acc, v: F.struct(
+            lnew(acc, v).alias("l"),
+            (
+                F.lit(b) * (lnew(acc, v) - acc["l"])
+                + F.lit(1.0 - b) * acc["b"]
+            ).alias("b"),
+        ),
+    )
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return per_user.select(
+        "user_id",
+        F.size("xs").cast("long").alias("n"),
+        r6(folded["l"]).alias("level"),
+        r6(folded["b"]).alias("trend"),
+        r6(folded["l"] + folded["b"]).alias("forecast"),
+    )
+
+
+def interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union length per user: each event opens a 15-minute
+    activity interval; overlapping intervals merge, and the covered
+    time is the union's total length — the uptime/coverage primitive
+    (SLA windows, sensor liveness, ad viewability).
+
+    Sweep-line as a window: sort intervals per user, carry the running
+    max end over preceding rows, and each row contributes
+    ``max(end − max(prev_max_end, start), 0)`` — clipped overlap
+    removal without ever materializing merged intervals. One shuffle on
+    user_id; everything is exact integer microseconds.
+    Columns: user_id, n_intervals, covered_us.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros(F.col("ts")).alias("us")
+    )
+    iv = ev.withColumn("e", F.col("us") + F.lit(COVERAGE_US))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pmax = F.max("e").over(w)
+    contrib = F.greatest(
+        F.col("e")
+        - F.greatest(
+            F.coalesce(pmax, F.lit(-(2**62))), F.col("us")
+        ),
+        F.lit(0),
+    )
+    return (
+        iv.select("user_id", contrib.alias("c"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("c").alias("covered_us"),
+        )
+    )

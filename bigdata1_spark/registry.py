@@ -2410,6 +2410,69 @@ register(
     """,
 )
 
+# Holt's linear smoothing: pair-accumulator left-fold, identical
+# expression tree both engines (l_t deliberately duplicated, not
+# let-bound, so the trees match). The DuckDB accumulator is a 2-element
+# LIST, not a struct: DuckDB 1.0's list_reduce updates a struct
+# accumulator field-by-field IN PLACE, so a struct's second field would
+# see the already-overwritten first field (measured).
+register(
+    "holt_winters",
+    temporal.holt_winters,
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals
+      FROM events GROUP BY 1
+    ), folded AS (
+      SELECT user_id, len(vals) AS n,
+             list_reduce(
+               list_prepend(
+                 [vals[1], CAST(0.0 AS DOUBLE)],
+                 list_transform(vals[2:len(vals)],
+                                v -> [v, CAST(0.0 AS DOUBLE)])),
+               (acc, x) ->
+                 [0.5 * x[1] + 0.5 * (acc[1] + acc[2]),
+                  0.3 * ((0.5 * x[1] + 0.5 * (acc[1] + acc[2])) - acc[1])
+                  + 0.7 * acc[2]]
+             ) AS st
+      FROM per_user
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n,
+           FLOOR(st[1] * 1e6 + 0.5) / 1e6 AS level,
+           FLOOR(st[2] * 1e6 + 0.5) / 1e6 AS trend,
+           FLOOR((st[1] + st[2]) * 1e6 + 0.5) / 1e6 AS forecast
+    FROM folded
+    """,
+)
+
+# Interval-union coverage: sweep-line as a running-max window, exact
+# integer microseconds throughout.
+register(
+    "interval_coverage",
+    temporal.interval_coverage,
+    """
+    WITH iv AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             epoch_us(ts) + 900000000 AS e
+      FROM events
+    ), m AS (
+      SELECT user_id, us, e,
+             MAX(e) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS pmax
+      FROM iv
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(GREATEST(
+             e - GREATEST(COALESCE(pmax, -4611686018427387904), us), 0
+           )) AS BIGINT) AS covered_us
+    FROM m GROUP BY 1
+    """,
+)
+
 register(
     "resample_interpolate",
     temporal.resample_interpolate,
