@@ -421,3 +421,27 @@ def sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") <= SAMPLE_K)
     )
+
+
+def dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact dedup statistics: which 64-token training
+    windows appear in MORE than one document — the boilerplate
+    detector (headers, licence blocks, navigation text survive
+    doc-level dedup because the documents differ overall; their shared
+    chunks don't).
+
+    Reuses ``doc_chunking``'s zero-shuffle chunker; the only shuffle
+    groups by chunk fingerprint, carrying one row per distinct chunk
+    after map-side combine. Emits duplicated chunks with their spread
+    (#docs, #occurrences) — the apply-side (masking those spans) is a
+    semi-join away. Columns: chunk_md5, n_docs, n_occurrences.
+    """
+    chunks = doc_chunking(spark, sf_dir)
+    return (
+        chunks.groupBy("chunk_md5")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

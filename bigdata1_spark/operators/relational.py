@@ -875,3 +875,54 @@ def table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("change") != "unchanged")
     )
+
+
+ENUM_BUCKETS = 64
+
+
+def global_enumerate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable global row numbering in total (l_orderkey, l_linenumber)
+    order — WITHOUT the single-partition window a naive
+    ``ROW_NUMBER() OVER (ORDER BY …)`` plans.
+
+    Two-pass offset pattern (the scale-safe global enumeration):
+    rows land in FIXED key-range buckets (literal arithmetic on the
+    sort key, not a sampled range partitioner, so bucket membership is
+    deterministic); pass 1 counts per bucket and turns counts into
+    starting offsets with a cumulative window over the 64-row bucket
+    table (constant-bounded, same argument as cumulative_distinct);
+    pass 2 ranks within each bucket in parallel and adds the broadcast
+    offset. No driver collect, no full-data single partition anywhere.
+    Columns: l_orderkey, l_linenumber, idx (1-based).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber"
+    )
+    # Fixed-width key ranges: orderkey span is generator-bounded; the
+    # modulus-free DIV keeps bucket order aligned with key order.
+    bucket = (F.col("l_orderkey") / F.lit(100_000)).cast("long")
+    tagged = li.withColumn("bucket", bucket)
+    per_bucket = tagged.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_off = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_bucket.select(
+        "bucket",
+        F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("offset"),
+    )
+    w_in = Window.partitionBy("bucket").orderBy(
+        "l_orderkey", "l_linenumber"
+    )
+    return (
+        tagged.join(F.broadcast(offsets), "bucket")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.row_number().over(w_in) + F.col("offset"))
+            .cast("long")
+            .alias("idx"),
+        )
+    )

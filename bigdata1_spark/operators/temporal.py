@@ -406,3 +406,74 @@ def interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("c").alias("covered_us"),
         )
     )
+
+
+def twa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of ``value`` per user (TWAP): each
+    observation holds until the next one, so its weight is the gap to
+    the successor; the last observation carries zero weight (no close
+    sentinel — the convention interval pricing uses for open series).
+
+    One lead window per user, then exact arithmetic: gaps are integer
+    microseconds, the weighted sum goes through DECIMAL (value is
+    2-ish-decimal input, value·Δus fits 38 digits at any realistic
+    retention), and the final division is ONE double op — so the oracle
+    matches bit-for-bit without any fold-order care. Users with a
+    single event (no weighted interval) report the plain value.
+    Columns: user_id, n_obs, span_us, twa_value.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value",
+        F.unix_micros(F.col("ts")).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gapped = ev.withColumn(
+        "dt", F.lead("us").over(w) - F.col("us")
+    )
+    agg = gapped.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum("dt").alias("span_us"),
+        F.sum(
+            (F.col("value").cast("decimal(18,6)") * F.col("dt"))
+            .cast("decimal(38,6)")
+        ).alias("wsum"),
+        F.min(F.struct("us", "event_id", "value")).alias("first_obs"),
+    )
+    return agg.select(
+        "user_id",
+        "n_obs",
+        F.coalesce("span_us", F.lit(0)).alias("span_us"),
+        F.when(
+            F.coalesce(F.col("span_us"), F.lit(0)) > 0,
+            F.col("wsum").cast("double")
+            / F.col("span_us").cast("double"),
+        )
+        .otherwise(F.col("first_obs.value"))
+        .alias("twa_value"),
+    )
+
+
+def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling: per (user, hour) bar with open / high / low /
+    close of ``value`` — the finance-style resample every time-series
+    store ships.
+
+    Open/close are argmin/argmax by time expressed as lexicographic
+    struct MIN/MAX over (us, event_id, value) — pure aggregates, so the
+    whole operator is ONE shuffle with full map-side partial
+    aggregation (no window, no sort). High/low are plain MIN/MAX.
+    Columns: user_id, hour, o, h, l, c, n.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value",
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+        .alias("hour"),
+        F.unix_micros(F.col("ts")).alias("us"),
+    )
+    return ev.groupBy("user_id", "hour").agg(
+        F.min(F.struct("us", "event_id", "value"))["value"].alias("o"),
+        F.max("value").alias("h"),
+        F.min("value").alias("l"),
+        F.max(F.struct("us", "event_id", "value"))["value"].alias("c"),
+        F.count(F.lit(1)).alias("n"),
+    )

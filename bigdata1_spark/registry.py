@@ -2473,6 +2473,74 @@ register(
     """,
 )
 
+# Time-weighted average: exact integer gaps, decimal weighted sum, ONE
+# double division — no fold-order care needed anywhere.
+register(
+    "twa",
+    temporal.twa,
+    """
+    WITH ev AS (
+      SELECT user_id, event_id, value, epoch_us(ts) AS us FROM events
+    ), g AS (
+      SELECT user_id, event_id, value, us,
+             LEAD(us) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+             ) - us AS dt
+      FROM ev
+    ), agg AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_obs,
+             CAST(COALESCE(SUM(dt), 0) AS BIGINT) AS span_us,
+             SUM(CAST(CAST(value AS DECIMAL(18,6)) * dt
+                      AS DECIMAL(38,6))) AS wsum
+      FROM g GROUP BY 1
+    ), first_obs AS (
+      SELECT user_id, value AS fv FROM (
+        SELECT user_id, value, ROW_NUMBER() OVER (
+          PARTITION BY user_id ORDER BY us, event_id) AS rn
+        FROM ev
+      ) WHERE rn = 1
+    )
+    SELECT a.user_id, a.n_obs, a.span_us,
+           CASE WHEN a.span_us > 0
+                THEN CAST(a.wsum AS DOUBLE) / CAST(a.span_us AS DOUBLE)
+                ELSE f.fv END AS twa_value
+    FROM agg a JOIN first_obs f ON a.user_id = f.user_id
+    """,
+)
+
+# OHLC bars: open/close as lexicographic struct min/max — pure
+# aggregates, one shuffle, full map-side combine.
+register(
+    "ohlc_bars",
+    temporal.ohlc_bars,
+    """
+    WITH ev AS (
+      SELECT user_id, event_id, value,
+             strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+               AS hour,
+             epoch_us(ts) AS us
+      FROM events
+    ), rk AS (
+      SELECT user_id, hour, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, hour
+               ORDER BY us, event_id, value) AS rn_a,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, hour
+               ORDER BY us DESC, event_id DESC, value DESC) AS rn_d
+      FROM ev
+    )
+    SELECT user_id, hour,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS o,
+           MAX(value) AS h,
+           MIN(value) AS l,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS c,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM rk GROUP BY 1, 2
+    """,
+)
+
 register(
     "resample_interpolate",
     temporal.resample_interpolate,
@@ -3555,6 +3623,35 @@ register(
                          / CAST(tot_b + 10 AS DOUBLE)))
                  * 1e6 + 0.5) / 1e6 AS psi_term
     FROM counts, tot
+    """,
+)
+
+# Chunk-level dedup stats (boilerplate detector) — oracle wraps the
+# doc_chunking oracle so the chunker contract can't drift.
+register(
+    "dedup_chunks",
+    corpus.dedup_chunks,
+    f"""
+    WITH chunks AS ({ORACLES["doc_chunking"]})
+    SELECT chunk_md5,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM chunks GROUP BY 1
+    HAVING COUNT(DISTINCT doc_id) > 1
+    """,
+)
+
+# Two-pass global enumeration: fixed key-range buckets + cumulative
+# offsets over the 64-row bucket table — no single-partition window,
+# no driver collect; equals the naive global ROW_NUMBER.
+register(
+    "global_enumerate",
+    relational.global_enumerate,
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY l_orderkey, l_linenumber) AS BIGINT) AS idx
+    FROM lineitem
     """,
 )
 
