@@ -294,3 +294,39 @@ def rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+PATH_TOP_N = 20
+
+
+def user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event-type PATHS of length 3 (the 2nd-order sequence model
+    next to ``event_transitions``'s 1st-order matrix): for every
+    consecutive (a → b → c) triple in a user's timeline, corpus-wide
+    frequency, top-N tie-broken.
+
+    Two lead windows on the SAME (user_id, ts, event_id) ordering —
+    Catalyst plans one Window operator, one shuffle; the path table
+    aggregates map-side to ≤ |types|³ rows before its shuffle.
+    Columns: path, cnt.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    triples = ev.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type", 1).over(w).alias("b"),
+        F.lead("event_type", 2).over(w).alias("c"),
+    ).filter(F.col("c").isNotNull())
+    return (
+        triples.select(
+            F.concat_ws(">", "a", "b", "c").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("path"))
+        .limit(PATH_TOP_N)
+    )

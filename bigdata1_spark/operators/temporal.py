@@ -477,3 +477,49 @@ def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.struct("us", "event_id", "value"))["value"].alias("c"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+def locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly resample with LAST-OBSERVATION-CARRIED-FORWARD
+    (the step-function fill — sensor readings, account balances,
+    config state — where linear interpolation would invent values).
+
+    Same grid machinery as ``resample_interpolate`` (hourly DECIMAL-
+    exact means, per-user sequence+explode grid, one running
+    ignorenulls window on the grid's partitioning) but only the
+    BACKWARD-looking carry — no forward window, no interpolation
+    arithmetic, so every filled value is an exactly-observed value.
+    Columns: user_id, hour, value, filled.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        (F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+         .cast("double") / F.count(F.lit(1))).alias("v")
+    )
+    grid = (
+        obs.groupBy("user_id")
+        .agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    j = grid.join(obs, ["user_id", "h"], "left")
+    back = (
+        Window.partitionBy("user_id").orderBy(F.asc("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = F.last("v", ignorenulls=True).over(back)
+    fixed6 = F.floor(carried * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return j.select(
+        "user_id",
+        F.date_format("h", "yyyy-MM-dd HH:00:00").alias("hour"),
+        fixed6.alias("value"),
+        F.when(F.col("v").isNull(), F.lit(1)).otherwise(F.lit(0))
+        .cast("long")
+        .alias("filled"),
+    )

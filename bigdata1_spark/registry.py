@@ -2586,6 +2586,80 @@ register(
     """,
 )
 
+# LOCF step-function fill: same grid as resample_interpolate, backward
+# carry only — every filled value is an exactly-observed value.
+register(
+    "locf_fill",
+    temporal.locf_fill,
+    """
+    WITH obs AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
+               / COUNT(*) AS v
+      FROM events GROUP BY 1, 2
+    ), span AS (
+      SELECT user_id, MIN(h) AS lo, MAX(h) AS hi FROM obs GROUP BY 1
+    ), grid AS (
+      SELECT s.user_id, g.h
+      FROM span s, LATERAL (
+        SELECT unnest(generate_series(s.lo, s.hi, INTERVAL 1 HOUR)) AS h
+      ) g
+    ), j AS (
+      SELECT g.user_id, g.h, o.v
+      FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.h = o.h
+    ), f AS (
+      SELECT user_id, h, v,
+        last_value(v IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY h
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv
+      FROM j
+    )
+    SELECT user_id, strftime(h, '%Y-%m-%d %H:00:00') AS hour,
+           FLOOR(pv * 1e6 + 0.5) / 1e6 AS value,
+           CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS BIGINT) AS filled
+    FROM f
+    """,
+)
+
+# Second-order sequence model: top length-3 event-type paths.
+from bigdata1_spark.operators import event_analytics  # noqa: E402
+
+register(
+    "user_paths",
+    event_analytics.user_paths,
+    """
+    WITH t AS (
+      SELECT event_type AS a,
+             LEAD(event_type, 1) OVER w AS b,
+             LEAD(event_type, 2) OVER w AS c
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT a || '>' || b || '>' || c AS path, COUNT(*) AS cnt
+    FROM t WHERE c IS NOT NULL GROUP BY 1
+    ORDER BY cnt DESC, path ASC LIMIT 20
+    """,
+)
+
+# Additive schema evolution via mergeSchema (doc_id-parity generations).
+register(
+    "schema_evolution",
+    jsonl.schema_evolution,
+    """
+    WITH unioned AS (
+      SELECT lang, NULL::BIGINT AS n_chars FROM documents
+      WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT lang, n_chars FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           COUNT(n_chars) AS n_with_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS evolved_chars
+    FROM unioned GROUP BY lang
+    """,
+)
+
 # ---------------------------------------------------------------------------
 # IR / search family (operators/ir.py): TF-IDF, BM25, PMI. Oracle parity
 # notes live on the module docstring (rank by exact ratios, never by ln;

@@ -136,3 +136,37 @@ def scan_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         return res.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: two parquet generations of the documents
+    table — v1 without ``n_chars``, v2 with it — unified by
+    ``mergeSchema`` so old files surface the new column as NULL (the
+    additive-column evolution every long-lived table goes through).
+
+    The generation split is content-deterministic (doc_id parity), so
+    the oracle can emulate it exactly; the rollup counts how many rows
+    per language carry the evolved column. At 100 TB, mergeSchema's
+    footer-union runs over file metadata only — the data itself is
+    never rewritten, which is the entire point of additive evolution.
+    Columns: lang, n_docs, n_with_chars, evolved_chars.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="bigdata1_evolve_")
+    try:
+        path = os.path.join(work, "docs")
+        docs.filter(F.col("doc_id") % 2 == 0).select(
+            "doc_id", "lang", "source", "text"
+        ).write.parquet(os.path.join(path, "gen=1"))
+        docs.filter(F.col("doc_id") % 2 == 1).write.parquet(
+            os.path.join(path, "gen=2")
+        )
+        back = spark.read.option("mergeSchema", "true").parquet(path)
+        res = back.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("n_chars").alias("n_with_chars"),
+            F.sum("n_chars").cast("long").alias("evolved_chars"),
+        )
+        return res.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
