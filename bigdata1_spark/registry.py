@@ -3546,6 +3546,23 @@ register(
     ORACLES["sessionize"],
 )
 
+# Stream-STATIC enrichment join: no watermark, no join state, no
+# sentinel flush — the static dim re-resolves per micro-batch.
+register(
+    "events_enrich_streamed",
+    streaming_events.events_enrich_streamed,
+    """
+    WITH dim AS (
+      SELECT user_id, strftime(MIN(ts), '%Y-%m-%d') AS cohort
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_id, e.user_id, e.event_type,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+           d.cohort
+    FROM events e JOIN dim d ON e.user_id = d.user_id
+    """,
+)
+
 # Watermark-finalized stream-stream LEFT OUTER interval join: unmatched
 # clicks emit with NULLs only after state eviction proves no match can
 # still arrive.

@@ -923,3 +923,48 @@ def events_leftjoin_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         return drained.filter(F.col("user_id") >= 0)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def events_enrich_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC join: the event stream enriched against a static
+    dimension (per-user first-seen cohort, computed batch-side) — the
+    enrichment pattern behind almost every production stream (user
+    profiles, device registries, feature stores).
+
+    Unlike stream-stream joins this needs NO watermark and NO join
+    state: the static side is planned as an ordinary batch relation
+    (broadcast here), re-resolved per micro-batch. The drain needs no
+    sentinel flush either — rows emit as they arrive, which is exactly
+    the property that distinguishes this join class. Oracle: the same
+    join run fully in batch. Columns: event_id, user_id, event_type,
+    ts_s, cohort.
+    """
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="bigdata1_enrich_stream_")
+    try:
+        src = os.path.join(work, "src")
+        os.makedirs(src)
+        shutil.copy(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(src, "events.parquet"),
+        )
+        dim = (
+            load_table(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(
+                F.date_format(F.min("ts"), "yyyy-MM-dd").alias("cohort")
+            )
+        )
+        stream = _read_events_stream(spark, src)
+        enriched = stream.join(F.broadcast(dim), "user_id").select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
+            "cohort",
+        )
+        return _run_bounded_append(spark, enriched, work)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
