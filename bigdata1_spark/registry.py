@@ -3660,7 +3660,8 @@ register(
                  THEN 1 ELSE 0 END) AS oor_discount,
              SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END)
                AS nonpos_price,
-             COUNT(DISTINCT (l_orderkey, l_linenumber)) AS n_keys
+             COUNT(DISTINCT (l_orderkey, l_linenumber, l_partkey,
+                             l_suppkey, l_quantity)) AS n_keys
       FROM lineitem
     ), orph AS (
       SELECT COUNT(*) AS n_orphans FROM lineitem l

@@ -286,3 +286,93 @@ def test_survey_key_count_matches_registry():
     assert m, "SURVEY.md key-count sentence not found"
     assert int(m.group(1)) == len(registry.QUERIES)
     assert int(m.group(2)) == len(registry.ORACLES)
+
+
+def test_global_enumerate_is_permutation(spark, sf_dir):
+    """The two-pass enumeration must produce exactly 1..n — any bucket
+    offset bug shows up as a gap or collision."""
+    from bigdata1_spark.operators.relational import global_enumerate
+
+    stats = (
+        global_enumerate(spark, sf_dir)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("idx").alias("nd"),
+            F.min("idx").alias("lo"),
+            F.max("idx").alias("hi"),
+        )
+        .first()
+    )
+    assert stats["lo"] == 1 and stats["hi"] == stats["n"] == stats["nd"]
+
+
+def test_interval_coverage_bounds(spark, sf_dir):
+    """Union length is sandwiched: ≥ one interval (any user with ≥1
+    event covers at least its own window) and ≤ n·window (disjoint
+    upper bound)."""
+    from bigdata1_spark.operators.temporal import (
+        COVERAGE_US, interval_coverage,
+    )
+
+    bad = (
+        interval_coverage(spark, sf_dir)
+        .filter(
+            (F.col("covered_us") < COVERAGE_US)
+            | (F.col("covered_us") > F.col("n_intervals") * COVERAGE_US)
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_session_window_fn_conserves_events(spark, sf_dir):
+    """Both sessionizers must partition the event stream: summed
+    n_events equals the raw event count (the >=/> gap boundary moves
+    events between sessions, never drops them)."""
+    from bigdata1_spark.operators.event_analytics import (
+        session_window_native,
+    )
+    from bigdata1_spark.operators.relational import sessionize
+    from bigdata1_spark.sources.tables import load_table
+
+    total = load_table(spark, sf_dir, "events").count()
+    for df in (session_window_native(spark, sf_dir),
+               sessionize(spark, sf_dir)):
+        got = df.agg(F.sum("n_events")).first()[0]
+        assert got == total
+
+
+def test_zorder_interleave_roundtrip(spark, sf_dir):
+    """z-values stay in [0, 4096) and decode back to their cells — the
+    bit interleave is a bijection on the 6-bit grid."""
+    from bigdata1_spark.operators.layout import zorder_cluster
+
+    rows = zorder_cluster(spark, sf_dir).collect()
+    assert rows
+    for r in rows[:200]:
+        z = r["zval"]
+        assert 0 <= z < 4096
+        x = sum(((z >> (2 * i)) & 1) << i for i in range(6))
+        y = sum(((z >> (2 * i + 1)) & 1) << i for i in range(6))
+        assert (x, y) == (r["cell_x"], r["cell_y"])
+
+
+def test_dq_expectations_clean_data_passes(spark, sf_dir):
+    """The generator's testdata satisfies the whole suite — a failing
+    check would mean either broken data or a broken metric."""
+    from bigdata1_spark.operators.dq import dq_expectations
+
+    rows = dq_expectations(spark, sf_dir).collect()
+    assert len(rows) == 5
+    assert all(r["passed"] == 1 for r in rows), rows
+
+
+def test_psi_drift_no_real_drift(spark, sf_dir):
+    """Content-hash halves draw from the same distribution, so every
+    per-bucket PSI term must be tiny (|term| < 0.01 is ~10× looser than
+    observed — catches a broken ratio, never flakes)."""
+    from bigdata1_spark.operators.dq import psi_drift
+
+    rows = psi_drift(spark, sf_dir).collect()
+    assert rows
+    assert all(abs(r["psi_term"]) < 0.01 for r in rows), rows
