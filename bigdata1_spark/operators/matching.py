@@ -23,6 +23,13 @@ When surface forms are near-unique (no conflation win), the kernel is
 the bottleneck again and the right tool is the threshold-bounded
 ``levenshtein(l, r, k)`` (O(k·n) banded DP with early exit) under
 q-gram/LSH blocking — the bounded kernel is used here too.
+
+Bound note: the per-(block, form) key array is group-sized, so a
+pathological surface form repeated millions of times makes that array
+(and the pair explosion it feeds, which is quadratic in group size)
+the dominant object. Production ER caps representatives per form or
+emits (form-pair, count) instead of row pairs at that point — the same
+escalation as the LSH hot-bucket chunking.
 """
 
 from __future__ import annotations

@@ -241,8 +241,16 @@ def approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_partkey").alias("exact_parts"),
         F.expr("approx_percentile(l_extendedprice, 0.5, 1000)")
         .alias("apx_med_price"),
-        F.expr("percentile(l_extendedprice, 0.45)").alias("p45"),
-        F.expr("percentile(l_extendedprice, 0.55)").alias("p55"),
+        # one percentile call with an array of fractions: both band
+        # edges come from a single per-group value buffer and sort
+        # (two separate percentile aggregates each buffer the column —
+        # measured 2x slower at sf0.1)
+        F.expr("percentile(l_extendedprice, array(0.45, 0.55))")
+        .alias("pp"),
+    ).select(
+        "*",
+        F.element_at("pp", 1).alias("p45"),
+        F.element_at("pp", 2).alias("p55"),
     )
     return agg.select(
         "l_returnflag",
