@@ -121,7 +121,16 @@ def scan_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         path = os.path.join(work, "docs_part")
         docs.write.mode("overwrite").partitionBy("lang").parquet(path)
-        back = spark.read.parquet(path).filter(F.col("lang") == "fr")
+        # An empty source writes no partition directories at all, so the
+        # read-back cannot infer a schema — surface that as an empty
+        # result with the output contract's schema (the same fallback
+        # the streaming bounded drains use for empty sources).
+        try:
+            back = spark.read.parquet(path).filter(F.col("lang") == "fr")
+        except Exception:
+            return spark.createDataFrame(
+                [], "source string, n_docs bigint, total_chars bigint"
+            )
         # Structural pruning check: the scan node must carry the lang
         # predicate as a PARTITION filter (planning-time pruning), not
         # a post-scan data filter.

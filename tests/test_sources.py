@@ -187,3 +187,39 @@ def test_normalize_event_ts_all_encodings(spark):
             F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
         ).first()[0]
         assert got == want, (label, got)
+
+
+def test_all_queries_survive_empty_tables(spark, tmp_path):
+    """Every registry key must run (usually to an empty result) against
+    schema-complete but EMPTY tables — the shape of a fresh ingest
+    prefix. Round-5 advisory review caught one such latent crash
+    (cooccur_pmi's negative slice length); this sweep pins the whole
+    registry. A handful of expensive keys are sampled out to keep the
+    test fast; the full sweep runs in the round harness."""
+    import duckdb
+
+    from bigdata1_spark import registry
+
+    empty = tmp_path / "sf_empty"
+    empty.mkdir()
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet("
+            f"'/root/testdata/sf0.001/{t}.parquet') LIMIT 0) "
+            f"TO '{empty}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    skip = {  # streaming drains + iterative keys: slow, covered elsewhere
+        k for k in registry.QUERIES
+        if k.endswith("_streamed") or k in ("pagerank", "dedup_clusters")
+    }
+    failures = {}
+    for key in sorted(registry.QUERIES):
+        if key in skip:
+            continue
+        try:
+            registry.QUERIES[key](spark, str(empty)).count()
+        except Exception as ex:  # noqa: BLE001
+            failures[key] = f"{type(ex).__name__}: {ex}"[:120]
+    assert not failures, failures
