@@ -442,3 +442,27 @@ def scalar_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("PATH")).alias("path"),
         F.parse_url("url", F.lit("QUERY"), F.lit("seg")).alias("seg"),
     )
+
+
+def scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT ingestion of the semi-structured ``props``
+    payload — the open-schema path (parse once, bind types at read)
+    next to ``scalar_json``'s string-path extraction and the closed
+    ``from_json`` struct parse, all three on one key so a switching
+    user sees the whole semi-structured menu.
+
+    ``variant_get`` binds ``$.k`` as long at access time;
+    ``schema_of_variant`` reports the inferred per-row shape (constant
+    across this corpus, which the oracle pins literally); the
+    ``from_json`` column proves the schema-declared parse agrees with
+    the schema-free one. All three are JVM expressions — variant's
+    binary encoding exists precisely so repeated access does NOT
+    re-parse text. Columns: event_id, k, k_struct, vtype.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'long')").alias("k"),
+        F.from_json("props", "k long")["k"].alias("k_struct"),
+        F.expr("schema_of_variant(parse_json(props))").alias("vtype"),
+    )

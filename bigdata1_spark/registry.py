@@ -1146,6 +1146,20 @@ register(
     """,
 )
 
+# Spark 4 VARIANT + from_json next to the string-path extraction; the
+# per-row variant schema is constant over this corpus, pinned literally.
+register(
+    "scalar_variant",
+    micro.scalar_variant,
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_struct,
+           'OBJECT<k: BIGINT>' AS vtype
+    FROM events
+    """,
+)
+
 register(
     "scalar_datetime",
     micro.scalar_datetime,
