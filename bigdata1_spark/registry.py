@@ -396,6 +396,43 @@ register("scan_csv", jsonl.scan_csv, _TEXT_SOURCE_ORACLE)
 # Same rollup through the bundled columnar ORC source/sink pair.
 register("scan_orc", jsonl.scan_orc, _TEXT_SOURCE_ORACLE)
 
+# Custom Python DataSource (Spark 4 V2 API): every row is a pure md5
+# function of its row id, so DuckDB regenerates the identical table.
+from bigdata1_spark.sources import pydatasource  # noqa: E402
+
+
+def _hex4(expr: str) -> str:
+    """SQL for int(substr-4-hex, 16) of a 4-char hex expression."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({expr}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+
+
+register(
+    "python_datasource",
+    pydatasource.python_datasource,
+    f"""
+    WITH seq AS (
+      SELECT unnest(generate_series(0, {pydatasource.PYDS_ROWS - 1})) AS j
+    ), h AS (
+      SELECT j, md5(CAST(j AS VARCHAR)) AS hx FROM seq
+    ), rows_ AS (
+      SELECT j,
+             ({_hex4("substr(hx, 1, 4)")}) % 28 + 1 AS day,
+             ({_hex4("substr(hx, 5, 4)")}) % 12 + 1 AS month,
+             ({_hex4("substr(hx, 9, 4)")}) % 500 AS cost
+      FROM h
+    )
+    SELECT CAST(month AS INT) AS month,
+           COUNT(*) AS n,
+           CAST(SUM(day) AS BIGINT) AS day_sum,
+           CAST(SUM(cost) AS BIGINT) AS cost_sum
+    FROM rows_ GROUP BY month
+    """,
+)
+
 # Hive-partitioned write + planning-time partition-pruned read (the
 # function asserts PartitionFilters structurally before returning).
 register(

@@ -233,3 +233,58 @@ def test_bounded_append_empty_source(spark, tmp_path):
     out = se._run_bounded_append(spark, sdf, str(tmp_path / "work"))
     assert out.columns == ["x", "y"]
     assert out.count() == 0
+
+
+def test_checkpoint_resume_exactly_once(spark, sf_dir, tmp_path):
+    """Checkpoint recovery: a bounded drain stops, MORE data arrives,
+    and a NEW query on the same checkpoint must process only the new
+    file — re-reading the first file (broken offset recovery) would
+    double its rows; skipping the second would lose them. This is the
+    restart contract every production stream depends on."""
+    import glob
+    import shutil
+
+    from bigdata1_spark.sources.tables import load_table
+    from bigdata1_spark.streaming import events as se
+
+    src = tmp_path / "src"
+    src.mkdir()
+    out = tmp_path / "out"
+    ckpt = str(tmp_path / "ckpt")
+    total = load_table(spark, sf_dir, "events").count()
+
+    def drain() -> None:
+        stream = se._read_events_stream(spark, str(src)).select(
+            "event_id", "user_id", "event_type"
+        )
+
+        def write_batch(bdf, bid):
+            bdf.write.mode("overwrite").parquet(
+                str(out / f"batch={bid}")
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(write_batch)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    # Run 1: only the events file. Run 2: a second copy under a new
+    # name (distinct file => new offsets) after the first query ended.
+    shutil.copy(f"{sf_dir}/events.parquet", src / "a.parquet")
+    drain()
+    batches_after_first = set(glob.glob(str(out / "batch=*")))
+    shutil.copy(f"{sf_dir}/events.parquet", src / "b.parquet")
+    drain()
+
+    got = spark.read.parquet(str(out)).count()
+    assert got == 2 * total, f"expected exactly-once {2 * total}, got {got}"
+    # the restarted query must have continued batch numbering, not
+    # rewritten the first run's directories
+    assert batches_after_first <= set(glob.glob(str(out / "batch=*")))
+    assert len(set(glob.glob(str(out / "batch=*")))) > len(
+        batches_after_first
+    )
