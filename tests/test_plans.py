@@ -654,3 +654,47 @@ def test_zorder_range_partitioning(spark, sf_dir):
         f"zorder_cluster missing range partitioning:\n{plan}"
     )
     checks.assert_max_exchanges(df, 1, "zorder_cluster")
+
+
+def test_global_enumerate_no_global_sort(spark, sf_dir):
+    """The whole point: no single-partition WindowExec over row-level
+    data. The only unpartitioned window may run on the 64-row bucket
+    table; the row-level ranking must be partitioned by bucket."""
+    from bigdata1_spark.operators.relational import global_enumerate
+
+    df = global_enumerate(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    for m in _re.finditer(r"Window \[[^\]]*\]", plan):
+        frag = m.group(0)
+        # row-level ranking carries the partitionBy bucket spec
+        assert "bucket" in frag or "offset" in frag, frag
+
+
+def test_ohlc_single_shuffle_no_window(spark, sf_dir):
+    """OHLC via struct min/max must plan as ONE aggregation shuffle —
+    any Window/Sort means the argmin fell off the aggregate path."""
+    from bigdata1_spark.operators.temporal import ohlc_bars
+
+    df = ohlc_bars(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    checks.assert_max_exchanges(df, 1, "ohlc_bars")
+
+
+def test_twa_single_shuffle(spark, sf_dir):
+    """lead-window and final agg share the user_id partitioning."""
+    from bigdata1_spark.operators.temporal import twa
+
+    checks.assert_max_exchanges(twa(spark, sf_dir), 1, "twa")
+
+
+def test_user_paths_one_window_operator(spark, sf_dir):
+    """Both leads ride one Window operator on one ordering — two
+    Window nodes would mean a second sort of the event stream."""
+    from bigdata1_spark.operators.event_analytics import user_paths
+
+    df = user_paths(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") == 1, plan
