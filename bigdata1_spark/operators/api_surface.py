@@ -288,3 +288,63 @@ def cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` — the lowest-level vectorized-UDF flavor: the
+    function sees raw Arrow RecordBatches (no pandas conversion at
+    all), the right tool when the work is itself Arrow-native
+    (pyarrow.compute kernels, zero-copy hand-offs to Arrow-based
+    libraries).
+
+    Per-document UTF-8 char and byte lengths via pyarrow.compute —
+    columnar C++ kernels, never a Python loop — then a per-language
+    rollup pinned by the oracle (DuckDB's length/strlen are the same
+    definitions). Columns: lang, n, chars_sum, bytes_sum.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def measure(batches):
+        for batch in batches:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("lang"),
+                    pc.utf8_length(batch.column("text")),
+                    pc.binary_length(batch.column("text")),
+                ],
+                names=["lang", "n_chars", "n_bytes"],
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    measured = docs.mapInArrow(
+        measure, "lang string, n_chars int, n_bytes int"
+    )
+    return measured.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").cast("long").alias("chars_sum"),
+        F.sum("n_bytes").cast("long").alias("bytes_sum"),
+    )
+
+
+def transpose_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.transpose`` (Spark 4) — rows become columns with the
+    first column supplying the new column names: a per-flag metrics
+    table flips into a per-metric table with one column per flag, the
+    report orientation dashboards want.
+
+    Transpose requires the frame being flipped to be SMALL (its row
+    count becomes the column count); here it is the 3-row per-flag
+    aggregate, never raw data. Metric values go through decimal-exact
+    sums first. Columns: key, A, N, R.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    per_flag = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("revenue"),
+        F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("qty"),
+    )
+    return per_flag.transpose().withColumnRenamed("key", "key")

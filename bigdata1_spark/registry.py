@@ -1801,6 +1801,47 @@ register(
     """,
 )
 
+# mapInArrow: raw RecordBatch access, pyarrow.compute kernels.
+register(
+    "arrow_map",
+    api_surface.arrow_map,
+    """
+    SELECT lang,
+           COUNT(*) AS n,
+           CAST(SUM(length(text)) AS BIGINT) AS chars_sum,
+           CAST(SUM(strlen(text)) AS BIGINT) AS bytes_sum
+    FROM documents GROUP BY lang
+    """,
+)
+
+# DataFrame.transpose (Spark 4): per-flag metrics flipped to per-metric
+# columns; the transposed frame is the 3-row aggregate, never raw data.
+register(
+    "transpose_stats",
+    api_surface.transpose_stats,
+    """
+    WITH agg AS (
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS revenue,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+               AS qty
+      FROM lineitem GROUP BY 1
+    )
+    SELECT 'revenue' AS key,
+           MAX(CASE WHEN l_returnflag = 'A' THEN revenue END) AS A,
+           MAX(CASE WHEN l_returnflag = 'N' THEN revenue END) AS N,
+           MAX(CASE WHEN l_returnflag = 'R' THEN revenue END) AS R
+    FROM agg
+    UNION ALL
+    SELECT 'qty',
+           MAX(CASE WHEN l_returnflag = 'A' THEN qty END),
+           MAX(CASE WHEN l_returnflag = 'N' THEN qty END),
+           MAX(CASE WHEN l_returnflag = 'R' THEN qty END)
+    FROM agg
+    """,
+)
+
 # Catalog DDL round-trip (CREATE VIEW / SHOW TABLES / DESCRIBE / DROP);
 # the oracle reads the same schemas from DuckDB's information_schema.
 register(
