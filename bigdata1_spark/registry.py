@@ -411,6 +411,25 @@ def _hex4(expr: str) -> str:
 
 
 register(
+    "python_stream_source",
+    pydatasource.python_stream_source,
+    f"""
+    WITH seq AS (
+      SELECT unnest(generate_series(0, {pydatasource.STREAM_ROWS - 1}))
+        AS j
+    ), h AS (
+      SELECT j, md5(CAST(j AS VARCHAR)) AS hx FROM seq
+    ), rows_ AS (
+      SELECT j, ({_hex4("substr(hx, 5, 4)")}) % 12 + 1 AS month FROM h
+    )
+    SELECT CAST(month AS INT) AS month,
+           COUNT(*) AS n,
+           CAST(SUM(j) AS BIGINT) AS bid_sum
+    FROM rows_ GROUP BY month
+    """,
+)
+
+register(
     "python_datasource",
     pydatasource.python_datasource,
     f"""

@@ -21,6 +21,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 PYDS_ROWS = 5000
@@ -79,3 +80,113 @@ def python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("day").cast("long").alias("day_sum"),
         F.sum("cost").cast("long").alias("cost_sum"),
     )
+
+
+STREAM_ROWS = 5000
+STREAM_STEP = 2000
+
+
+class BillingStreamReader(SimpleDataSourceStreamReader):
+    """Offset-tracked micro-batch reader: each ``read`` serves the next
+    row-id chunk and advances the offset; ``readBetweenOffsets``
+    replays a committed range deterministically (the replay contract
+    checkpoint recovery depends on)."""
+
+    def __init__(self, options):
+        self.n = int(options.get("rows", str(STREAM_ROWS)))
+        self.step = int(options.get("step", str(STREAM_STEP)))
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def _rows(self, lo: int, hi: int):
+        import hashlib
+
+        # Materialized list, not a generator: the engine's prefetch
+        # cache copy.copy()s the returned iterator, and generators
+        # aren't picklable (measured failure in planPartitions).
+        return [
+            (j, int(hashlib.md5(str(j).encode()).hexdigest()[4:8], 16)
+             % 12 + 1)
+            for j in range(lo, hi)
+        ]
+
+    def read(self, start):
+        lo = start["pos"]
+        hi = min(lo + self.step, self.n)
+        return (iter(self._rows(lo, hi)), {"pos": hi})
+
+    def readBetweenOffsets(self, start, end):
+        return iter(self._rows(start["pos"], end["pos"]))
+
+
+class BillingStreamSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "pybillstream"
+
+    def schema(self):
+        return "bid bigint, month int"
+
+    def simpleStreamReader(self, schema):
+        return BillingStreamReader(self.options)
+
+
+def python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom PYTHON STREAMING source (SimpleDataSourceStreamReader)
+    drained through repeated availableNow runs on ONE checkpoint: each
+    run consumes exactly the chunks the source exposes and the next run
+    resumes from the persisted offset — the restart loop proves the
+    custom source honors the offset/replay contract, not just that it
+    can emit rows. The drain stops when a run adds no new micro-batch.
+
+    Rows are the same pure md5 function of the row id as
+    ``python_datasource``, so the oracle regenerates the full table and
+    the monthly rollup is value-hash checked. Columns: month, n,
+    bid_sum.
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    spark.dataSource.register(BillingStreamSource)
+    work = tempfile.mkdtemp(prefix="bigdata1_pyds_stream_")
+    try:
+        out = os.path.join(work, "out")
+
+        def write_batch(bdf, bid):
+            bdf.write.mode("overwrite").parquet(
+                os.path.join(out, f"batch={bid}")
+            )
+
+        seen = -1
+        for _ in range(STREAM_ROWS // STREAM_STEP + 3):
+            q = (
+                spark.readStream.format("pybillstream")
+                .load()
+                .writeStream.foreachBatch(write_batch)
+                .outputMode("append")
+                .option(
+                    "checkpointLocation", os.path.join(work, "ckpt")
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            n_batches = len(glob.glob(os.path.join(out, "batch=*")))
+            if n_batches == seen:
+                break
+            seen = n_batches
+        res = (
+            spark.read.parquet(out)
+            .drop("batch")
+            .groupBy("month")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("bid").alias("bid_sum"),
+            )
+        )
+        return res.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
