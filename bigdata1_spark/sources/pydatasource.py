@@ -82,7 +82,11 @@ def python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-STREAM_ROWS = 5000
+# 2 data chunks + 1 confirming empty drain = 3 query lifecycles: the
+# minimum that still proves cross-restart offset resume (1 chunk would
+# never exercise a resumed offset; more only adds lifecycle overhead,
+# ~1.7 s each at bench scale).
+STREAM_ROWS = 4000
 STREAM_STEP = 2000
 
 
