@@ -348,3 +348,60 @@ def transpose_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("qty"),
     )
     return per_flag.transpose().withColumnRenamed("key", "key")
+
+
+def udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4): the output schema is computed
+    at plan time by the ``analyze`` static method from a literal
+    argument — here ``first_words(text, 2)`` emits w0, w1, n_words, and
+    changing the literal re-shapes the relation without touching the
+    class. This is the table-function counterpart of schema-on-read;
+    ``udtf_tokens`` (fixed schema) covers the basic surface, this key
+    covers the analyze-time one.
+
+    Like udtf_tokens it is deliberately row-at-a-time Python — the
+    point is the API contract, and the oracle still pins its values;
+    the performant tokenizers live in text_analysis (all built-ins).
+    Columns: doc_id, w0, w1, n_words.
+    """
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+    from pyspark.sql.udtf import AnalyzeResult
+
+    @udtf
+    class FirstWords:
+        @staticmethod
+        def analyze(text, n):
+            k = n.value
+            return AnalyzeResult(
+                StructType(
+                    [
+                        StructField(f"w{i}", StringType())
+                        for i in range(k)
+                    ]
+                    + [StructField("n_words", LongType())]
+                )
+            )
+
+        def eval(self, text, n):
+            words = [w for w in (text or "").split() if w]
+            head = [
+                words[i] if i < len(words) else None for i in range(n)
+            ]
+            yield (*head, len(words))
+
+    spark.udtf.register("first_words", FirstWords)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "v_docs_udtf"
+    )
+    return spark.sql(
+        """
+        SELECT v.doc_id, t.w0, t.w1, t.n_words
+        FROM v_docs_udtf v, LATERAL first_words(v.text, 2) t
+        """
+    )

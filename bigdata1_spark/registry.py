@@ -1820,6 +1820,24 @@ register(
     """,
 )
 
+# Polymorphic UDTF: output schema computed at plan time by analyze().
+register(
+    "udtf_analyze",
+    api_surface.udtf_analyze,
+    """
+    WITH words AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                                 x -> len(x) > 0) AS w
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN len(w) >= 1 THEN w[1] END AS w0,
+           CASE WHEN len(w) >= 2 THEN w[2] END AS w1,
+           CAST(len(w) AS BIGINT) AS n_words
+    FROM words
+    """,
+)
+
 # mapInArrow: raw RecordBatch access, pyarrow.compute kernels.
 register(
     "arrow_map",
