@@ -77,11 +77,18 @@ _DRIVER_CHECKED = frozenset({
 # are r04 FAILs that predate the normalize_event_ts fix (locally green in
 # CORRECTNESS_local_r5.json) — force a fresh green row.
 # approx_sketch: promoted from rows-only to a bounds-asserted full oracle
-# in round 6 — its last driver row predates the new output contract.
+# in round 6, then its band edges moved to one array-percentile call —
+# its last driver row predates both.
+# triangle_count / ntile_stats / skyline: r05 rows are green but the
+# implementations were rewritten in round 6 (dense-bitmap plan; range-
+# partitioned domain windows) — same contract, fresh rows wanted.
 _REVERIFY_FIRST = (
     "events_window_streamed",
     "events_user_counts_streamed",
     "approx_sketch",
+    "triangle_count",
+    "ntile_stats",
+    "skyline",
 )
 
 
