@@ -330,3 +330,43 @@ def user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("path"))
         .limit(PATH_TOP_N)
     )
+
+
+def sketch_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE-sketch rollup (DataSketches HLL): per-day distinct-user
+    sketches unioned up to months — the property that makes 100 TB
+    rollup ladders incremental. Exact distinct counts cannot roll up
+    (daily exact distincts don't sum to monthly); fixed-size sketch
+    STATES do, so a precomputed daily layer answers any coarser window
+    by union, never by rescanning events.
+
+    Both layers are materialized here (day sketches → month union) and
+    the checkable contract follows approx_sketch's pattern: the output
+    carries the EXACT monthly distinct count (recomputed, oracle-
+    reproducible) plus a boolean pinning the sketch estimate within
+    ±5% of it (loose vs the configured log2K=12 guarantee of ~1.6%, so
+    it never flakes; tight enough to catch a broken union).
+    Columns: month, exact_users, est_in_5pct.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.date_format("ts", "yyyy-MM").alias("month"),
+        "user_id",
+    )
+    daily = ev.groupBy("month", "day").agg(
+        F.expr("hll_sketch_agg(user_id, 12)").alias("sk")
+    )
+    monthly_est = daily.groupBy("month").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est")
+    )
+    exact = ev.groupBy("month").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return exact.join(monthly_est, "month").select(
+        "month",
+        "exact_users",
+        (
+            F.abs(F.col("est") - F.col("exact_users"))
+            <= F.lit(0.05) * F.col("exact_users")
+        ).alias("est_in_5pct"),
+    )

@@ -2753,6 +2753,19 @@ register(
 # Second-order sequence model: top length-3 event-type paths.
 from bigdata1_spark.operators import event_analytics  # noqa: E402
 
+# Mergeable-sketch rollup: day HLL states unioned to months; oracle
+# pins the exact counts and the ±5% band (approx_sketch's pattern).
+register(
+    "sketch_merge_rollup",
+    event_analytics.sketch_merge_rollup,
+    """
+    SELECT strftime(ts, '%Y-%m') AS month,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS est_in_5pct
+    FROM events GROUP BY 1
+    """,
+)
+
 register(
     "user_paths",
     event_analytics.user_paths,
