@@ -578,9 +578,11 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     both assume one canonical byte form per visible string).
 
     Spark has no NFC built-in, so this is one of the repo's documented
-    Python touchpoints: an Arrow-vectorized pandas_udf over the text
-    column (SCALE.md rules — batch-at-a-time, no per-row Python
-    dispatch). The oracle pins exact semantic parity against DuckDB's
+    Python touchpoints: a pandas_udf over the text column — Arrow
+    carries the data batch-at-a-time (SCALE.md rules); the per-element
+    normalize/lower inside the batch is inherent (unicodedata exposes
+    no vectorized form), which is exactly why the column stays a
+    documented touchpoint rather than the default path. The oracle pins exact semantic parity against DuckDB's
     native ``nfc_normalize``; a decomposed-accent prefix (``Cafe´``
     built from a combining acute) is prepended so the normalization is
     exercised for real, not vacuously on ASCII. Output carries the

@@ -11,6 +11,9 @@ evidence-backed even for keys the driver rotation missed.
 Usage:
     python tools/local_correctness.py [OUT.json] [SF_DIR]
 
+Set ``ONLY_KEYS=a,b,c`` to restrict the run to specific keys (the
+fast loop while iterating on one operator).
+
 Comparison semantics mirror the driver: columns sorted by name, rows
 sorted, values hashed after a light normalization (floats rounded to 9
 significant digits, timestamps to ISO strings) so dtype-equal values
