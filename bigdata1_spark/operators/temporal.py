@@ -523,3 +523,91 @@ def locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("filled"),
     )
+
+
+def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: for each click, the EARLIEST purchase of the same
+    user at or after it — the other direction of ``asof_join`` (lead
+    attribution / next-event lookup), same union-merge scale shape.
+
+    Purchases are first collapsed per (user, ts) to MAX(value) — the
+    tie rule both directions share — then the merged per-user timeline
+    is traversed in DESCENDING time order, carrying the last purchase
+    seen, which at any click row is exactly the earliest purchase ≥ it.
+    Still ONE hash shuffle on user_id; no range self-join (the oracle's
+    quadratic LEFT JOIN stays oracle-side). Sentinels ''/-1.0 keep the
+    output NULL-free. Columns: event_id, user_id, click_ts,
+    purchase_ts, purchase_value.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pvalue"))
+        .select(
+            "user_id", "ts", F.lit(0).alias("tag"),
+            F.lit(None).cast("long").alias("event_id"), "pvalue",
+        )
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit(1).alias("tag"), "event_id",
+        F.lit(None).cast("double").alias("pvalue"),
+    )
+    # ts DESC traversal: later rows first; at equal ts the purchase
+    # (tag 0) precedes the click, so "at or after" includes same-ts.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts"), F.asc("tag"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = purchases.unionByName(clicks).select(
+        "user_id", "ts", "tag", "event_id",
+        F.last(F.when(F.col("tag") == 0, F.col("ts")), ignorenulls=True)
+        .over(w).alias("next_ts"),
+        F.last(F.when(F.col("tag") == 0, F.col("pvalue")), ignorenulls=True)
+        .over(w).alias("next_value"),
+    )
+    return merged.filter(F.col("tag") == 1).select(
+        "event_id", "user_id",
+        F.date_format("ts", TS_FMT).alias("click_ts"),
+        F.coalesce(F.date_format("next_ts", TS_FMT), F.lit(""))
+        .alias("purchase_ts"),
+        F.coalesce(F.col("next_value"), F.lit(-1.0))
+        .alias("purchase_value"),
+    )
+
+
+def seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecasting check: predict each (user, hour)
+    value as the observation exactly one week earlier, and report the
+    absolute error where both exist — the baseline every real forecast
+    has to beat, and a two-line operator once hourly observations
+    exist.
+
+    Hourly means reuse the decimal-exact form; the seasonal lookup is
+    one equi-self-join on (user_id, hour − 168h) — exact timestamp
+    arithmetic, so no window over sparse gaps is needed. Two shuffles
+    total (hourly agg, self-join on the same key). Columns: user_id,
+    hour, value, forecast, abs_err (1e-6 floor-rounded).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        (F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+         .cast("double") / F.count(F.lit(1))).alias("v")
+    )
+    prev = obs.select(
+        "user_id",
+        (F.col("h") + F.expr("INTERVAL 168 HOURS")).alias("h"),
+        F.col("v").alias("forecast"),
+    )
+    j = obs.join(prev, ["user_id", "h"])
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return j.select(
+        "user_id",
+        F.date_format("h", "yyyy-MM-dd HH:00:00").alias("hour"),
+        r6(F.col("v")).alias("value"),
+        r6(F.col("forecast")).alias("forecast"),
+        r6(F.abs(F.col("v") - F.col("forecast"))).alias("abs_err"),
+    )

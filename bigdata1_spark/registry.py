@@ -2602,6 +2602,56 @@ register(
     """,
 )
 
+# Forward as-of (earliest purchase at-or-after each click): same
+# union-merge shape as asof_join, DESC traversal, purchases
+# pre-collapsed per (user, ts) to MAX(value).
+register(
+    "asof_join_forward",
+    temporal.asof_join_forward,
+    """
+    WITH purch AS (
+      SELECT user_id, ts, MAX(value) AS pvalue
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ), clicks AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'click'
+    ), nxt AS (
+      SELECT c.event_id, c.user_id, c.ts AS cts, MIN(p.ts) AS nts
+      FROM clicks c LEFT JOIN purch p
+        ON p.user_id = c.user_id AND p.ts >= c.ts
+      GROUP BY 1, 2, 3
+    )
+    SELECT n.event_id, n.user_id,
+           strftime(n.cts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+           COALESCE(strftime(n.nts, '%Y-%m-%d %H:%M:%S.%f'), '')
+             AS purchase_ts,
+           COALESCE(p.pvalue, -1.0) AS purchase_value
+    FROM nxt n LEFT JOIN purch p
+      ON p.user_id = n.user_id AND p.ts = n.nts
+    """,
+)
+
+# Seasonal-naive baseline: hourly means self-joined at a 168-hour lag.
+register(
+    "seasonal_naive",
+    temporal.seasonal_naive,
+    """
+    WITH obs AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
+               / COUNT(*) AS v
+      FROM events GROUP BY 1, 2
+    )
+    SELECT a.user_id,
+           strftime(a.h, '%Y-%m-%d %H:00:00') AS hour,
+           FLOOR(a.v * 1e6 + 0.5) / 1e6 AS value,
+           FLOOR(b.v * 1e6 + 0.5) / 1e6 AS forecast,
+           FLOOR(abs(a.v - b.v) * 1e6 + 0.5) / 1e6 AS abs_err
+    FROM obs a JOIN obs b
+      ON a.user_id = b.user_id AND b.h = a.h - INTERVAL 168 HOURS
+    """,
+)
+
 # Time-weighted average: exact integer gaps, decimal weighted sum, ONE
 # double division — no fold-order care needed anywhere.
 register(
