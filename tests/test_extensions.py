@@ -376,3 +376,51 @@ def test_psi_drift_no_real_drift(spark, sf_dir):
     rows = psi_drift(spark, sf_dir).collect()
     assert rows
     assert all(abs(r["psi_term"]) < 0.01 for r in rows), rows
+
+
+def test_asof_directions_bracket_clicks(spark, sf_dir):
+    """Backward and forward as-of must bracket every click:
+    prev_purchase_ts ≤ click_ts ≤ next_purchase_ts wherever both
+    sides matched — the pair of directions is inconsistent otherwise."""
+    from bigdata1_spark.operators.temporal import (
+        asof_join, asof_join_forward,
+    )
+
+    back = asof_join(spark, sf_dir).select(
+        "event_id", F.col("purchase_ts").alias("prev_ts"), "click_ts"
+    )
+    fwd = asof_join_forward(spark, sf_dir).select(
+        "event_id", F.col("purchase_ts").alias("next_ts")
+    )
+    j = back.join(fwd, "event_id").filter(
+        (F.col("prev_ts") != "") & (F.col("next_ts") != "")
+    )
+    bad = j.filter(
+        (F.col("prev_ts") > F.col("click_ts"))
+        | (F.col("next_ts") < F.col("click_ts"))
+    ).count()
+    assert bad == 0
+
+
+def test_twa_within_value_range(spark, sf_dir):
+    """A time-weighted average is a convex combination of observed
+    values, so it must lie within each user's [min, max]."""
+    from bigdata1_spark.operators.temporal import twa
+    from bigdata1_spark.sources.tables import load_table
+
+    bounds = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    )
+    # tolerance: one ulp-ish slack for the single final division
+    bad = (
+        twa(spark, sf_dir)
+        .join(bounds, "user_id")
+        .filter(
+            (F.col("twa_value") < F.col("lo") - 1e-9)
+            | (F.col("twa_value") > F.col("hi") + 1e-9)
+        )
+        .count()
+    )
+    assert bad == 0
