@@ -69,26 +69,36 @@ _DRIVER_CHECKED = frozenset({
     "sim_topk_lsh", "skyline", "tfidf_topterms", "tpch_q11", "tpch_q16",
     "tpch_q2", "tpch_q20", "tpch_q21", "tpch_q7", "tpch_q8", "tpch_q9",
     "triangle_count", "unpivot_metrics",
+    # round-6 driver sample (CORRECTNESS_r06.json)
+    "arrow_map", "asof_join_forward", "bpe_pair_counts", "cogrouped_map",
+    "column_profile", "cumulative_distinct", "decontaminate_apply",
+    "dedup_chunks", "doc_chunking", "dq_expectations",
+    "event_transitions", "events_enrich_streamed",
+    "events_leftjoin_streamed", "events_session_streamed",
+    "events_stateful_sessions_streamed", "events_upsert_streamed",
+    "heavy_hitters", "holt_winters", "interval_coverage", "locf_fill",
+    "ohlc_bars", "pagerank_iter1", "pandas_grouped_agg", "pq_encode",
+    "psi_drift", "python_datasource", "python_stream_source",
+    "runtime_filter_join", "scalar_variant", "scan_csv", "scan_jsonl",
+    "scan_orc", "scan_partitioned", "schema_evolution",
+    "seasonal_naive", "session_window_fn", "sim_topk_ivf_pq",
+    "sketch_merge_rollup", "sql_catalog", "text_normalize",
+    "transpose_stats", "twa", "udtf_analyze", "user_paths",
 })
 
 # Re-verify BEFORE everything else: latest driver row is red/stale, or the
 # implementation or oracle changed after the last driver row was banked.
-# events_window_streamed / events_user_counts_streamed: latest driver rows
-# are r04 FAILs that predate the normalize_event_ts fix (locally green in
-# CORRECTNESS_local_r5.json) — force a fresh green row.
-# approx_sketch: promoted from rows-only to a bounds-asserted full oracle
-# in round 6, then its band edges moved to one array-percentile call —
-# its last driver row predates both.
-# triangle_count / ntile_stats / skyline: r05 rows are green but the
-# implementations were rewritten in round 6 (dense-bitmap plan; range-
-# partitioned domain windows) — same contract, fresh rows wanted.
+# twa: round-7 fix for the r06-flagged decimal→double fragility (exact
+# decimal division + HUGEINT half-up oracle) — the r06 green row predates
+# the rewrite, force a fresh one.
+# agg_stats / anomaly_zscore: their oracles were restructured in round 7
+# (VARCHAR-routed decimal→double conversion, the repo-wide fix for the
+# same two-rounding bug class) — values unchanged at gate scale, but the
+# banked rows predate the oracle text.
 _REVERIFY_FIRST = (
-    "events_window_streamed",
-    "events_user_counts_streamed",
-    "approx_sketch",
-    "triangle_count",
-    "ntile_stats",
-    "skyline",
+    "twa",
+    "agg_stats",
+    "anomaly_zscore",
 )
 
 

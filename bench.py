@@ -1,8 +1,12 @@
 """Benchmark harness — times every registered query at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
+Prints ONE compact JSON line (sized to fit the driver's 2000-char
+stdout-tail window):
     {"metric": "total_query_sec", "value": N, "unit": "sec",
-     "queries": {key: sec, ...}, "sf": 0.1}
+     "queries": {<15 slowest>: sec, ...}, "n_queries": K,
+     "queries_full": "bench_samples.json", "sf": 0.1}
+The complete per-key map plus raw samples/loadavg go to
+bench_samples.json (override with $BENCH_DETAIL_PATH).
 
 Protocol (BASELINE.md): warm SparkSession, MIN of 3 runs per query,
 results fully materialized via the noop sink (no driver collect).
@@ -70,14 +74,36 @@ def main() -> None:
         timings[key] = round(min(samples), 4)
         all_samples[key] = [round(s, 4) for s in samples]
 
-    # Host-noise evidence, machine-readable (BASELINE.md documents the
-    # shared-host variance band in prose): all per-key samples plus the
-    # 1/5/15-min loadavg bracketing the run let a reader separate
-    # neighbor interference (min stable, max inflated, load high) from
-    # real regressions (min itself moved) without re-deriving it.
+    # stdout carries ONE compact JSON line that fits the driver's
+    # 2000-char stdout-tail window (BENCH_r06.json came back
+    # "parsed": null because the full per-key map + samples blew past
+    # it). The line keeps the contract fields with the slowest keys
+    # inline; the COMPLETE per-key map, all raw samples, and the
+    # 1/5/15-min loadavg bracketing the run (the evidence that lets a
+    # reader separate neighbor interference from real regressions) go
+    # to bench_samples.json next to this script.
+    detail_path = os.environ.get(
+        "BENCH_DETAIL_PATH",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "bench_samples.json"),
+    )
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:15]
+    )
     out = {
         "metric": "total_query_sec",
         "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": slowest,
+        "n_queries": len(timings),
+        "queries_full": os.path.basename(detail_path),
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = {k: v[:60] for k, v in errors.items()}
+    detail = {
+        "metric": "total_query_sec",
+        "value": out["value"],
         "unit": "sec",
         "queries": timings,
         "sf": sf,
@@ -88,8 +114,10 @@ def main() -> None:
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
     }
     if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+        detail["errors"] = errors
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh)
+    print(json.dumps(out, separators=(",", ":")))
 
 
 if __name__ == "__main__":

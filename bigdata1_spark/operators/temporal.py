@@ -415,11 +415,24 @@ def twa(spark: SparkSession, sf_dir: str) -> DataFrame:
     sentinel — the convention interval pricing uses for open series).
 
     One lead window per user, then exact arithmetic: gaps are integer
-    microseconds, the weighted sum goes through DECIMAL (value is
+    microseconds and the weighted sum goes through DECIMAL (value is
     2-ish-decimal input, value·Δus fits 38 digits at any realistic
-    retention), and the final division is ONE double op — so the oracle
-    matches bit-for-bit without any fold-order care. Users with a
-    single event (no weighted interval) report the plain value.
+    retention). The division happens IN DECIMAL — Spark's
+    decimal(38,6)/bigint rule yields a decimal(38,6) quotient rounded
+    HALF_UP at scale 6 (exact integer half-up division under the
+    hood), and only that small-magnitude quotient is cast to double.
+    Casting the *unrounded* wide wsum to double first is the bug class
+    this avoids: once wsum's integer part exceeds 2^53 the
+    BigDecimal→double conversion (one correct rounding) and another
+    engine's int128/10^scale conversion (two roundings) can differ in
+    the last ulp, so cross-engine parity would hang on the luck of the
+    data. The quotient is an *average* of ``value``, so its magnitude
+    is bounded by max(|value|) — far below 2^53/10^6 — and the final
+    decimal(38,6)→double cast is exact-by-construction on both
+    engines. The oracle mirrors the exact half-up division with
+    HUGEINT arithmetic (registry.py, key ``twa``); a pinned-dtype test
+    guards the scale-6 quotient contract. Users with a single event
+    (no weighted interval) report the plain value.
     Columns: user_id, n_obs, span_us, twa_value.
     """
     ev = load_table(spark, sf_dir, "events").select(
@@ -445,8 +458,7 @@ def twa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("span_us", F.lit(0)).alias("span_us"),
         F.when(
             F.coalesce(F.col("span_us"), F.lit(0)) > 0,
-            F.col("wsum").cast("double")
-            / F.col("span_us").cast("double"),
+            (F.col("wsum") / F.col("span_us")).cast("double"),
         )
         .otherwise(F.col("first_obs.value"))
         .alias("twa_value"),

@@ -69,7 +69,7 @@ register(
     """
     SELECT l.l_partkey AS item,
            strftime(o.o_orderdate, '%Y-%m') AS month,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
              AS revenue
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY 1, 2
@@ -229,11 +229,9 @@ register(
     micro.scalar_round,
     """
     SELECT l_orderkey, l_linenumber,
-           CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,4))
-                      * (1 - CAST(l_discount AS DECIMAL(18,4))), 2)
-                AS DOUBLE) AS net_price,
-           CAST(ROUND(CAST(l_discount AS DECIMAL(18,4)) * 100, 2)
-                AS DOUBLE) AS discount_pct
+           CAST(CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,4))
+                      * (1 - CAST(l_discount AS DECIMAL(18,4))), 2) AS VARCHAR) AS DOUBLE) AS net_price,
+           CAST(CAST(ROUND(CAST(l_discount AS DECIMAL(18,4)) * 100, 2) AS VARCHAR) AS DOUBLE) AS discount_pct
     FROM lineitem
     """,
 )
@@ -297,7 +295,7 @@ register(
     micro.sort_asc,
     """
     SELECT strftime(o.o_orderdate, '%Y-%m') AS month,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
              AS revenue
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY 1 ORDER BY 1
@@ -318,7 +316,7 @@ register(
     micro.join_broadcast,
     """
     SELECT p.p_brand AS brand,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
              AS revenue,
            COUNT(*) AS n
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
@@ -356,10 +354,46 @@ register(
     """,
 )
 
-# Seeded generator round-trip — no SQL oracle (generated data lives only
-# in Spark); driver records the weaker rows-only check, properties are
-# asserted in tests/test_sources.py.
-register("gen_billings", generator.gen_billings_query)
+# Seeded generator round-trip, FULL value-hash oracle (round 7): every
+# generated row is a pure md5 function of (seed, bill_id), so DuckDB
+# regenerates the identical corpus in SQL — the python_datasource
+# recipe. The Spark side additionally round-trips through the Format A
+# renderer + parser, so a hash match also certifies the text codec.
+# Constants pinned to gen_billings defaults: n=1000, seed=42,
+# k_max = min(9, |FOOD_VOCAB|) = 8, 365-day 2015 date range.
+register(
+    "gen_billings",
+    generator.gen_billings_query,
+    """
+    WITH seq AS (
+      SELECT unnest(generate_series(0, 999)) AS bill_id
+    ), base AS (
+      SELECT bill_id,
+             DATE '2015-01-01' + CAST(CAST('0x' ||
+               substr(md5('42|date|' || bill_id), 1, 8) AS BIGINT)
+               % 365 AS INT) AS bill_date,
+             CAST(CAST('0x' ||
+               substr(md5('42|k|' || bill_id), 1, 8) AS BIGINT)
+               % 8 + 1 AS INT) AS k
+      FROM seq
+    ), words AS (
+      SELECT unnest(['uova', 'latte', 'pane', 'vino', 'pesce',
+                     'insalata', 'formaggio', 'dolce']) AS w
+    ), ranked AS (
+      SELECT b.bill_id, b.bill_date, b.k, w.w,
+             ROW_NUMBER() OVER (
+               PARTITION BY b.bill_id
+               ORDER BY md5('42|w|' || b.bill_id || '|' || w.w), w.w
+             ) AS rn
+      FROM base b CROSS JOIN words w
+    )
+    SELECT strftime(bill_date, '%Y-%m-%d') AS bill_date,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           string_agg(w, ',' ORDER BY w) AS items_csv
+    FROM ranked WHERE rn <= k
+    GROUP BY bill_id, bill_date
+    """,
+)
 
 from bigdata1_spark.sources import billing  # noqa: E402
 
@@ -369,7 +403,7 @@ register(
     """
     SELECT 'p' || CAST(l.l_partkey AS VARCHAR) AS item,
            strftime(o.o_orderdate, '%Y-%m') AS month,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
              AS total
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY 1, 2
@@ -991,7 +1025,7 @@ register(
     """
     WITH per_cust AS (
       SELECT o_custkey, COUNT(*) AS n_orders,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
                AS total_spent
       FROM orders GROUP BY 1
     )
@@ -1007,10 +1041,10 @@ register(
     relational.window_running_sum,
     """
     SELECT o_custkey, o_orderkey,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS DOUBLE) AS running_spent
+           ) AS VARCHAR) AS DOUBLE) AS running_spent
     FROM orders
     """,
 )
@@ -1022,7 +1056,7 @@ register(
     WITH monthly AS (
       SELECT l.l_partkey AS item,
              strftime(o.o_orderdate, '%Y-%m') AS month,
-             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+             CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
                AS revenue
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
       GROUP BY 1, 2
@@ -1054,7 +1088,7 @@ register(
     SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
            COALESCE(l_linestatus, 'ALL') AS linestatus,
            COUNT(*) AS n,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
              AS revenue
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
@@ -1068,7 +1102,7 @@ register(
              AS window_start,
            event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -1081,7 +1115,7 @@ register(
              AS window_start,
            event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -1101,12 +1135,12 @@ register(
     relational.pivot_revenue,
     """
     SELECT strftime(o.o_orderdate, '%Y-%m') AS month,
-           COALESCE(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)))
-             FILTER (l.l_returnflag = 'R') AS DOUBLE), 0.0) AS rev_r,
-           COALESCE(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)))
-             FILTER (l.l_returnflag = 'A') AS DOUBLE), 0.0) AS rev_a,
-           COALESCE(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)))
-             FILTER (l.l_returnflag = 'N') AS DOUBLE), 0.0) AS rev_n
+           COALESCE(CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)))
+             FILTER (l.l_returnflag = 'R') AS VARCHAR) AS DOUBLE), 0.0) AS rev_r,
+           COALESCE(CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)))
+             FILTER (l.l_returnflag = 'A') AS VARCHAR) AS DOUBLE), 0.0) AS rev_a,
+           COALESCE(CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)))
+             FILTER (l.l_returnflag = 'N') AS VARCHAR) AS DOUBLE), 0.0) AS rev_n
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY 1
     """,
@@ -1186,7 +1220,7 @@ register(
              (3, 300.0, 400.0), (4, 400.0, 500.0)
     )
     SELECT CAST(b.band AS BIGINT) AS band, COUNT(*) AS n_events,
-           CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+           CAST(CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_value
     FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
     GROUP BY 1
     """,
@@ -1269,7 +1303,7 @@ register(
            COUNT(CASE WHEN l_quantity IS NULL THEN 1 END) AS n_nulls,
            COUNT(DISTINCT l_quantity) AS n_distinct,
            MIN(l_quantity) AS min_val, MAX(l_quantity) AS max_val,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
              / COUNT(l_quantity) AS mean_val
     FROM lineitem
     UNION ALL
@@ -1277,7 +1311,7 @@ register(
            COUNT(CASE WHEN l_extendedprice IS NULL THEN 1 END),
            COUNT(DISTINCT l_extendedprice),
            MIN(l_extendedprice), MAX(l_extendedprice),
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
              / COUNT(l_extendedprice)
     FROM lineitem
     UNION ALL
@@ -1285,7 +1319,7 @@ register(
            COUNT(CASE WHEN l_discount IS NULL THEN 1 END),
            COUNT(DISTINCT l_discount),
            MIN(l_discount), MAX(l_discount),
-           CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
              / COUNT(l_discount)
     FROM lineitem
     UNION ALL
@@ -1293,7 +1327,7 @@ register(
            COUNT(CASE WHEN l_tax IS NULL THEN 1 END),
            COUNT(DISTINCT l_tax),
            MIN(l_tax), MAX(l_tax),
-           CAST(SUM(CAST(l_tax AS DECIMAL(18,4))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(l_tax AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
              / COUNT(l_tax)
     FROM lineitem
     """,
@@ -1308,7 +1342,7 @@ register(
     """
     SELECT strftime(o.o_orderdate, '%Y-%m') AS month,
            COUNT(*) AS n_lines,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
              AS revenue
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE o.o_orderpriority = '1-URGENT'
@@ -1342,25 +1376,25 @@ register(
     tpch.tpch_q1,
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
              AS sum_base_price,
-           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+           CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
                     * (CAST(1 AS DECIMAL(18,4))
-                       - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+                       - CAST(l_discount AS DECIMAL(18,4)))), 2) AS VARCHAR) AS DOUBLE)
              AS sum_disc_price,
-           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(19,4))
+           CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(19,4))
                     * (CAST(1 AS DECIMAL(8,4))
                        - CAST(l_discount AS DECIMAL(8,4))
                        + CAST(l_tax AS DECIMAL(8,4))
                        - CAST(l_discount AS DECIMAL(8,4))
-                         * CAST(l_tax AS DECIMAL(8,4)))), 2) AS DOUBLE)
+                         * CAST(l_tax AS DECIMAL(8,4)))), 2) AS VARCHAR) AS DOUBLE)
              AS sum_charge,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
              / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
              / CAST(COUNT(*) AS DOUBLE) AS avg_price,
-           CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
              / CAST(COUNT(*) AS DOUBLE) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
@@ -1376,9 +1410,9 @@ register(
     SELECT l.l_orderkey,
            strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
            o.o_orderpriority,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
                     * (CAST(1 AS DECIMAL(18,4))
-                       - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+                       - CAST(l.l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE)
              AS revenue
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -1430,9 +1464,9 @@ register(
     tpch.tpch_q5,
     """
     SELECT n.n_name AS nation,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
                     * (CAST(1 AS DECIMAL(18,4))
-                       - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+                       - CAST(l.l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE)
              AS revenue
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -1452,8 +1486,8 @@ register(
     "tpch_q6",
     tpch.tpch_q6,
     """
-    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-                    * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * CAST(l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
              AS revenue,
            COUNT(*) AS n_lines
     FROM lineitem
@@ -1468,8 +1502,7 @@ register(
     "tpch_q17",
     tpch.tpch_q17,
     """
-    SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))), 2)
-                AS DOUBLE) / 7.0 AS avg_yearly,
+    SELECT CAST(CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))), 2) AS VARCHAR) AS DOUBLE) / 7.0 AS avg_yearly,
            COUNT(*) AS n_small_lines
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE p.p_brand = 'Brand#1'
@@ -1502,24 +1535,24 @@ register(
     "tpch_q14",
     tpch.tpch_q14,
     """
-    SELECT CAST(ROUND(SUM(CASE WHEN p.p_type = 'PROMO'
+    SELECT CAST(CAST(ROUND(SUM(CASE WHEN p.p_type = 'PROMO'
                    THEN CAST(l.l_extendedprice AS DECIMAL(18,4))
                         * (CAST(1 AS DECIMAL(18,4))
                            - CAST(l.l_discount AS DECIMAL(18,4)))
-                   ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS DOUBLE)
+                   ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS VARCHAR) AS DOUBLE)
              AS promo_revenue,
-           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+           CAST(CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
                    * (CAST(1 AS DECIMAL(18,4))
-                      - CAST(l.l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+                      - CAST(l.l_discount AS DECIMAL(18,4)))), 2) AS VARCHAR) AS DOUBLE)
              AS total_revenue,
-           100.0 * CAST(ROUND(SUM(CASE WHEN p.p_type = 'PROMO'
+           100.0 * CAST(CAST(ROUND(SUM(CASE WHEN p.p_type = 'PROMO'
                    THEN CAST(l.l_extendedprice AS DECIMAL(18,4))
                         * (CAST(1 AS DECIMAL(18,4))
                            - CAST(l.l_discount AS DECIMAL(18,4)))
-                   ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS DOUBLE)
-               / CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                   ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
                    * (CAST(1 AS DECIMAL(18,4))
-                      - CAST(l.l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+                      - CAST(l.l_discount AS DECIMAL(18,4)))), 2) AS VARCHAR) AS DOUBLE)
              AS promo_share
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
@@ -1533,9 +1566,9 @@ register(
     """
     WITH revenue AS (
       SELECT l_suppkey,
-             CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+             CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
                      * (CAST(1 AS DECIMAL(18,4))
-                        - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+                        - CAST(l_discount AS DECIMAL(18,4)))), 2) AS VARCHAR) AS DOUBLE)
                AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -1574,9 +1607,9 @@ register(
     "tpch_q19",
     tpch.tpch_q19,
     """
-    SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+    SELECT CAST(CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
                    * (CAST(1 AS DECIMAL(18,4))
-                      - CAST(l.l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+                      - CAST(l.l_discount AS DECIMAL(18,4)))), 2) AS VARCHAR) AS DOUBLE)
              AS revenue,
            COUNT(*) AS n_lines
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
@@ -1594,9 +1627,9 @@ register(
     tpch.tpch_q10,
     """
     SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
-           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+           CAST(CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
                    * (CAST(1 AS DECIMAL(18,4))
-                      - CAST(l.l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+                      - CAST(l.l_discount AS DECIMAL(18,4)))), 2) AS VARCHAR) AS DOUBLE)
              AS revenue
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -1616,13 +1649,13 @@ register(
     tpch.tpch_q22,
     """
     WITH threshold AS (
-      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+      SELECT CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
                / CAST(COUNT(*) AS DOUBLE) AS avg_bal
       FROM customer WHERE c_acctbal > 0.0
     )
     SELECT c.c_mktsegment AS segment,
            COUNT(*) AS numcust,
-           CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)
+           CAST(CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))), 2) AS VARCHAR) AS DOUBLE)
              AS totacctbal
     FROM customer c, threshold t
     WHERE c.c_acctbal > t.avg_bal
@@ -1639,7 +1672,7 @@ register(
     WITH monthly AS (
       SELECT l.l_partkey AS item,
              strftime(o.o_orderdate, '%Y-%m') AS month,
-             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+             CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
                AS revenue
       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
       GROUP BY 1, 2
@@ -1697,36 +1730,46 @@ register(
     "agg_stats",
     relational.agg_stats,
     """
-    WITH sums AS (
+    WITH decsums AS (
       SELECT l_returnflag,
              COUNT(*) AS n,
-             ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS sx,
-             ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS sy,
+             ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS dsx,
+             ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS dsy,
              ROUND(SUM(CAST(CAST(l_quantity AS DECIMAL(19,4))
                       * CAST(l_extendedprice AS DECIMAL(19,4))
-                      AS DECIMAL(38,8))), 2) AS sxy,
+                      AS DECIMAL(38,8))), 2) AS dsxy,
              ROUND(SUM(CAST(CAST(l_quantity AS DECIMAL(19,4))
                       * CAST(l_quantity AS DECIMAL(19,4))
-                      AS DECIMAL(38,8))), 2) AS sxx,
+                      AS DECIMAL(38,8))), 2) AS dsxx,
              ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(19,4))
                       * CAST(l_extendedprice AS DECIMAL(19,4))
-                      AS DECIMAL(38,8))), 2) AS syy
+                      AS DECIMAL(38,8))), 2) AS dsyy
       FROM lineitem GROUP BY 1
+    ), sums AS (
+      -- decimal -> double through VARCHAR: single correct rounding,
+      -- matching Spark's BigDecimal.doubleValue even past 2^53
+      SELECT l_returnflag, n,
+             CAST(CAST(dsx AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(dsy AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(dsxy AS VARCHAR) AS DOUBLE) AS sxy,
+             CAST(CAST(dsxx AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(CAST(dsyy AS VARCHAR) AS DOUBLE) AS syy
+      FROM decsums
     )
     SELECT l_returnflag, n,
-           (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+           (sxx - sx * sx
               / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS var_qty,
-           sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+           sqrt((sxx - sx * sx
               / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)) AS sd_qty,
-           (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+           (sxy - sx * sy
               / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) AS covar_qp,
-           ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+           ((sxy - sx * sy
               / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))
-             / sqrt(((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
-                      * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+             / sqrt(((sxx - sx
+                      * sx / CAST(n AS DOUBLE))
                      / (CAST(n AS DOUBLE) - 1))
-                    * ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
-                        * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                    * ((syy - sy
+                        * sy / CAST(n AS DOUBLE))
                        / (CAST(n AS DOUBLE) - 1))) AS corr_qp
     FROM sums
     """,
@@ -1775,7 +1818,7 @@ register(
     """
     SELECT o.o_orderpriority AS priority,
            COUNT(DISTINCT o.o_orderkey) AS n_orders,
-           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
              AS total_qty
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE l.l_returnflag = 'R'
@@ -1859,9 +1902,9 @@ register(
     """
     WITH agg AS (
       SELECT l_returnflag,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
                AS revenue,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
                AS qty
       FROM lineitem GROUP BY 1
     )
@@ -1929,7 +1972,7 @@ register(
     """
     WITH per_item AS (
       SELECT l_orderkey, l_partkey AS item,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+             CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS qty
       FROM lineitem GROUP BY 1, 2
     )
     SELECT l_orderkey,
@@ -2167,11 +2210,11 @@ register(
     relational.window_range_frame,
     """
     SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) OVER (
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) OVER (
              PARTITION BY l_returnflag
              ORDER BY CAST(l_quantity AS DOUBLE)
              RANGE BETWEEN 5 PRECEDING AND CURRENT ROW
-           ) AS DOUBLE) AS nearby_revenue
+           ) AS VARCHAR) AS DOUBLE) AS nearby_revenue
     FROM lineitem
     """,
 )
@@ -2331,7 +2374,7 @@ register(
     SELECT COALESCE(l_returnflag, 'ALL') AS flag,
            COALESCE(l_linestatus, 'ALL') AS status,
            COUNT(*) AS n,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
              AS sum_qty
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
@@ -2433,9 +2476,9 @@ register(
     """
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            strftime(l.l_shipdate, '%Y') AS l_year,
-           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+           CAST(CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
                    * (CAST(1 AS DECIMAL(18,4))
-                      - CAST(l.l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+                      - CAST(l.l_discount AS DECIMAL(18,4)))), 2) AS VARCHAR) AS DOUBLE)
              AS revenue
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -2457,24 +2500,24 @@ register(
     tpch.tpch_q8,
     """
     SELECT strftime(o.o_orderdate, '%Y') AS o_year,
-           CAST(ROUND(SUM(CASE WHEN n1.n_name = 'NATION_3'
+           CAST(CAST(ROUND(SUM(CASE WHEN n1.n_name = 'NATION_3'
                    THEN CAST(l.l_extendedprice AS DECIMAL(18,4))
                         * (CAST(1 AS DECIMAL(18,4))
                            - CAST(l.l_discount AS DECIMAL(18,4)))
-                   ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS DOUBLE)
+                   ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS VARCHAR) AS DOUBLE)
              AS nation_revenue,
-           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+           CAST(CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
                    * (CAST(1 AS DECIMAL(18,4))
-                      - CAST(l.l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+                      - CAST(l.l_discount AS DECIMAL(18,4)))), 2) AS VARCHAR) AS DOUBLE)
              AS total_revenue,
-           CAST(ROUND(SUM(CASE WHEN n1.n_name = 'NATION_3'
+           CAST(CAST(ROUND(SUM(CASE WHEN n1.n_name = 'NATION_3'
                    THEN CAST(l.l_extendedprice AS DECIMAL(18,4))
                         * (CAST(1 AS DECIMAL(18,4))
                            - CAST(l.l_discount AS DECIMAL(18,4)))
-                   ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS DOUBLE)
-             / CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                   ELSE CAST(0 AS DECIMAL(18,4)) END), 2) AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
                    * (CAST(1 AS DECIMAL(18,4))
-                      - CAST(l.l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+                      - CAST(l.l_discount AS DECIMAL(18,4)))), 2) AS VARCHAR) AS DOUBLE)
              AS mkt_share
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -2506,12 +2549,10 @@ register(
     WITH stats AS (
       SELECT event_id, user_id, value,
              CAST(COUNT(*) OVER w AS DOUBLE) AS n,
-             CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))) OVER w, 4)
-                  AS DOUBLE) AS sx,
-             CAST(ROUND(SUM(CAST(CAST(value AS DECIMAL(18,6))
+             CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))) OVER w, 4) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(ROUND(SUM(CAST(CAST(value AS DECIMAL(18,6))
                                  * CAST(value AS DECIMAL(18,6))
-                                 AS DECIMAL(38,12))) OVER w, 4)
-                  AS DOUBLE) AS sxx
+                                 AS DECIMAL(38,12))) OVER w, 4) AS VARCHAR) AS DOUBLE) AS sxx
       FROM events
       WINDOW w AS (PARTITION BY user_id)
     )
@@ -2638,7 +2679,7 @@ register(
     """
     WITH obs AS (
       SELECT user_id, date_trunc('hour', ts) AS h,
-             CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
+             CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS VARCHAR) AS DOUBLE)
                / COUNT(*) AS v
       FROM events GROUP BY 1, 2
     )
@@ -2652,8 +2693,15 @@ register(
     """,
 )
 
-# Time-weighted average: exact integer gaps, decimal weighted sum, ONE
-# double division — no fold-order care needed anywhere.
+# Time-weighted average: exact integer gaps, decimal weighted sum, and
+# the division done EXACTLY in decimal on both engines. Spark's
+# decimal(38,6)/bigint yields a HALF_UP scale-6 quotient; DuckDB's
+# decimal division goes through DOUBLE (two-rounding hazard once wsum's
+# integer part exceeds 2^53), so the oracle mirrors Spark's semantics
+# with exact HUGEINT half-up division: Q = round_half_up(W/span) where
+# W = wsum·10^6 is the exact scaled integer. The final CAST(Q AS
+# DOUBLE)/1e6 is exact because |Q| ≤ max(|value|)·10^6 « 2^53 (an
+# average can never exceed the max element). Bit-for-bit at any sf.
 register(
     "twa",
     temporal.twa,
@@ -2679,12 +2727,22 @@ register(
           PARTITION BY user_id ORDER BY us, event_id) AS rn
         FROM ev
       ) WHERE rn = 1
+    ), q AS (
+      SELECT user_id, n_obs, span_us,
+             CASE WHEN wsum >= 0
+               THEN (2 * CAST(wsum * 1000000 AS HUGEINT) + span_us)
+                    // (2 * span_us)
+               ELSE -((2 * CAST(-wsum * 1000000 AS HUGEINT) + span_us)
+                      // (2 * span_us)) END AS qi
+      FROM agg WHERE span_us > 0
     )
     SELECT a.user_id, a.n_obs, a.span_us,
            CASE WHEN a.span_us > 0
-                THEN CAST(a.wsum AS DOUBLE) / CAST(a.span_us AS DOUBLE)
+                THEN CAST(q.qi AS DOUBLE) / 1000000.0
                 ELSE f.fv END AS twa_value
-    FROM agg a JOIN first_obs f ON a.user_id = f.user_id
+    FROM agg a
+    JOIN first_obs f ON a.user_id = f.user_id
+    LEFT JOIN q ON a.user_id = q.user_id
     """,
 )
 
@@ -2726,7 +2784,7 @@ register(
     """
     WITH obs AS (
       SELECT user_id, date_trunc('hour', ts) AS h,
-             CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
+             CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS VARCHAR) AS DOUBLE)
                / COUNT(*) AS v
       FROM events GROUP BY 1, 2
     ), span AS (
@@ -2773,7 +2831,7 @@ register(
     """
     WITH obs AS (
       SELECT user_id, date_trunc('hour', ts) AS h,
-             CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
+             CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS VARCHAR) AS DOUBLE)
                / COUNT(*) AS v
       FROM events GROUP BY 1, 2
     ), span AS (
@@ -3040,8 +3098,7 @@ register(
     WHERE s.s_suppkey IN (
         SELECT l_suppkey FROM (
           SELECT l.l_suppkey, l.l_partkey,
-                 CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4)))
-                      AS DOUBLE) AS qty
+                 CAST(CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS qty
           FROM lineitem l
           WHERE l.l_partkey IN (
                   SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
@@ -3059,13 +3116,12 @@ register(
     """
     WITH per_part AS (
       SELECT l_partkey,
-             CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+             CAST(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
                      * (CAST(1 AS DECIMAL(18,4))
-                        - CAST(l_discount AS DECIMAL(18,4)))), 2)
-                  AS DOUBLE) AS value
+                        - CAST(l_discount AS DECIMAL(18,4)))), 2) AS VARCHAR) AS DOUBLE) AS value
       FROM lineitem GROUP BY 1
     ), totals AS (
-      SELECT CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+      SELECT CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS VARCHAR) AS DOUBLE)
                AS total,
              COUNT(*) AS n_parts
       FROM per_part
@@ -3108,13 +3164,11 @@ register(
     SELECT nation, o_year, sum_rev - sum_cost * 0.5 AS profit FROM (
       SELECT n.n_name AS nation,
              strftime(o.o_orderdate, '%Y') AS o_year,
-             CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+             CAST(CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
                      * (CAST(1 AS DECIMAL(18,4))
-                        - CAST(l.l_discount AS DECIMAL(18,4)))), 2)
-                  AS DOUBLE) AS sum_rev,
-             CAST(ROUND(SUM(CAST(p.p_retailprice AS DECIMAL(18,4))
-                     * CAST(l.l_quantity AS DECIMAL(18,4))), 2)
-                  AS DOUBLE) AS sum_cost
+                        - CAST(l.l_discount AS DECIMAL(18,4)))), 2) AS VARCHAR) AS DOUBLE) AS sum_rev,
+             CAST(CAST(ROUND(SUM(CAST(p.p_retailprice AS DECIMAL(18,4))
+                     * CAST(l.l_quantity AS DECIMAL(18,4))), 2) AS VARCHAR) AS DOUBLE) AS sum_cost
       FROM lineitem l
       JOIN part p ON l.l_partkey = p.p_partkey
       JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -3559,17 +3613,17 @@ register(
     SELECT '1d' AS resolution,
            strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_value
     FROM events GROUP BY 2
     UNION ALL
     SELECT '1h', strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S'),
            COUNT(*),
-           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
     FROM events GROUP BY 2
     UNION ALL
     SELECT '1m', strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S'),
            COUNT(*),
-           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
     FROM events GROUP BY 2
     """,
 )
@@ -3613,7 +3667,7 @@ register(
     )
     SELECT bucket, COUNT(*) AS n_rows,
            MIN(p) AS min_price, MAX(p) AS max_price,
-           CAST(SUM(CAST(p AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+           CAST(CAST(SUM(CAST(p AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_price
     FROM t GROUP BY bucket
     """,
 )
@@ -3683,8 +3737,8 @@ register(
     outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
     contrib AS (
       SELECT e.dst AS node,
-             CAST(SUM(CAST(CAST(1.0 AS DOUBLE) / o.outdeg
-                           AS DECIMAL(27,15))) AS DOUBLE) AS in_sum
+             CAST(CAST(SUM(CAST(CAST(1.0 AS DOUBLE) / o.outdeg
+                           AS DECIMAL(27,15))) AS VARCHAR) AS DOUBLE) AS in_sum
       FROM edges e JOIN outdeg o ON e.src = o.src
       GROUP BY e.dst
     )
@@ -3706,7 +3760,7 @@ _SLIDING_ORACLE = """
     SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_value
     FROM member GROUP BY 1, 2
     """
 
@@ -3789,7 +3843,7 @@ register(
              AS n_neg_qty,
            MIN(l_extendedprice) AS min_price,
            MAX(l_extendedprice) AS max_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
              AS total_price
     FROM lineitem
     """,
@@ -3962,7 +4016,7 @@ register(
     """
     SELECT event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_value
     FROM events GROUP BY 1
     """,
 )
