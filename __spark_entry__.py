@@ -91,12 +91,19 @@ _DRIVER_CHECKED = frozenset({
 # twa: round-7 fix for the r06-flagged decimal→double fragility (exact
 # decimal division + HUGEINT half-up oracle) — the r06 green row predates
 # the rewrite, force a fresh one.
+# gen_billings / dedup_near / dedup_simhash: promoted from rows-only to
+# full value-hash oracles in round 7 (md5 regeneration; exact-pair set +
+# pinned J=1-recall boolean; md5hash60 fingerprints recomputed in SQL) —
+# every prior driver row was the weaker rows-only check.
 # agg_stats / anomaly_zscore: their oracles were restructured in round 7
 # (VARCHAR-routed decimal→double conversion, the repo-wide fix for the
 # same two-rounding bug class) — values unchanged at gate scale, but the
 # banked rows predate the oracle text.
 _REVERIFY_FIRST = (
     "twa",
+    "gen_billings",
+    "dedup_near",
+    "dedup_simhash",
     "agg_stats",
     "anomaly_zscore",
 )

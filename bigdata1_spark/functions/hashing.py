@@ -87,12 +87,29 @@ def band_keys(sig: Column, bands: int, rows: int) -> Column:
 SIMHASH_MAX_SHINGLES = 255  # 8-bit lane capacity — see simhash64
 
 
-def simhash64(shingles: Column) -> Column:
+def md5hash60(s: Column) -> Column:
+    """First 15 md5 hex chars of a string as a positive 60-bit BIGINT.
+
+    An engine-portable base hash: md5 over the same UTF-8 bytes is
+    identical everywhere, so sketches built on it can be regenerated
+    exactly by a SQL oracle (DuckDB mirror:
+    ``CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)``). 15 hex chars
+    (not 16) keeps the value under 2^60 — always positive, so signed
+    and unsigned orderings agree across engines and no BIGINT overflow
+    check can fire on either side.
+    """
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def simhash64(shingles: Column, base_hash=None) -> Column:
     """64-bit SimHash of a shingle set as BIGINT.
 
     bit b of the fingerprint = majority vote of bit b across
-    xxhash64(shingle) values. Near-identical documents differ in few
-    bits (small Hamming distance).
+    hashed shingle values (``base_hash`` per shingle — default
+    ``xxhash64``; pass :func:`md5hash60` for an oracle-reproducible
+    60-bit variant whose fingerprint stays positive with bits 60-63
+    zero). Near-identical documents differ in few bits (small Hamming
+    distance).
 
     Documents with more than ``SIMHASH_MAX_SHINGLES`` distinct shingles
     are folded over their bottom-255 hash values (the 255 smallest
@@ -159,8 +176,10 @@ def simhash64(shingles: Column) -> Column:
     # (and F.size), which would otherwise each re-hash every shingle
     # string after projection collapse. The inner let binds the capped
     # (bottom-k) array so the when/sort/slice also runs once.
+    if base_hash is None:
+        base_hash = F.xxhash64
     return let(
-        F.transform(shingles, lambda s: F.xxhash64(s)),
+        F.transform(shingles, lambda s: base_hash(s)),
         lambda hs: let(
             F.when(
                 F.size(hs) > SIMHASH_MAX_SHINGLES,

@@ -224,16 +224,23 @@ def minhash_candidates(
     return within.union(across).select("p.id1", "p.id2").distinct()
 
 
-def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_near(
+    spark: SparkSession,
+    sf_dir: str,
+    hashed_shingles: DataFrame | None = None,
+) -> DataFrame:
     """MinHash-LSH near-dup pairs, verified with exact Jaccard ≥ 0.5.
 
     The LSH pass prunes the pair space; the verify pass joins candidates
     back to shingle sets and keeps true near-dups (no false positives;
     recall governed by the band S-curve — asserted against the exact
-    query in tests). Rows-only driver check (sketches aren't
-    SQL-expressible in DuckDB). Columns: id1, id2, jaccard.
+    query in tests). The registry binds :func:`dedup_near_checked`,
+    which wraps this result in a hash-checkable contract; this pure-LSH
+    form is the scale path. Columns: id1, id2, jaccard.
     """
-    sh = _doc_shingle_hashes(spark, sf_dir).cache()
+    sh = hashed_shingles if hashed_shingles is not None else (
+        _doc_shingle_hashes(spark, sf_dir).cache()
+    )
     cand = minhash_candidates(spark, sf_dir, hashed_shingles=sh)
     a = sh.select(F.col("doc_id").alias("id1"), F.col("hs").alias("hs1"))
     b = sh.select(F.col("doc_id").alias("id2"), F.col("hs").alias("hs2"))
@@ -249,18 +256,67 @@ def dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_near_checked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dedup_near` with its checkable contract in-band (round 7
+    promotion from rows-only, the ``approx_sketch`` pattern).
+
+    Rows = the EXACT Jaccard ≥ 0.5 near-dup pair set (what
+    ``dedup_jaccard``'s prefix-filter computes — SQL-reproducible), and
+    ``lsh_ok`` = the one *deterministic* guarantee MinHash-LSH makes:
+    a pair with Jaccard exactly 1 has identical signatures, hence
+    identical band keys, hence MUST be an LSH candidate — so
+    ``jaccard < 1 OR found_by_lsh`` is provably true and the oracle
+    pins it. Probabilistic recall below J=1 (the band S-curve) stays a
+    local-test assertion (`tests/test_extensions.py`), where a
+    tolerance belongs. Both legs share ONE cached shingle-hash table;
+    the pure-LSH scale path remains ``dedup_near``/``dedup_near_apply``
+    for callers that want candidates without the exact-join cost.
+    Columns: id1, id2, jaccard, lsh_ok.
+    """
+    sh = _doc_shingle_hashes(spark, sf_dir).cache()
+    exact = dedup_jaccard(spark, sf_dir, hashed_shingles=sh)
+    lsh = dedup_near(spark, sf_dir, hashed_shingles=sh).select(
+        "id1", "id2", F.lit(True).alias("found_by_lsh")
+    )
+    # LSH survivors verify with the same exact-Jaccard expression over
+    # the same hashed sets, so they are ALWAYS a subset of `exact` —
+    # a left join loses nothing (an outer-join extra row would mean the
+    # two legs disagreed on Jaccard itself, which one shared shingle
+    # table makes impossible).
+    return exact.join(lsh, ["id1", "id2"], "left").select(
+        "id1",
+        "id2",
+        "jaccard",
+        (
+            (F.col("jaccard") < 1.0)
+            | F.coalesce(F.col("found_by_lsh"), F.lit(False))
+        ).alias("lsh_ok"),
+    )
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints + near-dup pairs within Hamming distance 3.
 
     Charikar fingerprint per doc; candidate generation via 4-block
-    pigeonhole keys (any pair within distance 3 shares a block), then
-    exact Hamming verify. Rows-only check. Columns: id1, id2, hamming.
+    pigeonhole keys (any pair within distance 3 shares a block —
+    EXACT, no recall loss), then exact Hamming verify. The base hash is
+    :func:`hashing.md5hash60` (round 7), which makes the fingerprints a
+    pure md5 function of the shingle multiset — so the DuckDB oracle
+    recomputes every fingerprint bit-for-bit in SQL (per-bit majority
+    over the same 60-bit hashes, same bottom-255 cap, same ties→1
+    rule) and the key is FULL value-hash checked, not rows-only. The
+    xxhash64-based variant stays available through
+    ``hashing.simhash64``'s default for throughput-sensitive callers.
+    Columns: id1, id2, hamming.
     """
     sh = _doc_shingles(spark, sf_dir)
     # cache: the 64-bit-majority sketch is the expensive part and the
     # self-join below would otherwise compute it on both sides
     fp = sh.select(
-        "doc_id", hashing.simhash64(F.col("shingles")).alias("fp")
+        "doc_id",
+        hashing.simhash64(
+            F.col("shingles"), base_hash=hashing.md5hash60
+        ).alias("fp"),
     ).cache()
     keyed = fp.select(
         "doc_id", "fp",
@@ -274,7 +330,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("id1"),
             F.col("b.doc_id").alias("id2"),
-            hashing.hamming64(F.col("a.fp"), F.col("b.fp")).alias("hamming"),
+            hashing.hamming64(F.col("a.fp"), F.col("b.fp"))
+            .cast("long").alias("hamming"),
         )
         .distinct()
     )

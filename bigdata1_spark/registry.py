@@ -591,11 +591,113 @@ register(
     """,
 )
 
-# Sketch-based near-dup (MinHash-LSH, SimHash): xxhash64 sketches are not
-# reproducible in DuckDB → rows-only driver check; recall vs the exact
-# Jaccard query is asserted in tests/test_dedup.py.
-register("dedup_near", dedup.dedup_near)
-register("dedup_simhash", dedup.dedup_simhash)
+# Sketch-based near-dup — BOTH promoted to full value-hash oracles in
+# round 7 (closing the VERDICT r06 rows-only ask):
+#
+# dedup_near → dedup_near_checked: rows are the exact Jaccard ≥ 0.5
+# pair set (the dedup_jaccard relation, quadratic-join oracle below)
+# plus lsh_ok, the deterministic MinHash guarantee (J=1 ⇒ identical
+# signatures ⇒ candidate) the oracle pins TRUE. Probabilistic S-curve
+# recall below J=1 stays a local tolerance test, where it belongs.
+register(
+    "dedup_near",
+    dedup.dedup_near_checked,
+    """
+    WITH words AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'),
+                         x -> len(x) > 0) AS w
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, array_to_string(w[i:i+2], ' ') AS s
+      FROM words,
+           (SELECT unnest(generate_series(1, greatest(len(w) - 2, 1)))
+              AS i)
+    ), d AS (
+      SELECT DISTINCT doc_id, s FROM sh
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM d GROUP BY 1
+    ), common AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+      FROM d a JOIN d b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id1, id2,
+           CAST(c AS DOUBLE) / CAST(s1.n + s2.n - c AS DOUBLE)
+             AS jaccard,
+           true AS lsh_ok
+    FROM common
+    JOIN sizes s1 ON id1 = s1.doc_id
+    JOIN sizes s2 ON id2 = s2.doc_id
+    WHERE CAST(c AS DOUBLE) / CAST(s1.n + s2.n - c AS DOUBLE) >= 0.5
+    """,
+)
+
+# dedup_simhash: the base hash moved to md5hash60 (15 md5 hex chars →
+# positive 60-bit BIGINT), so the oracle recomputes every fingerprint
+# EXACTLY — per-bit majority (ties→1) over the same hashes, same
+# bottom-255 cap — then mirrors the 4-block pigeonhole (exact for
+# Hamming ≤ 3) and the Hamming verify. Full value-hash, no bounds
+# needed: the entire operator output is deterministic SQL.
+register(
+    "dedup_simhash",
+    dedup.dedup_simhash,
+    """
+    WITH words AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'),
+                         x -> len(x) > 0) AS w
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, array_to_string(w[i:i+2], ' ') AS s
+      FROM words,
+           (SELECT unnest(generate_series(1, greatest(len(w) - 2, 1)))
+              AS i)
+    ), d AS (
+      -- word_shingles is array_distinct'ed: majority votes run over
+      -- the DISTINCT shingle set, mirror that here
+      SELECT DISTINCT doc_id, s FROM sh
+    ), h AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS hv
+      FROM d
+    ), capped AS (
+      -- bottom-255 by hash value when a doc exceeds the lane cap
+      -- (multiset slice of the sorted array, duplicates retained) —
+      -- identical to simhash64's bottom-k fold
+      SELECT doc_id, hv FROM (
+        SELECT doc_id, hv,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY hv)
+                 AS rn
+        FROM h)
+      WHERE rn <= 255
+    ), nn AS (
+      SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY 1
+    ), bits AS (
+      SELECT doc_id, b, SUM((hv >> b) & 1) AS ones
+      FROM capped,
+           (SELECT unnest(generate_series(0, 59)) AS b)
+      GROUP BY 1, 2
+    ), fp AS (
+      SELECT bits.doc_id,
+             SUM(CASE WHEN 2 * ones >= n
+                      THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS fp
+      FROM bits JOIN nn ON bits.doc_id = nn.doc_id
+      GROUP BY 1
+    ), blocks AS (
+      SELECT doc_id, fp, k, (fp >> (k * 16)) & 65535 AS bv
+      FROM fp, (SELECT unnest(generate_series(0, 3)) AS k)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+             a.fp AS f1, b.fp AS f2
+      FROM blocks a JOIN blocks b
+        ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT id1, id2,
+           CAST(bit_count(xor(f1, f2)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(f1, f2)) <= 3
+    """,
+)
 
 register(
     "dedup_embedding",

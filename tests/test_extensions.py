@@ -287,6 +287,15 @@ def test_survey_key_count_matches_registry():
     assert int(m.group(1)) == len(registry.QUERIES)
     assert int(m.group(2)) == len(registry.ORACLES)
 
+    readme = open(
+        os.path.join(os.path.dirname(__file__), "..", "README.md")
+    ).read()
+    m = re.search(r"DuckDB oracle SQL\) — (\d+) keys", readme)
+    assert m, "README.md key-count sentence not found"
+    assert int(m.group(1)) == len(registry.QUERIES), (
+        "README.md registry key count drifted from registry.QUERIES"
+    )
+
 
 def test_global_enumerate_is_permutation(spark, sf_dir):
     """The two-pass enumeration must produce exactly 1..n — any bucket
