@@ -99,11 +99,17 @@ _DRIVER_CHECKED = frozenset({
 # (VARCHAR-routed decimal→double conversion, the repo-wide fix for the
 # same two-rounding bug class) — values unchanged at gate scale, but the
 # banked rows predate the oracle text.
+# multimodal_pipeline: promoted to a full oracle in round 7 (md5/sha256
+# media recipe). approx_sketch: its verify band moved to a deterministic
+# 1-in-8 hash sample with p35/p65 edges and the plan split away from the
+# Expand rewrite — same pinned-boolean contract, fresh row wanted.
 _REVERIFY_FIRST = (
     "twa",
     "gen_billings",
     "dedup_near",
     "dedup_simhash",
+    "multimodal_pipeline",
+    "approx_sketch",
     "agg_stats",
     "anomaly_zscore",
 )

@@ -47,13 +47,27 @@ FEATURE_SCHEMA = StructType(
 
 
 def synth_media(spark: SparkSession, n: int = 256, seed: int = 42) -> DataFrame:
-    """Deterministic fake media rows: payload = seeded pseudo-random bytes
-    derived from xxhash64 (stands in for real encoded frames)."""
+    """Deterministic fake media rows: payload = seeded pseudo-random
+    bytes (stands in for real encoded frames).
+
+    Every column is a pure md5/sha256 function of (seed, media_id) —
+    the ``gen_billings``/``python_datasource`` recipe — so a SQL oracle
+    regenerates the table row-for-row and even the binary-payload
+    pipeline downstream is full value-hash checked (round 7; previously
+    xxhash64-seeded and rows-only). The payload is the 64 ASCII-hex
+    bytes of sha256(id:seed): opaque to the pipeline, reproducible as
+    ``encode(sha256(...))`` everywhere."""
+    from bigdata1_spark.functions.hashing import md5hash60
+
+    h = lambda salt: md5hash60(  # noqa: E731
+        F.concat_ws("|", F.lit(str(seed)), F.lit(salt),
+                    F.col("id").cast("string"))
+    )
     kinds = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-        (F.pmod(F.xxhash64("id", F.lit(seed)), F.lit(3)) + 1).cast("int"),
+        (h("kind") % 3 + 1).cast("int"),
     )
-    payload = F.sha2(F.concat_ws(":", F.col("id"), F.lit(seed)), 512).cast("binary")
+    payload = F.sha2(F.concat_ws(":", F.col("id"), F.lit(seed)), 256).cast("binary")
     # numPartitions sized to the demo row count: mapInPandas forks a
     # Python worker per partition, so 32 near-empty partitions would pay
     # 32 interpreter startups for 256 rows. At scale, partition count
@@ -62,8 +76,8 @@ def synth_media(spark: SparkSession, n: int = 256, seed: int = 42) -> DataFrame:
         F.col("id").alias("media_id"),
         kinds.alias("kind"),
         payload.alias("payload"),
-        (F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1920)) + 1).alias("meta_w"),
-        (F.pmod(F.xxhash64("id", F.lit(2)), F.lit(1080)) + 1).alias("meta_h"),
+        (h("w") % 1920 + 1).alias("meta_w"),
+        (h("h") % 1080 + 1).alias("meta_h"),
     )
 
 
@@ -107,12 +121,19 @@ def decode_and_featurize(media: DataFrame, thumb: int = 64) -> DataFrame:
 
 
 def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Registry entry (rows-only): synth media → mapInPandas featurize →
-    per-kind aggregate (exercises binary columns end-to-end)."""
+    """Registry entry: synth media → mapInPandas featurize → per-kind
+    aggregate (exercises binary columns end-to-end). FULL value-hash
+    oracle since round 7: the media table is md5/sha256-derived, so
+    DuckDB regenerates payloads and features in SQL and pins every
+    aggregate — the Arrow batch path, the byte-level feature math, and
+    the thumbnail clamp are all inside the hash."""
     feats = decode_and_featurize(synth_media(spark))
     return feats.groupBy("kind").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("n_bytes").alias("total_bytes"),
         F.min("feat_mean").alias("min_feat"),
         F.max("feat_mean").alias("max_feat"),
+        F.sum("feat_mean").alias("sum_feat"),
+        F.sum("thumb_w").alias("sum_thumb_w"),
+        F.sum("thumb_h").alias("sum_thumb_h"),
     )

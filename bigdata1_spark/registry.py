@@ -908,7 +908,47 @@ register(
     """,
 )
 
-register("multimodal_pipeline", multimodal.multimodal_pipeline)
+# Full value-hash oracle (round 7): synth_media is md5/sha256-derived,
+# so the oracle regenerates the media table (kinds, meta dims, and the
+# 64-ASCII-hex-byte sha256 payload) and recomputes the mapInPandas
+# features — mean payload byte, thumbnail clamp — entirely in SQL.
+register(
+    "multimodal_pipeline",
+    multimodal.multimodal_pipeline,
+    """
+    WITH seq AS (
+      SELECT unnest(generate_series(0, 255)) AS media_id
+    ), h AS (
+      SELECT media_id,
+             CAST('0x' || substr(md5('42|kind|' || media_id), 1, 15)
+                  AS BIGINT) % 3 AS kx,
+             CAST('0x' || substr(md5('42|w|' || media_id), 1, 15)
+                  AS BIGINT) % 1920 + 1 AS meta_w,
+             CAST('0x' || substr(md5('42|h|' || media_id), 1, 15)
+                  AS BIGINT) % 1080 + 1 AS meta_h,
+             sha256(media_id || ':42') AS hx
+      FROM seq
+    ), feats AS (
+      SELECT media_id,
+             ['image', 'audio', 'video'][kx + 1] AS kind,
+             64 AS n_bytes,
+             list_sum(list_transform(range(1, 65),
+                      i -> ord(substr(hx, i, 1)))) // 64 AS feat_mean,
+             least(meta_w, 64) AS thumb_w,
+             least(meta_h, 64) AS thumb_h
+      FROM h
+    )
+    SELECT kind,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(MIN(feat_mean) AS BIGINT) AS min_feat,
+           CAST(MAX(feat_mean) AS BIGINT) AS max_feat,
+           CAST(SUM(feat_mean) AS BIGINT) AS sum_feat,
+           CAST(SUM(thumb_w) AS BIGINT) AS sum_thumb_w,
+           CAST(SUM(thumb_h) AS BIGINT) AS sum_thumb_h
+    FROM feats GROUP BY 1
+    """,
+)
 
 register(
     "text_stats",
