@@ -43,6 +43,11 @@ def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         back = (
             spark.read.schema(docs.schema)
             .option("header", "true")
+            # multiLine: quoted fields may legally contain newlines; a
+            # line-splitting read would silently mis-parse them if the
+            # generator ever emits one (today's documents have none,
+            # but the round-trip must not depend on that invariant)
+            .option("multiLine", "true")
             .csv(path)
         )
         res = back.groupBy("lang").agg(

@@ -420,7 +420,14 @@ def sessionize_stream(
                 cur = (cur[0], t, cur[2] + 1)
         if cur is not None:
             state.update(cur)
-            state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)
+            # ceil to the millisecond: state is microseconds but the
+            # timeout API takes ms — flooring could fire the timeout up
+            # to 1 ms BEFORE the gap boundary, splitting a session
+            # whose next event lands exactly at last_ts + gap (the '>'
+            # comparison above keeps that event in-session). Bounded
+            # sentinel drains never hit this (one data micro-batch);
+            # latent only for genuine multi-batch streams.
+            state.setTimeoutTimestamp(-(-(cur[1] + gap_us) // 1000))
         if closed:
             yield pd.DataFrame(
                 {

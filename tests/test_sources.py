@@ -189,7 +189,7 @@ def test_normalize_event_ts_all_encodings(spark):
         assert got == want, (label, got)
 
 
-def test_all_queries_survive_empty_tables(spark, tmp_path):
+def test_all_queries_survive_empty_tables(spark, tmp_path, sf_dir):
     """Every registry key must run (usually to an empty result) against
     schema-complete but EMPTY tables — the shape of a fresh ingest
     prefix. Round-5 advisory review caught one such latent crash
@@ -207,7 +207,7 @@ def test_all_queries_survive_empty_tables(spark, tmp_path):
               "orders", "lineitem", "events", "documents", "embeddings"):
         con.execute(
             f"COPY (SELECT * FROM read_parquet("
-            f"'/root/testdata/sf0.001/{t}.parquet') LIMIT 0) "
+            f"'{sf_dir}/{t}.parquet') LIMIT 0) "
             f"TO '{empty}/{t}.parquet' (FORMAT PARQUET)"
         )
     skip = {  # streaming drains + iterative keys: slow, covered elsewhere
