@@ -958,3 +958,124 @@ def global_enumerate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("idx"),
         )
     )
+
+
+def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture apply: replay an ordered insert/update/delete
+    log down to final table state — the ingestion primitive every
+    CDC-fed lakehouse table needs (Debezium/OLTP-tailing shape).
+
+    The events table stands in for the log: key = (user_id,
+    event_type), sequence = (ts, event_id), op derived from an md5
+    bucket of the event id (engine-portable, so the oracle replays the
+    identical log): 1-in-10 DELETE, 2-in-10 INSERT, rest UPDATE.
+
+    Plan: last-op-per-key as ONE lexicographic struct-MAX aggregate
+    over (us, event_id, op, value) — a pure aggregate with full
+    map-side partial combine, ONE shuffle total, no window sort (the
+    ``ohlc_bars`` trick; a row_number window would shuffle the same
+    rows and then sort every partition). Deletes drop the key at the
+    end — tombstones never round-trip. At 100 TB the same plan merges
+    a day's log into a snapshot: shuffle carries one combined struct
+    per key per map task, not the log. Columns: user_id, event_type,
+    n_ops, last_op, value.
+    """
+    from bigdata1_spark.functions.hashing import md5hash60
+
+    ev = load_table(spark, sf_dir, "events")
+    op = F.element_at(
+        F.array(F.lit("D"), F.lit("I"), F.lit("I"), *[F.lit("U")] * 7),
+        (
+            md5hash60(
+                F.concat_ws("|", F.lit("cdc"),
+                            F.col("event_id").cast("string"))
+            ) % 10 + 1
+        ).cast("int"),
+    )
+    log = ev.select(
+        "user_id", "event_type",
+        F.unix_micros(F.col("ts")).alias("us"),
+        "event_id", op.alias("op"), "value",
+    )
+    last = log.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_ops"),
+        F.max(F.struct("us", "event_id", "op", "value")).alias("fin"),
+    )
+    return last.filter(F.col("fin.op") != "D").select(
+        "user_id",
+        "event_type",
+        "n_ops",
+        F.col("fin.op").alias("last_op"),
+        F.col("fin.value").alias("value"),
+    )
+
+
+IVM_CUTOFF = "1997-01-01"  # base/delta split for the maintenance demo
+
+
+def ivm_delta_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: merge a signed delta batch into a
+    per-customer aggregate WITHOUT recomputing the base — how a
+    materialized `SUM/COUNT GROUP BY` view absorbs a day's changes at
+    100 TB (recomputing the view scans the world; the merge scans the
+    delta plus the view).
+
+    Base = orders before ``IVM_CUTOFF`` aggregated per customer (in
+    production this is the stored view — recomputed here because the
+    demo owns no state between runs). Delta = later orders, 1-in-10
+    md5-selected rows acting as RETRACTIONS (sign −1, the Z-set /
+    DBSP-style encoding that lets one merge path serve inserts,
+    deletes, and corrections). Merge = aggregate the delta alone, FULL
+    OUTER join on the group key, coalesce-add counts and decimal sums,
+    drop groups whose multiplicity hits zero. Both adds are decimal —
+    associative and exact, which is what makes the view mergeable at
+    all (float sums would drift from the recompute the oracle does).
+    Columns: o_custkey, n_orders, total_spent.
+    """
+    from bigdata1_spark.functions.hashing import md5hash60
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        F.col("o_totalprice").cast("decimal(18,4)").alias("price"),
+    )
+    cutoff = F.lit(IVM_CUTOFF).cast("date")
+    base = (
+        orders.filter(F.col("o_orderdate") < cutoff)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("b_n"),
+            F.sum("price").alias("b_sum"),
+        )
+    )
+    sign = F.when(
+        md5hash60(
+            F.concat_ws("|", F.lit("ivm"),
+                        F.col("o_orderkey").cast("string"))
+        ) % 10 == 0,
+        F.lit(-1),
+    ).otherwise(F.lit(1))
+    delta = (
+        orders.filter(F.col("o_orderdate") >= cutoff)
+        .select("o_custkey", sign.alias("s"), "price")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("s").alias("d_n"),
+            F.sum(F.col("s") * F.col("price")).alias("d_sum"),
+        )
+    )
+    merged = base.join(delta, "o_custkey", "full_outer").select(
+        "o_custkey",
+        (
+            F.coalesce("b_n", F.lit(0)) + F.coalesce("d_n", F.lit(0))
+        ).alias("n_orders"),
+        (
+            F.coalesce(F.col("b_sum"), F.lit(0).cast("decimal(18,4)"))
+            + F.coalesce(F.col("d_sum"), F.lit(0).cast("decimal(18,4)"))
+        ).alias("total_spent_dec"),
+    )
+    return merged.filter(F.col("n_orders") > 0).select(
+        "o_custkey",
+        "n_orders",
+        F.round(F.col("total_spent_dec"), 2).cast("double")
+        .alias("total_spent"),
+    )

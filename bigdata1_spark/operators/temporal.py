@@ -623,3 +623,78 @@ def seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.col("forecast")).alias("forecast"),
         r6(F.abs(F.col("v") - F.col("forecast"))).alias("abs_err"),
     )
+
+
+INCIDENT_US = 2 * 3600 * 1_000_000   # 2-hour incident window
+OVERLAP_BIN_US = 6 * 3600 * 1_000_000  # 6-hour join bins
+
+
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join via time binning — the general
+    range-join kernel (downtime attribution here: for each error a
+    user hits, how much of that user's daily activity spans fell
+    inside the 2-hour incident window it opens).
+
+    Side A: per-(user, day) activity span ``[first_us, last_us + 1)``.
+    Side B: each error event opens a per-user incident ``[ts, ts+2h)``.
+    The naive plan is a per-user all-pairs non-equi join — fine while
+    a user's history is short, quadratic in retention once it isn't.
+    The binned kernel is the scale shape: replicate each interval onto
+    the 6-hour bins it covers (``sequence`` + ``explode`` — day spans
+    cover ≤ 5 bins, incidents ≤ 2), equi-join on (user_id, bin),
+    re-check the exact predicate, and de-duplicate pairs that met in
+    several bins. Two truly-overlapping intervals always share the bin
+    containing their intersection's start, so the kernel is EXACT; the
+    bin width trades replication factor against per-bin pair count and
+    is the one knob at 100 TB. The user key in the join is what keeps
+    the output linear — an earlier cross-user formulation of this
+    operator was |incidents|×|users| dense and OOM'd at sf0.1, which
+    is the textbook reason overlap joins need a blocking dimension,
+    not just time bins. Overlap length is exact integer microseconds
+    on half-open intervals. Output per incident: event_id,
+    n_intervals, total_overlap_us.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    acts = (
+        ev.groupBy(
+            "user_id", F.to_date("ts").alias("day")
+        )
+        .agg(
+            F.min(F.unix_micros(F.col("ts"))).alias("lo"),
+            (F.max(F.unix_micros(F.col("ts"))) + 1).alias("hi"),
+        )
+    )
+    incs = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("i_user"),
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ilo"),
+        (F.unix_micros(F.col("ts")) + F.lit(INCIDENT_US)).alias("ihi"),
+    )
+    bin_of = lambda c: F.floor(c / F.lit(OVERLAP_BIN_US))  # noqa: E731
+    a_binned = acts.select(
+        "user_id", "day", "lo", "hi",
+        F.explode(
+            F.sequence(bin_of(F.col("lo")), bin_of(F.col("hi") - 1))
+        ).alias("bin"),
+    )
+    b_binned = incs.select(
+        "i_user", "event_id", "ilo", "ihi",
+        F.explode(
+            F.sequence(bin_of(F.col("ilo")), bin_of(F.col("ihi") - 1))
+        ).alias("bin"),
+    )
+    pairs = (
+        a_binned.join(
+            b_binned,
+            (F.col("user_id") == F.col("i_user"))
+            & (a_binned["bin"] == b_binned["bin"]),
+        )
+        .filter((F.col("ilo") < F.col("hi")) & (F.col("lo") < F.col("ihi")))
+        .select("event_id", "user_id", "day", "lo", "hi", "ilo", "ihi")
+        .distinct()
+    )
+    overlap = F.least("hi", "ihi") - F.greatest("lo", "ilo")
+    return pairs.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum(overlap).alias("total_overlap_us"),
+    )

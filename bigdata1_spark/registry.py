@@ -4254,3 +4254,86 @@ register(
     SELECT o_orderkey, change FROM diff WHERE change <> 'unchanged'
     """,
 )
+
+# ---------------------------------------------------------------------------
+# Round-7 pipeline additions: CDC replay, incremental view maintenance,
+# interval-overlap range join — the three table-maintenance / range-join
+# kernels a lakehouse feeding an LLM pipeline runs daily.
+# ---------------------------------------------------------------------------
+
+# CDC apply: the md5-derived op column lets DuckDB replay the identical
+# log; last-per-key is a struct-MAX in Spark and the equivalent
+# ROW_NUMBER pick here (event_id uniqueness makes them identical).
+register(
+    "cdc_apply",
+    relational.cdc_apply,
+    """
+    WITH log AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us, event_id,
+             (['D', 'I', 'I', 'U', 'U', 'U', 'U', 'U', 'U', 'U'])[
+               CAST(CAST('0x' || substr(md5('cdc|' || event_id), 1, 15)
+                         AS BIGINT) % 10 AS INT) + 1] AS op,
+             value
+      FROM events
+    ), ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY us DESC, event_id DESC) AS rn,
+             COUNT(*) OVER (
+               PARTITION BY user_id, event_type) AS n_ops
+      FROM log
+    )
+    SELECT user_id, event_type, CAST(n_ops AS BIGINT) AS n_ops,
+           op AS last_op, value
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+)
+
+# IVM merge: the oracle recomputes the view from scratch over the signed
+# multiset — if the incremental merge ever drifts from the recompute,
+# the hash catches it (the whole point of the operator).
+register(
+    "ivm_delta_agg",
+    relational.ivm_delta_agg,
+    """
+    WITH signed AS (
+      SELECT o_custkey,
+             CASE WHEN o_orderdate >= DATE '1997-01-01'
+                   AND CAST('0x' || substr(md5('ivm|' || o_orderkey),
+                                           1, 15) AS BIGINT) % 10 = 0
+                  THEN -1 ELSE 1 END AS s,
+             CAST(o_totalprice AS DECIMAL(18,4)) AS price
+      FROM orders
+    ), agg AS (
+      SELECT o_custkey, SUM(s) AS n_orders, SUM(s * price) AS tot
+      FROM signed GROUP BY 1
+    )
+    SELECT o_custkey, CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(CAST(ROUND(tot, 2) AS VARCHAR) AS DOUBLE) AS total_spent
+    FROM agg WHERE n_orders > 0
+    """,
+)
+
+register(
+    "interval_overlap_join",
+    temporal.interval_overlap_join,
+    """
+    WITH acts AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) + 1 AS hi
+      FROM events GROUP BY 1, 2
+    ), incs AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ilo,
+             epoch_us(ts) + 7200000000 AS ihi
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT i.event_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(LEAST(a.hi, i.ihi) - GREATEST(a.lo, i.ilo))
+                AS BIGINT) AS total_overlap_us
+    FROM incs i JOIN acts a
+      ON i.user_id = a.user_id AND i.ilo < a.hi AND a.lo < i.ihi
+    GROUP BY 1
+    """,
+)
