@@ -4337,3 +4337,28 @@ register(
     GROUP BY 1
     """,
 )
+
+# Dynamic partition pruning: the oracle is the plain join-aggregate (a
+# pruned scan must return exactly what the full scan would); the
+# runtime-pruning guarantee itself is asserted STRUCTURALLY inside
+# dpp_join (missing `dynamicpruning` in the fact scan raises, failing
+# this key's correctness row — not just a benchmark).
+register(
+    "dpp_join",
+    jsonl.dpp_join,
+    """
+    WITH dim_all(month, campaign) AS (
+      VALUES ('1995-03', 'spring95'), ('1995-04', 'spring95b'),
+             ('1996-01', 'retired96')
+    ), dim AS (
+      SELECT * FROM dim_all WHERE campaign LIKE 'spring%'
+    )
+    SELECT d.month, d.campaign,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+                     AS VARCHAR) AS DOUBLE) AS total_price
+    FROM orders o
+    JOIN dim d ON strftime(o.o_orderdate, '%Y-%m') = d.month
+    GROUP BY 1, 2
+    """,
+)

@@ -184,3 +184,62 @@ def schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         return res.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# two live campaign months + a decoy the dim filter removes: DPP only
+# fires when the dim side carries a filter (otherwise the join would
+# keep every partition and pruning has no benefit)
+DPP_MONTHS = (
+    ("1995-03", "spring95"),
+    ("1995-04", "spring95b"),
+    ("1996-01", "retired96"),
+)
+
+
+def dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: a month-partitioned fact joined to a
+    small campaign dimension prunes its partitions AT RUNTIME from the
+    dim's values — the optimizer surface that decides whether a
+    100 TB star join reads two prefixes or the whole table (static
+    pruning can't help: the surviving months are join results, not
+    literals the planner sees).
+
+    Orders are written ``partitionBy(month)``; the 2-row dim joins on
+    the partition column. Spark reuses the dim's broadcast as an IN
+    subquery filter inside the fact scan's PartitionFilters — the
+    function asserts the ``dynamicpruning`` expression structurally,
+    so a regression to a full scan fails the oracle run, not just a
+    benchmark. Columns: month, campaign, n_orders, total_price.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,4)").alias("price"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+    )
+    dim = spark.createDataFrame(
+        list(DPP_MONTHS), ["month", "campaign"]
+    ).filter(F.col("campaign").startswith("spring"))
+    work = tempfile.mkdtemp(prefix="bigdata1_dpp_")
+    try:
+        path = os.path.join(work, "orders_part")
+        orders.write.mode("overwrite").partitionBy("month").parquet(path)
+        try:
+            fact = spark.read.parquet(path)
+        except Exception:  # empty source wrote no partition dirs
+            return spark.createDataFrame(
+                [],
+                "month string, campaign string, n_orders bigint, "
+                "total_price double",
+            )
+        joined = fact.join(F.broadcast(dim), "month")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan, (
+            f"dynamic partition pruning missing from fact scan:\n{plan}"
+        )
+        res = joined.groupBy("month", "campaign").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("price"), 2).cast("double").alias("total_price"),
+        )
+        return res.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
