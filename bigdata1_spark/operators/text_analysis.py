@@ -613,3 +613,83 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(norm).cast("long").alias("n_chars_norm"),
         F.md5(norm.cast("binary")).alias("norm_md5"),
     )
+
+
+def bpe_merge_round(
+    spark: SparkSession, sf_dir: str, top_n: int = 30
+) -> DataFrame:
+    """ONE exactly-unrolled BPE training round — argmax the pair
+    statistic, APPLY the merge to every word, recount (the
+    ``pagerank_iter1`` pattern for pinning an iterative kernel
+    bit-for-bit; ``bpe_pair_counts`` computes the statistic alone,
+    this key proves the merge application the training loop repeats).
+
+    Words live as space-separated symbol strings. The winning pair
+    (max weighted frequency, lexicographic tie-break) is applied with
+    a LITERAL string replace: scanning is left-to-right and
+    non-overlapping in both engines ('a a a a' + merge (a,a) →
+    '(aa)(aa)', verified parity), which is exactly BPE's greedy pass,
+    and before the first merge every symbol is one character so any
+    match is symbol-aligned by construction. Everything stays
+    vocabulary-scale after the first word count — the corpus is
+    touched once, which is why BPE training is feasible at 100 TB; the
+    1-row argmax is a broadcast cross join, never a driver collect.
+    Columns: merged_pair, pair, freq (top-N post-merge statistics).
+    """
+    from bigdata1_spark.functions.textfns import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wcnt"))
+        .filter(F.length("word") >= 2)
+    )
+    spaced = words.select(
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word")),
+                lambda i: F.substring(F.col("word"), i, F.lit(1)),
+            ),
+            " ",
+        ).alias("w"),
+        "wcnt",
+    )
+    # cache: both the argmax and the post-merge recount read it
+    spaced = spaced.localCheckpoint(eager=False)
+    sym_pairs = lambda col: F.explode(  # noqa: E731
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size(F.split(col, " ")) - 1, F.lit(0))
+            ),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.split(col, " "), i),
+                F.element_at(F.split(col, " "), i + 1),
+            ),
+        )
+    )
+    best = (
+        spaced.select(sym_pairs(F.col("w")).alias("pair"), "wcnt")
+        .groupBy("pair")
+        .agg(F.sum("wcnt").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("pair"))
+        .limit(1)
+        .select(
+            F.col("pair").alias("mpair"),
+            F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias("mtok"),
+        )
+    )
+    merged = spaced.crossJoin(F.broadcast(best)).select(
+        F.replace(F.col("w"), F.col("mpair"), F.col("mtok")).alias("w"),
+        "wcnt",
+        "mpair",
+    )
+    return (
+        merged.select("mpair", sym_pairs(F.col("w")).alias("pair"), "wcnt")
+        .groupBy("mpair", "pair")
+        .agg(F.sum("wcnt").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("pair"))
+        .limit(top_n)
+        .select(F.col("mpair").alias("merged_pair"), "pair", "freq")
+    )

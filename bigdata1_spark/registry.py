@@ -4362,3 +4362,48 @@ register(
     GROUP BY 1, 2
     """,
 )
+
+# One unrolled BPE round: the oracle repeats argmax → literal-replace
+# merge → recount in SQL; replace() scanning is left-to-right
+# non-overlapping in both engines (= BPE's greedy pass, parity-tested
+# in tests/test_numeric_parity-adjacent cases within the operator
+# docstring evidence).
+register(
+    "bpe_merge_round",
+    text_analysis.bpe_merge_round,
+    """
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                    x -> len(x) > 0)) AS w
+      FROM documents
+    ), words AS (
+      SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS wcnt
+      FROM toks GROUP BY 1 HAVING len(word) >= 2
+    ), spaced AS (
+      SELECT array_to_string(
+               list_transform(range(1, len(word) + 1),
+                              i -> substr(word, i, 1)), ' ') AS w,
+             wcnt
+      FROM words
+    ), pair1 AS (
+      SELECT array_to_string(syms[i:i+1], ' ') AS pair, wcnt
+      FROM (SELECT string_split(w, ' ') AS syms, wcnt FROM spaced),
+           (SELECT unnest(generate_series(1, len(syms) - 1)) AS i)
+    ), best AS (
+      SELECT pair AS mpair, replace(pair, ' ', '') AS mtok
+      FROM (SELECT pair, SUM(wcnt) AS freq FROM pair1 GROUP BY 1)
+      ORDER BY freq DESC, pair LIMIT 1
+    ), merged AS (
+      SELECT replace(s.w, b.mpair, b.mtok) AS w, s.wcnt, b.mpair
+      FROM spaced s CROSS JOIN best b
+    ), pair2 AS (
+      SELECT mpair, array_to_string(syms[i:i+1], ' ') AS pair, wcnt
+      FROM (SELECT string_split(w, ' ') AS syms, wcnt, mpair
+            FROM merged),
+           (SELECT unnest(generate_series(1, len(syms) - 1)) AS i)
+    )
+    SELECT mpair AS merged_pair, pair, CAST(SUM(wcnt) AS BIGINT) AS freq
+    FROM pair2 GROUP BY 1, 2
+    ORDER BY freq DESC, pair LIMIT 30
+    """,
+)
