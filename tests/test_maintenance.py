@@ -1,0 +1,108 @@
+"""Invariant tests for the round-7 table-maintenance / range-join /
+tokenizer kernels (`cdc_apply`, `ivm_delta_agg`,
+`interval_overlap_join`, `dpp_join`, `bpe_merge_round`) — properties
+the value-hash oracles imply but are cheaper to localize here when
+they break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata1_spark.operators.relational import cdc_apply, ivm_delta_agg
+from bigdata1_spark.operators.temporal import (
+    INCIDENT_US,
+    interval_overlap_join,
+)
+from bigdata1_spark.operators.text_analysis import bpe_merge_round
+from bigdata1_spark.sources.tables import load_table
+
+
+def test_cdc_apply_accounts_for_every_log_row(spark, sf_dir):
+    """Survivor n_ops plus dropped keys' op counts must equal the raw
+    log volume — the apply may drop tombstoned KEYS, never log rows."""
+    ev = load_table(spark, sf_dir, "events")
+    total_rows = ev.count()
+    total_keys = ev.select("user_id", "event_type").distinct().count()
+    out = cdc_apply(spark, sf_dir).cache()
+    survivors = out.count()
+    survivor_ops = out.agg(F.sum("n_ops")).first()[0]
+    assert survivors <= total_keys
+    # every surviving key's n_ops counts ALL its log rows, so the gap
+    # to total_rows is exactly the tombstoned keys' rows
+    assert survivor_ops <= total_rows
+    assert out.filter(F.col("last_op") == "D").count() == 0
+    out.unpersist()
+
+
+def test_ivm_merge_equals_recompute(spark, sf_dir):
+    """The incremental merge must equal recomputing the view over the
+    signed multiset — same Spark-side arithmetic, independent plan."""
+    from bigdata1_spark.functions.hashing import md5hash60
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        F.col("o_totalprice").cast("decimal(18,4)").alias("price"),
+    )
+    sign = F.when(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+        & (
+            md5hash60(
+                F.concat_ws("|", F.lit("ivm"),
+                            F.col("o_orderkey").cast("string"))
+            ) % 10 == 0
+        ),
+        F.lit(-1),
+    ).otherwise(F.lit(1))
+    recompute = (
+        orders.select("o_custkey", sign.alias("s"), "price")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("s").alias("n_orders"),
+            F.round(F.sum(F.col("s") * F.col("price")), 2)
+            .cast("double").alias("total_spent"),
+        )
+        .filter(F.col("n_orders") > 0)
+        .select(
+            "o_custkey",
+            F.col("n_orders").cast("long").alias("n_orders"),
+            "total_spent",
+        )
+    )
+    merged = ivm_delta_agg(spark, sf_dir)
+    assert merged.exceptAll(recompute).count() == 0
+    assert recompute.exceptAll(merged).count() == 0
+
+
+def test_interval_overlap_bounded_by_incident_length(spark, sf_dir):
+    """No interval can overlap an incident by more than the incident's
+    own length, so total_overlap_us ≤ n_intervals × 2 h — a broken
+    dedupe (pair counted once per shared bin) breaks this first."""
+    out = interval_overlap_join(spark, sf_dir)
+    bad = out.filter(
+        (F.col("total_overlap_us") > F.col("n_intervals") * INCIDENT_US)
+        | (F.col("total_overlap_us") <= 0)
+        | (F.col("n_intervals") <= 0)
+    ).count()
+    assert bad == 0
+
+
+def test_bpe_merge_round_consumes_the_merged_pair(spark, sf_dir):
+    """After applying merge (a, b), the pair 'a b' can only survive
+    where greedy scanning legitimately leaves an a before a b (e.g.
+    'a a b': the left 'a a' merge is not this round's rule, so 'a b'
+    remains) — but its post-merge frequency must be strictly below the
+    pre-merge argmax, or the merge did nothing."""
+    from bigdata1_spark.operators.text_analysis import bpe_pair_counts
+
+    pre = bpe_pair_counts(spark, sf_dir, top_n=1).first()
+    post = bpe_merge_round(spark, sf_dir).cache()
+    merged_pair = post.select("merged_pair").first()[0]
+    a, b = merged_pair.split(" ")
+    assert f"{a}{b}" != merged_pair  # sanity: merge produced one token
+    leftover = post.filter(F.col("pair") == merged_pair).select("freq")
+    leftover_freq = (leftover.first() or [0])[0]
+    assert leftover_freq < pre["freq"], (
+        f"merge {merged_pair!r} left its own frequency unreduced"
+    )
+    post.unpersist()
