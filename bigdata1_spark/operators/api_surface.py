@@ -405,3 +405,36 @@ def udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM v_docs_udtf v, LATERAL first_words(v.text, 2) t
         """
     )
+
+
+def sql_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL + LATERAL correlated subquery — the two
+    modern SQL-surface features ``sql_api`` doesn't touch: named
+    parameter binding (``spark.sql(..., args={...})``, the
+    injection-safe path for templated queries) and a per-row
+    correlated subquery with ORDER BY/LIMIT (top-2 customers per
+    nation).
+
+    Scale note: Catalyst DECORRELATES the lateral — the executed plan
+    is a broadcast hash join plus ranking windows over the customer
+    side (verified), never a per-nation re-execution of the subquery;
+    LATERAL here is surface syntax over the same scale-safe plan
+    ``topk_window`` writes by hand. Columns: n_name, c_name,
+    c_acctbal.
+    """
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("v_nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "v_customer"
+    )
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM v_nation n
+        JOIN LATERAL (
+          SELECT c_name, c_acctbal FROM v_customer c
+          WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal > :minbal
+          ORDER BY c_acctbal DESC, c_name LIMIT 2
+        ) t
+        """,
+        args={"minbal": 1000.0},
+    )

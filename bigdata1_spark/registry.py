@@ -4407,3 +4407,23 @@ register(
     ORDER BY freq DESC, pair LIMIT 30
     """,
 )
+
+# LATERAL + parameterized SQL: the oracle is the window formulation the
+# decorrelated plan is equivalent to (Catalyst rewrites the correlated
+# LIMIT subquery to ranking windows — asserted in the docstring's plan
+# note, value-pinned here).
+register(
+    "sql_lateral",
+    api_surface.sql_lateral,
+    """
+    WITH ranked AS (
+      SELECT n.n_name, c.c_name, c.c_acctbal,
+             ROW_NUMBER() OVER (
+               PARTITION BY n.n_nationkey
+               ORDER BY c.c_acctbal DESC, c.c_name) AS rn
+      FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+      WHERE c.c_acctbal > 1000.0
+    )
+    SELECT n_name, c_name, c_acctbal FROM ranked WHERE rn <= 2
+    """,
+)
