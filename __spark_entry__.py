@@ -103,6 +103,8 @@ _DRIVER_CHECKED = frozenset({
 # media recipe). approx_sketch: its verify band moved to a deterministic
 # 1-in-8 hash sample with p35/p65 edges and the plan split away from the
 # Expand rewrite — same pinned-boolean contract, fresh row wanted.
+# pagerank: the last rows-only key gained a full unrolled-CTE oracle in
+# round 7 — every prior driver row was the weaker rows-only check.
 _REVERIFY_FIRST = (
     "twa",
     "gen_billings",
@@ -110,6 +112,7 @@ _REVERIFY_FIRST = (
     "dedup_simhash",
     "multimodal_pipeline",
     "approx_sketch",
+    "pagerank",
     "agg_stats",
     "anomaly_zscore",
 )

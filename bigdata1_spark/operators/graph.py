@@ -279,11 +279,14 @@ def pagerank(
     """Fixed-iteration PageRank on the customer–supplier bipartite
     graph (edges both directions, so no dangling nodes).
 
-    Rows-only by design: ranks are genuinely iterative floating-point —
-    not SQL-expressible without unrolling — so correctness is pinned by
-    invariant tests instead (rank mass conservation ≈ N, determinism
-    across runs, monotone damping bounds). Each iteration is ONE join +
-    ONE aggregate keyed on node id; ``localCheckpoint`` truncates
+    FULL value-hash oracle since round 7: the iteration count is fixed,
+    so the registry UNROLLS all three rounds into chained SQL CTEs
+    (``registry._pagerank_unrolled_sql`` — a recursive CTE cannot carry
+    the per-round aggregate), each mirroring this kernel's arithmetic
+    exactly; invariant tests (rank mass conservation ≈ N, determinism
+    across runs, monotone damping bounds) remain as the convergence-
+    mode evidence the unrolled oracle cannot give. Each iteration is
+    ONE join + ONE aggregate keyed on node id; ``localCheckpoint`` truncates
     lineage so the plan stays O(1) per iteration instead of growing
     (same discipline as ``dedup.dedup_clusters``). Contributions are
     summed through decimal(27,15): decimal addition is associative, so

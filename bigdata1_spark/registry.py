@@ -3858,7 +3858,60 @@ register(
     """,
 )
 
-register("pagerank", graph.pagerank)  # rows-only: iterative, non-SQL
+def _pagerank_unrolled_sql(iters: int = 3) -> str:
+    """Generate the pagerank oracle by unrolling the fixed iteration
+    count into chained CTEs (round 7 — the LAST rows-only key gains a
+    full value-hash oracle). Each unrolled round mirrors the Spark
+    kernel exactly: double rank/outdeg division, contribution cast to
+    DECIMAL(27,15) (associative sum), decimal sum back to double via
+    the VARCHAR route (single correct rounding), then base + damping ·
+    in_sum in double with identical literals. A recursive CTE cannot
+    express this (aggregates are barred from the recursive member);
+    a FIXED iteration count unrolls instead — which is also why the
+    registry pins iters=3 rather than iterating to convergence.
+    Caveat shared with the Spark plan: the double→decimal(27,15) cast
+    could tie only on dyadic ratios with a 16-digit expansion (rank 1
+    over a power-of-two outdeg ≥ 2^16) — outside this graph's degree
+    range and vanishing after iteration 1's non-dyadic ranks."""
+    parts = [
+        """
+    WITH cs AS (
+      SELECT DISTINCT o_custkey AS c, -l_suppkey AS s
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+      SELECT c AS src, s AS dst FROM cs
+      UNION ALL
+      SELECT s AS src, c AS dst FROM cs
+    ),
+    outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    nodes AS (SELECT src AS node, outdeg FROM outdeg),
+    r0 AS (SELECT node, outdeg, CAST(1.0 AS DOUBLE) AS rank FROM nodes)"""
+    ]
+    for k in range(iters):
+        parts.append(f""",
+    c{k} AS (
+      SELECT e.dst AS node,
+             CAST(CAST(SUM(CAST(r.rank / r.outdeg AS DECIMAL(27,15)))
+                       AS VARCHAR) AS DOUBLE) AS in_sum
+      FROM r{k} r JOIN edges e ON e.src = r.node
+      GROUP BY e.dst
+    ),
+    r{k + 1} AS (
+      SELECT n.node, n.outdeg,
+             0.15 + 0.85 * COALESCE(c.in_sum, 0.0) AS rank
+      FROM nodes n LEFT JOIN c{k} c ON n.node = c.node
+    )""")
+    parts.append(f"""
+    SELECT CASE WHEN node > 0 THEN 'customer' ELSE 'supplier' END
+             AS node_type,
+           abs(node) AS node_id,
+           floor(rank * 1e6 + 0.5) / 1e6 AS rank
+    FROM r{iters}""")
+    return "".join(parts)
+
+
+register("pagerank", graph.pagerank, _pagerank_unrolled_sql(iters=3))
 
 # One exactly-unrolled iteration of the same kernel IS plain SQL — this
 # pins the per-iteration join/agg/damping arithmetic against DuckDB;
