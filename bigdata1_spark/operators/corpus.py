@@ -445,3 +445,47 @@ def dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted Bernoulli thinning: keep each document with probability
+    proportional to its length (the importance-sampling primitive
+    behind mixture reweighting — long documents carry more tokens, so
+    a token-balanced subsample must keep them more often).
+
+    The keep decision is INTEGER-ONLY: with h a uniform 60-bit md5
+    draw, ``P(h < t) = t / 2^60``, so "keep with p = w / w_max" is the
+    cross-multiplied comparison ``h · w_max < w · 2^60`` — evaluated in
+    exact DECIMAL(38,0)/HUGEINT arithmetic, no float anywhere. That
+    makes the sample a pure function of content: bit-identical across
+    engines, partitionings, retries, and scale factors (the same
+    reason the other sampling keys hash content — but here even the
+    probability scaling never touches IEEE rounding, closing the
+    round-7 float-parity theme). w_max is a 1-row global aggregate
+    broadcast back; the scan is touched once. Columns: lang, n_docs,
+    n_kept, kept_chars.
+    """
+    from bigdata1_spark.functions.hashing import md5hash60
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    wmax = docs.agg(F.max("n_chars").alias("w_max"))
+    h = md5hash60(
+        F.concat_ws("|", F.lit("wsamp"), F.col("doc_id").cast("string"))
+    )
+    keep = (
+        h.cast("decimal(38,0)") * F.col("w_max")
+        < F.col("n_chars").cast("decimal(38,0)") * F.lit(2**60)
+    )
+    return (
+        docs.crossJoin(F.broadcast(wmax))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(keep.cast("long")).alias("n_kept"),
+            F.sum(
+                F.when(keep, F.col("n_chars")).otherwise(F.lit(0))
+            ).alias("kept_chars"),
+        )
+    )

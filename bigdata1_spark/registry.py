@@ -4480,3 +4480,29 @@ register(
     SELECT n_name, c_name, c_acctbal FROM ranked WHERE rn <= 2
     """,
 )
+
+# Weighted Bernoulli thinning: the keep decision is exact integer
+# cross-multiplication (h·w_max < w·2^60) in HUGEINT — no float in the
+# probability scaling on either engine.
+register(
+    "sample_weighted",
+    corpus.sample_weighted,
+    """
+    WITH wm AS (SELECT MAX(n_chars) AS w_max FROM documents),
+    dec AS (
+      SELECT d.lang, d.n_chars,
+             CAST(CAST('0x' || substr(md5('wsamp|' || d.doc_id), 1, 15)
+                       AS BIGINT) AS HUGEINT) * w.w_max
+               < CAST(d.n_chars AS HUGEINT) * 1152921504606846976
+               AS keep
+      FROM documents d CROSS JOIN wm w
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(CASE WHEN keep THEN n_chars ELSE 0 END) AS BIGINT)
+             AS kept_chars
+    FROM dec GROUP BY 1
+    """,
+)
