@@ -26,7 +26,18 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from bigdata1_spark import registry  # noqa: E402
+from bigdata1_spark.operators import dedup  # noqa: E402
 from bigdata1_spark.session import get_spark  # noqa: E402
+
+# Bench-only timings (VERDICT r07 item 3): the registry key `dedup_near`
+# binds dedup_near_checked, whose exact-Jaccard verify leg is a
+# deliberate oracle cost — so the pure-LSH SCALE path gets its own
+# timing here, keeping a regression in the path users run at 100 TB
+# visible instead of hidden inside the checked composite. These keys
+# have no oracle entry; they exist only for the per-key timing record.
+EXTRA_BENCH = {
+    "dedup_near_lsh_only": dedup.dedup_near,
+}
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 RUNS = int(os.environ.get("BENCH_RUNS", "3"))
@@ -52,10 +63,12 @@ def main() -> None:
 
     loadavg_start = os.getloadavg()
     timings: dict[str, float] = {}
+    extra_timings: dict[str, float] = {}
     all_samples: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
-    for key in sorted(registry.QUERIES):
-        fn = registry.QUERIES[key]
+    bench_items = [(k, registry.QUERIES[k]) for k in sorted(registry.QUERIES)]
+    bench_items += sorted(EXTRA_BENCH.items())
+    for key, fn in bench_items:
         # operators that cache intermediates (dedup_*, assoc_rules) leave
         # entries behind; clear BEFORE each key (not after a successful
         # run) so a failed query can't leak its caches into every
@@ -71,7 +84,12 @@ def main() -> None:
             errors[key] = f"{type(exc).__name__}: {exc}"[:200]
             print(f"[bench] {key} FAILED: {errors[key]}", file=sys.stderr)
             continue
-        timings[key] = round(min(samples), 4)
+        if key in EXTRA_BENCH:
+            # kept OUT of the headline total so round-over-round
+            # totals stay comparable on registry keys only
+            extra_timings[key] = round(min(samples), 4)
+        else:
+            timings[key] = round(min(samples), 4)
         all_samples[key] = [round(s, 4) for s in samples]
 
     # stdout carries ONE compact JSON line that fits the driver's
@@ -99,6 +117,8 @@ def main() -> None:
         "queries_full": os.path.basename(detail_path),
         "sf": sf,
     }
+    if extra_timings:
+        out["extra"] = extra_timings
     if errors:
         out["errors"] = {k: v[:60] for k, v in errors.items()}
     detail = {
@@ -112,6 +132,7 @@ def main() -> None:
         "runs_per_key": RUNS,
         "loadavg_start": [round(x, 2) for x in loadavg_start],
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        "extra_bench_only": extra_timings,
     }
     if errors:
         detail["errors"] = errors

@@ -96,7 +96,8 @@ def sql_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     rows = []
     for t in sorted(TABLES):
-        assert f"cat_{t}" in shown, f"SHOW TABLES lost cat_{t}"
+        if f"cat_{t}" not in shown:  # explicit raise: survives python -O
+            raise AssertionError(f"SHOW TABLES lost cat_{t}")
         # DESCRIBE on a simple view is a LocalRelation in column order
         cols = [r["col_name"] for r in spark.sql(f"DESCRIBE TABLE cat_{t}").collect()]
         rows.append((t, len(cols), ",".join(cols)))
@@ -106,7 +107,8 @@ def sql_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in spark.sql("SHOW TABLES").collect()
         if r["tableName"].startswith("cat_")
     ]
-    assert not left, f"DROP VIEW left {left} behind"
+    if left:  # explicit raise: survives python -O
+        raise AssertionError(f"DROP VIEW left {left} behind")
     return spark.createDataFrame(
         rows, schema="table_name string, n_cols bigint, cols_csv string"
     )

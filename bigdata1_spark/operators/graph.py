@@ -319,7 +319,14 @@ def pagerank(
     ranks = nodes.select(
         "node", "outdeg", F.lit(1.0).alias("rank")
     ).localCheckpoint()
-    base = 1.0 - damping
+    # Bit-identical to the oracle's literal ``0.15``: the Python float
+    # expression ``1.0 - 0.85`` lands one ulp ABOVE the 0.15 double
+    # (0.15000000000000002), which would skew every rank ~1 ulp per
+    # iteration vs DuckDB's literal and could flip a 1e-6 floor-rounding
+    # boundary. Subtract in Decimal so base IS the 0.15 double literal.
+    from decimal import Decimal
+
+    base = float(Decimal(1) - Decimal(str(damping)))
     for _ in range(iters):
         contribs = (
             ranks.join(edges, F.col("node") == F.col("src"))

@@ -261,14 +261,21 @@ def approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "percentile(IF(pmod(xxhash64(l_orderkey, l_linenumber), 8)"
             " = 0, l_extendedprice, NULL), array(0.35, 0.65))"
         ).alias("pp"),
+        # fallback band for groups whose 1-in-8 sample is EMPTY (tiny
+        # scale factors / rare flags): percentile over no rows is NULL,
+        # which would make med_in_band NULL while the oracle pins it
+        # true — the unsampled min/max always bracket the median, so
+        # coalescing to them keeps the boolean well-defined at any size
+        F.min("l_extendedprice").alias("grp_min"),
+        F.max("l_extendedprice").alias("grp_max"),
     )
     exact = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("exact_parts")
     )
     agg = sketches.join(exact, "l_returnflag").select(
         "*",
-        F.element_at("pp", 1).alias("p_lo"),
-        F.element_at("pp", 2).alias("p_hi"),
+        F.coalesce(F.element_at("pp", 1), F.col("grp_min")).alias("p_lo"),
+        F.coalesce(F.element_at("pp", 2), F.col("grp_max")).alias("p_hi"),
     )
     return agg.select(
         "l_returnflag",

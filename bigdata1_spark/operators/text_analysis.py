@@ -615,6 +615,61 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sym_pairs(col):
+    """Adjacent symbol pairs of a space-separated symbol string, as an
+    exploded column. A word can collapse to ONE symbol post-merge (e.g.
+    merge ('i','n') + vocabulary word 'in'): size-1 = 0 and Spark's
+    sequence(1, 0) is the DESCENDING array [1, 0], so element_at would
+    be called with index 0 (always an error) — guard with an explicit
+    when() that emits an empty index array, matching the oracle's empty
+    generate_series(1, 0). (ADVICE r07 medium.)"""
+    return F.explode(
+        F.transform(
+            F.when(
+                F.size(F.split(col, " ")) >= 2,
+                F.sequence(F.lit(1), F.size(F.split(col, " ")) - 1),
+            ).otherwise(F.array().cast("array<int>")),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.split(col, " "), i),
+                F.element_at(F.split(col, " "), i + 1),
+            ),
+        )
+    )
+
+
+def _apply_merge(w, pair):
+    """Apply BPE merge ``pair`` ('a b') to spaced word ``w`` with a
+    literal replace that is symbol-ALIGNED even for multi-char symbols.
+
+    A bare replace of 'a b' is only alignment-safe when every symbol is
+    one character (true before the first merge, false after: in
+    'x yte r' the substring 'te r' is not on a symbol boundary). So the
+    word is re-encoded with doubled delimiters — '|a||b||c|' — and the
+    pattern '|a||b|' borrows ONE bar from each side's '||' boundary:
+    any match is therefore anchored on symbol boundaries, and adjacent
+    matches do not fight over a shared delimiter ('|a||a||a|' with
+    merge (a,a) → '|aa||a|', the greedy non-overlapping BPE scan).
+    Both engines' non-regex replace() scans left-to-right
+    non-overlapping, so the oracle mirrors this expression verbatim.
+    """
+    enc = F.concat(
+        F.lit("|"), F.replace(w, F.lit(" "), F.lit("||")), F.lit("|")
+    )
+    pat = F.concat(
+        F.lit("|"), F.replace(pair, F.lit(" "), F.lit("||")), F.lit("|")
+    )
+    rep = F.concat(
+        F.lit("|"), F.replace(pair, F.lit(" "), F.lit("")), F.lit("|")
+    )
+    merged = F.replace(enc, pat, rep)
+    return F.replace(
+        F.substring(merged, F.lit(2), F.length(merged) - F.lit(2)),
+        F.lit("||"),
+        F.lit(" "),
+    )
+
+
 def bpe_merge_round(
     spark: SparkSession, sf_dir: str, top_n: int = 30
 ) -> DataFrame:
@@ -657,18 +712,7 @@ def bpe_merge_round(
     )
     # cache: both the argmax and the post-merge recount read it
     spaced = spaced.localCheckpoint(eager=False)
-    sym_pairs = lambda col: F.explode(  # noqa: E731
-        F.transform(
-            F.sequence(
-                F.lit(1), F.greatest(F.size(F.split(col, " ")) - 1, F.lit(0))
-            ),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(F.split(col, " "), i),
-                F.element_at(F.split(col, " "), i + 1),
-            ),
-        )
-    )
+    sym_pairs = _sym_pairs
     best = (
         spaced.select(sym_pairs(F.col("w")).alias("pair"), "wcnt")
         .groupBy("pair")
@@ -692,4 +736,90 @@ def bpe_merge_round(
         .orderBy(F.desc("freq"), F.asc("pair"))
         .limit(top_n)
         .select(F.col("mpair").alias("merged_pair"), "pair", "freq")
+    )
+
+
+def bpe_merge_round2(
+    spark: SparkSession, sf_dir: str, top_n: int = 30
+) -> DataFrame:
+    """TWO exactly-unrolled BPE training rounds chained — merge-then-
+    merge composition pinned bit-for-bit (VERDICT r07 item 8; the
+    ``pagerank`` unrolling pattern applied one level deeper than
+    ``bpe_merge_round``).
+
+    Round 1's alignment argument ("every symbol is one character, so a
+    literal replace of 'a b' is symbol-aligned by construction") breaks
+    in round 2: post-merge symbols are multi-char, and a bare substring
+    match can land mid-symbol ('x yte r' contains 'te r' off-boundary).
+    Both merge applications therefore go through :func:`_apply_merge`'s
+    doubled-delimiter encoding, whose matches are provably
+    boundary-anchored for ANY symbol alphabet — the form a real BPE
+    training loop would iterate. Each round is argmax (1-row broadcast,
+    never collected) → aligned literal replace → recount; the corpus is
+    still touched exactly once, so the 100 TB feasibility argument of
+    ``bpe_merge_round`` carries over unchanged.
+    Columns: merged_pair1, merged_pair2, pair, freq (top-N statistics
+    after both merges).
+    """
+    from bigdata1_spark.functions.textfns import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wcnt"))
+        .filter(F.length("word") >= 2)
+    )
+    spaced = words.select(
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.length("word")),
+                lambda i: F.substring(F.col("word"), i, F.lit(1)),
+            ),
+            " ",
+        ).alias("w"),
+        "wcnt",
+    ).localCheckpoint(eager=False)
+
+    def argmax_pair(df, alias):
+        return (
+            df.select(_sym_pairs(F.col("w")).alias("pair"), "wcnt")
+            .groupBy("pair")
+            .agg(F.sum("wcnt").alias("freq"))
+            .orderBy(F.desc("freq"), F.asc("pair"))
+            .limit(1)
+            .select(F.col("pair").alias(alias))
+        )
+
+    best1 = argmax_pair(spaced, "mpair1")
+    merged1 = spaced.crossJoin(F.broadcast(best1)).select(
+        _apply_merge(F.col("w"), F.col("mpair1")).alias("w"),
+        "wcnt",
+        "mpair1",
+    )
+    # round 2 recounts read merged1 twice (argmax + final stats):
+    # checkpoint so the chain is evaluated once, same discipline as
+    # round 1's `spaced`
+    merged1 = merged1.localCheckpoint(eager=False)
+    best2 = argmax_pair(merged1, "mpair2")
+    merged2 = merged1.crossJoin(F.broadcast(best2)).select(
+        "mpair1",
+        "mpair2",
+        _apply_merge(F.col("w"), F.col("mpair2")).alias("w"),
+        "wcnt",
+    )
+    return (
+        merged2.select(
+            "mpair1", "mpair2", _sym_pairs(F.col("w")).alias("pair"), "wcnt"
+        )
+        .groupBy("mpair1", "mpair2", "pair")
+        .agg(F.sum("wcnt").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("pair"))
+        .limit(top_n)
+        .select(
+            F.col("mpair1").alias("merged_pair1"),
+            F.col("mpair2").alias("merged_pair2"),
+            "pair",
+            "freq",
+        )
     )

@@ -4506,3 +4506,77 @@ register(
     FROM dec GROUP BY 1
     """,
 )
+
+# Two chained BPE rounds: both merge applications go through the
+# doubled-delimiter encoding ('|a||b||c|'; pattern '|a||b|' borrows one
+# bar from each side's boundary), so the literal replace is
+# symbol-aligned even for the multi-char symbols round 2 creates —
+# the alignment argument round 1 got for free from 1-char symbols.
+# Both engines' non-regex replace() scans left-to-right non-overlapping,
+# so the SQL mirrors the expression verbatim.
+register(
+    "bpe_merge_round2",
+    text_analysis.bpe_merge_round2,
+    """
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                    x -> len(x) > 0)) AS w
+      FROM documents
+    ), words AS (
+      SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS wcnt
+      FROM toks GROUP BY 1 HAVING len(word) >= 2
+    ), spaced AS (
+      SELECT array_to_string(
+               list_transform(range(1, len(word) + 1),
+                              i -> substr(word, i, 1)), ' ') AS w,
+             wcnt
+      FROM words
+    ), pair1 AS (
+      SELECT array_to_string(syms[i:i+1], ' ') AS pair, wcnt
+      FROM (SELECT string_split(w, ' ') AS syms, wcnt FROM spaced),
+           (SELECT unnest(generate_series(1, len(syms) - 1)) AS i)
+    ), best1 AS (
+      SELECT pair AS mpair1
+      FROM (SELECT pair, SUM(wcnt) AS freq FROM pair1 GROUP BY 1)
+      ORDER BY freq DESC, pair LIMIT 1
+    ), merged1pre AS (
+      SELECT s.wcnt, b.mpair1,
+             replace('|' || replace(s.w, ' ', '||') || '|',
+                     '|' || replace(b.mpair1, ' ', '||') || '|',
+                     '|' || replace(b.mpair1, ' ', '') || '|') AS m
+      FROM spaced s CROSS JOIN best1 b
+    ), merged1 AS (
+      SELECT replace(substr(m, 2, len(m) - 2), '||', ' ') AS w,
+             wcnt, mpair1
+      FROM merged1pre
+    ), pair2 AS (
+      SELECT array_to_string(syms[i:i+1], ' ') AS pair, wcnt
+      FROM (SELECT string_split(w, ' ') AS syms, wcnt FROM merged1),
+           (SELECT unnest(generate_series(1, len(syms) - 1)) AS i)
+    ), best2 AS (
+      SELECT pair AS mpair2
+      FROM (SELECT pair, SUM(wcnt) AS freq FROM pair2 GROUP BY 1)
+      ORDER BY freq DESC, pair LIMIT 1
+    ), merged2pre AS (
+      SELECT m1.mpair1, b.mpair2, m1.wcnt,
+             replace('|' || replace(m1.w, ' ', '||') || '|',
+                     '|' || replace(b.mpair2, ' ', '||') || '|',
+                     '|' || replace(b.mpair2, ' ', '') || '|') AS m
+      FROM merged1 m1 CROSS JOIN best2 b
+    ), merged2 AS (
+      SELECT mpair1, mpair2,
+             replace(substr(m, 2, len(m) - 2), '||', ' ') AS w, wcnt
+      FROM merged2pre
+    ), pair3 AS (
+      SELECT mpair1, mpair2,
+             array_to_string(syms[i:i+1], ' ') AS pair, wcnt
+      FROM (SELECT string_split(w, ' ') AS syms, wcnt, mpair1, mpair2
+            FROM merged2),
+           (SELECT unnest(generate_series(1, len(syms) - 1)) AS i)
+    )
+    SELECT mpair1 AS merged_pair1, mpair2 AS merged_pair2, pair,
+           CAST(SUM(wcnt) AS BIGINT) AS freq
+    FROM pair3 GROUP BY 1, 2, 3
+    ORDER BY freq DESC, pair LIMIT 30
+    """,
+)

@@ -140,9 +140,12 @@ def scan_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         # predicate as a PARTITION filter (planning-time pruning), not
         # a post-scan data filter.
         plan = back._jdf.queryExecution().executedPlan().toString()
-        assert "PartitionFilters" in plan and "fr" in plan, (
-            f"partition pruning missing from scan:\n{plan}"
-        )
+        # explicit raise (not bare assert): survives python -O, so the
+        # structural scale guard cannot be silently stripped
+        if not ("PartitionFilters" in plan and "fr" in plan):
+            raise AssertionError(
+                f"partition pruning missing from scan:\n{plan}"
+            )
         res = back.groupBy("source").agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").cast("long").alias("total_chars"),
@@ -233,9 +236,11 @@ def dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         joined = fact.join(F.broadcast(dim), "month")
         plan = joined._jdf.queryExecution().executedPlan().toString()
-        assert "dynamicpruning" in plan, (
-            f"dynamic partition pruning missing from fact scan:\n{plan}"
-        )
+        # explicit raise (not bare assert): survives python -O
+        if "dynamicpruning" not in plan:
+            raise AssertionError(
+                f"dynamic partition pruning missing from fact scan:\n{plan}"
+            )
         res = joined.groupBy("month", "campaign").agg(
             F.count(F.lit(1)).alias("n_orders"),
             F.round(F.sum("price"), 2).cast("double").alias("total_price"),

@@ -749,9 +749,10 @@ def events_upsert_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             query.awaitTermination()
         versions = sorted(glob.glob(os.path.join(out, "v=*")))
-        assert len(versions) >= 2, (
-            f"expected multi-batch upsert, got {len(versions)} versions"
-        )
+        if len(versions) < 2:  # explicit raise: survives python -O
+            raise AssertionError(
+                f"expected multi-batch upsert, got {len(versions)} versions"
+            )
         final = spark.read.parquet(versions[-1]).select(
             "user_id",
             "event_id",

@@ -106,3 +106,30 @@ def test_bpe_merge_round_consumes_the_merged_pair(spark, sf_dir):
         f"merge {merged_pair!r} left its own frequency unreduced"
     )
     post.unpersist()
+
+
+def test_bpe_merge_round_survives_word_collapse(spark, tmp_path):
+    """ADVICE r07 (medium): when the winning merge pair spells a whole
+    2-char word, that word collapses to ONE symbol post-merge; the
+    unguarded pair expansion built sequence(1, 0) — which Spark
+    evaluates as the DESCENDING array [1, 0] — and element_at(arr, 0)
+    hard-failed the key. Corpus engineered so the argmax pair is
+    ('i','n') and 'in' is itself a vocabulary word."""
+    sf = tmp_path / "bpe_collapse"
+    sf.mkdir()
+    rows = [
+        (1, "in in in in", "en", "unit", 11),
+        (2, "inner inner", "en", "unit", 11),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(sf / "documents.parquet"))
+
+    out = bpe_merge_round(spark, str(sf)).collect()
+
+    assert out, "merge round returned no post-merge pairs"
+    assert out[0]["merged_pair"] == "i n"
+    # the fully-collapsed word 'in' contributes NO pairs; the surviving
+    # statistics must come from 'inner' -> 'in n e r'
+    pairs = {r["pair"]: r["freq"] for r in out}
+    assert pairs == {"in n": 2, "n e": 2, "e r": 2}

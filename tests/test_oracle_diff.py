@@ -34,9 +34,11 @@ def test_dtype_parity_catches_hugeint_float():
     _assert_dtype_parity(duck_side, duck_side.copy(), "ok")
 
 
-@pytest.mark.parametrize("key", sorted(set(registry.QUERIES) - set(registry.ORACLES)))
-def test_rows_only_queries_run(key, spark, sf_dir):
-    """Queries without a SQL oracle still must run and return rows."""
-    df = registry.QUERIES[key](spark, sf_dir)
-    assert df.count() >= 0
-    spark.catalog.clearCache()
+def test_every_query_has_an_oracle():
+    """The rows-only set went empty in round 7 and must STAY empty —
+    a key registered without a DuckDB oracle regresses the correctness
+    gate to a weaker rows-only check, and that regression should fail
+    loudly here rather than slip through as an extra skipped test
+    (VERDICT r07 'what's wrong' item 2)."""
+    missing = sorted(set(registry.QUERIES) - set(registry.ORACLES))
+    assert missing == [], f"registry keys without a DuckDB oracle: {missing}"
