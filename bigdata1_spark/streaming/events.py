@@ -281,7 +281,11 @@ def click_purchase_join_stream(
     )
 
 
-def dedup_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+def dedup_stream(
+    spark: SparkSession,
+    source_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """Streaming exact dedup on the event id — the at-least-once
     ingestion guard every streaming pipeline needs (file redelivery,
     producer retries). ``dropDuplicatesWithinWatermark`` holds a seen
@@ -289,9 +293,9 @@ def dedup_stream(spark: SparkSession, source_dir: str) -> DataFrame:
     it, so state is bounded by the redelivery horizon — plain
     ``dropDuplicates`` on a stream would grow state forever. Batch twin
     for the test: one row per distinct event_id."""
-    stream = _read_events_stream(spark, source_dir).withWatermark(
-        "ts", WATERMARK
-    )
+    stream = _read_events_stream(
+        spark, source_dir, max_files_per_trigger=max_files_per_trigger
+    ).withWatermark("ts", WATERMARK)
     return stream.dropDuplicatesWithinWatermark(["event_id"])
 
 
