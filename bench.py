@@ -38,6 +38,12 @@ from bigdata1_spark.session import get_spark  # noqa: E402
 EXTRA_BENCH = {
     "dedup_near_lsh_only": dedup.dedup_near,
 }
+# A registry key that collides with an EXTRA_BENCH name would be timed
+# twice with the second run silently dropped from the headline total —
+# fail loudly instead (ADVICE r8).
+assert not set(EXTRA_BENCH) & set(registry.QUERIES), (
+    "EXTRA_BENCH keys must be disjoint from registry.QUERIES"
+)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 RUNS = int(os.environ.get("BENCH_RUNS", "3"))

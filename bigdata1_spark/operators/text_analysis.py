@@ -638,6 +638,11 @@ def _sym_pairs(col):
     )
 
 
+# U+001F (unit separator): guaranteed absent from whitespace-split
+# corpus tokens, unlike any printable character (ADVICE r8).
+_BPE_DELIM = "\x1f"
+
+
 def _apply_merge(w, pair):
     """Apply BPE merge ``pair`` ('a b') to spaced word ``w`` with a
     literal replace that is symbol-ALIGNED even for multi-char symbols.
@@ -645,27 +650,32 @@ def _apply_merge(w, pair):
     A bare replace of 'a b' is only alignment-safe when every symbol is
     one character (true before the first merge, false after: in
     'x yte r' the substring 'te r' is not on a symbol boundary). So the
-    word is re-encoded with doubled delimiters — '|a||b||c|' — and the
-    pattern '|a||b|' borrows ONE bar from each side's '||' boundary:
-    any match is therefore anchored on symbol boundaries, and adjacent
-    matches do not fight over a shared delimiter ('|a||a||a|' with
-    merge (a,a) → '|aa||a|', the greedy non-overlapping BPE scan).
+    word is re-encoded with doubled delimiters — '.a..b..c.' where '.'
+    is U+001F — and the pattern '.a..b.' borrows ONE delimiter from
+    each side's doubled boundary: any match is therefore anchored on
+    symbol boundaries, and adjacent matches do not fight over a shared
+    delimiter ('.a..a..a.' with merge (a,a) → '.aa..a.', the greedy
+    non-overlapping BPE scan). The delimiter is the C0 control char
+    U+001F (unit separator), which cannot survive tokenization into a
+    corpus word — a printable delimiter like '|' CAN (tokens are
+    whitespace-split, punctuation survives), and a symbol containing
+    the delimiter makes the encoding ambiguous in a way BOTH engines
+    mirror, so the parity gate could never catch it (ADVICE r8).
     Both engines' non-regex replace() scans left-to-right
     non-overlapping, so the oracle mirrors this expression verbatim.
     """
-    enc = F.concat(
-        F.lit("|"), F.replace(w, F.lit(" "), F.lit("||")), F.lit("|")
-    )
+    d, dd = _BPE_DELIM, _BPE_DELIM * 2
+    enc = F.concat(F.lit(d), F.replace(w, F.lit(" "), F.lit(dd)), F.lit(d))
     pat = F.concat(
-        F.lit("|"), F.replace(pair, F.lit(" "), F.lit("||")), F.lit("|")
+        F.lit(d), F.replace(pair, F.lit(" "), F.lit(dd)), F.lit(d)
     )
     rep = F.concat(
-        F.lit("|"), F.replace(pair, F.lit(" "), F.lit("")), F.lit("|")
+        F.lit(d), F.replace(pair, F.lit(" "), F.lit("")), F.lit(d)
     )
     merged = F.replace(enc, pat, rep)
     return F.replace(
         F.substring(merged, F.lit(2), F.length(merged) - F.lit(2)),
-        F.lit("||"),
+        F.lit(dd),
         F.lit(" "),
     )
 

@@ -4508,8 +4508,10 @@ register(
 )
 
 # Two chained BPE rounds: both merge applications go through the
-# doubled-delimiter encoding ('|a||b||c|'; pattern '|a||b|' borrows one
-# bar from each side's boundary), so the literal replace is
+# doubled-delimiter encoding ('.a..b..c.' with '.' = chr(31), a char
+# that cannot survive whitespace tokenization into a symbol — ADVICE r8;
+# pattern '.a..b.' borrows one delimiter from each side's boundary), so
+# the literal replace is
 # symbol-aligned even for the multi-char symbols round 2 creates —
 # the alignment argument round 1 got for free from 1-char symbols.
 # Both engines' non-regex replace() scans left-to-right non-overlapping,
@@ -4541,12 +4543,14 @@ register(
       ORDER BY freq DESC, pair LIMIT 1
     ), merged1pre AS (
       SELECT s.wcnt, b.mpair1,
-             replace('|' || replace(s.w, ' ', '||') || '|',
-                     '|' || replace(b.mpair1, ' ', '||') || '|',
-                     '|' || replace(b.mpair1, ' ', '') || '|') AS m
+             replace(chr(31) || replace(s.w, ' ', chr(31) || chr(31))
+                       || chr(31),
+                     chr(31) || replace(b.mpair1, ' ', chr(31) || chr(31))
+                       || chr(31),
+                     chr(31) || replace(b.mpair1, ' ', '') || chr(31)) AS m
       FROM spaced s CROSS JOIN best1 b
     ), merged1 AS (
-      SELECT replace(substr(m, 2, len(m) - 2), '||', ' ') AS w,
+      SELECT replace(substr(m, 2, len(m) - 2), chr(31) || chr(31), ' ') AS w,
              wcnt, mpair1
       FROM merged1pre
     ), pair2 AS (
@@ -4559,13 +4563,15 @@ register(
       ORDER BY freq DESC, pair LIMIT 1
     ), merged2pre AS (
       SELECT m1.mpair1, b.mpair2, m1.wcnt,
-             replace('|' || replace(m1.w, ' ', '||') || '|',
-                     '|' || replace(b.mpair2, ' ', '||') || '|',
-                     '|' || replace(b.mpair2, ' ', '') || '|') AS m
+             replace(chr(31) || replace(m1.w, ' ', chr(31) || chr(31))
+                       || chr(31),
+                     chr(31) || replace(b.mpair2, ' ', chr(31) || chr(31))
+                       || chr(31),
+                     chr(31) || replace(b.mpair2, ' ', '') || chr(31)) AS m
       FROM merged1 m1 CROSS JOIN best2 b
     ), merged2 AS (
       SELECT mpair1, mpair2,
-             replace(substr(m, 2, len(m) - 2), '||', ' ') AS w, wcnt
+             replace(substr(m, 2, len(m) - 2), chr(31) || chr(31), ' ') AS w, wcnt
       FROM merged2pre
     ), pair3 AS (
       SELECT mpair1, mpair2,

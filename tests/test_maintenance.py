@@ -133,3 +133,33 @@ def test_bpe_merge_round_survives_word_collapse(spark, tmp_path):
     # statistics must come from 'inner' -> 'in n e r'
     pairs = {r["pair"]: r["freq"] for r in out}
     assert pairs == {"in n": 2, "n e": 2, "e r": 2}
+
+
+def test_bpe_apply_merge_is_safe_for_pipe_bearing_symbols(spark):
+    """ADVICE r8 (low): tokens are whitespace-split, so a corpus word
+    can contain a literal '|'; with '|' as the boundary delimiter the
+    doubled-delimiter encoding was ambiguous and the merge could
+    corrupt symbol boundaries — silently, since BOTH engines mirrored
+    the expression. The delimiter is now U+001F, which cannot appear
+    in a whitespace-split token. Word 'a|b' spaced as 'a | b': merging
+    ('a', '|') must yield 'a| b', and merging ('|', 'b') must yield
+    'a |b' — with the old delimiter the encoded form '|a||||||b|'
+    cannot distinguish symbol bars from boundary bars."""
+    from bigdata1_spark.operators.text_analysis import _apply_merge
+
+    df = spark.createDataFrame([("a | b",)], "w string")
+    got1 = df.select(
+        _apply_merge(F.col("w"), F.lit("a |")).alias("m")
+    ).first()["m"]
+    assert got1 == "a| b", got1
+    got2 = df.select(
+        _apply_merge(F.col("w"), F.lit("| b")).alias("m")
+    ).first()["m"]
+    assert got2 == "a |b", got2
+    # multi-char post-merge symbols stay boundary-anchored: 'x yte r'
+    # must NOT match the pair ('te', 'r') mid-symbol
+    df2 = spark.createDataFrame([("x yte r",)], "w string")
+    got3 = df2.select(
+        _apply_merge(F.col("w"), F.lit("te r")).alias("m")
+    ).first()["m"]
+    assert got3 == "x yte r", got3

@@ -436,3 +436,110 @@ def test_dedup_stream_killed_mid_stream_state_survives(
     assert total == n_distinct, (
         f"state lost on restart: emitted {total}, distinct {n_distinct}"
     )
+
+
+def test_session_streamed_killed_mid_drain_resumes_to_parity(
+    spark, sf_dir, tmp_path
+):
+    """Kill-and-resume for the watermark-finalized APPEND aggregation
+    (VERDICT r08 item 4): the native session_window drain is the most
+    state-machinery-heavy key — sessions accrete in the state store
+    across micro-batches and only emit when the sentinel-advanced
+    watermark finalizes them. The events file is split in two so state
+    spans multiple batches, then the kill is injected AFTER the first
+    sentinel batch (the one that emits every finalized real session)
+    writes its sink directory but BEFORE its offset commit — the
+    restart must replay that emission batch from the checkpointed
+    state snapshot against a sink already holding the failed attempt's
+    output. Parity target: the uninterrupted registry drain."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bigdata1_spark.sources.tables import load_table
+
+    work = str(tmp_path / "work")
+    os.makedirs(work)
+    src = se._flush_source(spark, sf_dir, work)
+    # split the events file into two half-files (mod-times before the
+    # sentinels') so open sessions live in the state store across a
+    # batch boundary before the flush
+    ev = load_table(spark, sf_dir, "events")
+    ev_file = os.path.join(src, "00_events.parquet")
+    os.remove(ev_file)
+    for i in range(2):
+        half_dir = tmp_path / f"half{i}"
+        ev.where(F.pmod(F.xxhash64("event_id"), F.lit(2)) == i).coalesce(
+            1
+        ).write.parquet(str(half_dir))
+        (part,) = glob.glob(str(half_dir / "part-*.parquet"))
+        dst = os.path.join(src, f"00_{i}_events.parquet")
+        os.rename(part, dst)
+        os.utime(dst, (999_998 + i, 999_998 + i))
+
+    def session_stream():
+        stream = se._read_events_stream(
+            spark, src, max_files_per_trigger=1
+        ).withWatermark("ts", se.WATERMARK)
+        return (
+            stream.groupBy(
+                F.session_window("ts", "30 minutes"), F.col("user_id")
+            )
+            .agg(
+                F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+                .alias("session_start"),
+                F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+                .alias("session_end"),
+                F.count(F.lit(1)).alias("n_events"),
+            )
+            .select(
+                "user_id", "session_start", "session_end", "n_events"
+            )
+        )
+
+    out = tmp_path / "out"
+    ckpt = str(tmp_path / "ckpt")
+    kill = {"armed": True}
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            str(out / f"batch={batch_id}")
+        )
+        # batches 0-1 = event halves; batch 2 = first sentinel — the
+        # batch whose advanced watermark emits the real sessions
+        if batch_id >= 2 and kill["armed"]:
+            kill["armed"] = False
+            raise RuntimeError("injected kill after emission-batch write")
+
+    def drain() -> None:
+        q = (
+            session_stream()
+            .writeStream.foreachBatch(write_batch)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    import pyspark.errors
+
+    with pytest.raises(pyspark.errors.StreamingQueryException):
+        drain()
+    assert not kill["armed"], "kill never fired — batch 2 was not reached"
+    drain()  # restart on the SAME checkpoint: batch 2 must replay
+
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(str(out))
+        .drop("batch")
+        .filter(F.col("user_id") >= 0)
+        .collect()
+    }
+    want = {
+        tuple(r) for r in se.events_session_streamed(spark, sf_dir).collect()
+    }
+    assert got == want, (
+        f"resumed drain diverged: {len(got)} vs {len(want)} sessions"
+    )

@@ -67,13 +67,30 @@ def main() -> None:
     def src(t: str) -> str:
         return f"read_parquet('{SRC}/{t}.parquet')"
 
-    sizes = {
+    counts = {
         t: con.execute(f"SELECT count(*) FROM {src(t)}").fetchone()[0]
         for t in [
             "customer", "supplier", "part", "orders", "lineitem",
             "events", "documents", "embeddings",
         ]
     }
+    # Replica offsets stride by max(key)+1, NOT count(*): with sparse
+    # keys (standard TPC-H o_orderkey peaks near 4x count) a count
+    # stride would overlap replicas, producing duplicate primary keys
+    # and many-to-many FK joins that distort the bench (ADVICE r8).
+    # This sf0.1 dataset happens to be dense 0-based, so both agree —
+    # the stride form stays correct if the source generator changes.
+    _PK = {
+        "customer": "c_custkey", "supplier": "s_suppkey",
+        "part": "p_partkey", "orders": "o_orderkey",
+        "events": "event_id", "documents": "doc_id",
+        "embeddings": "vec_id",
+    }
+    sizes = dict(counts)
+    for t, pk in _PK.items():
+        sizes[t] = con.execute(
+            f"SELECT max({pk}) + 1 FROM {src(t)}"
+        ).fetchone()[0]
     sizes["users"] = con.execute(
         f"SELECT max(user_id) + 1 FROM {src('events')}"
     ).fetchone()[0]
@@ -103,7 +120,7 @@ def main() -> None:
                    (SELECT unnest(generate_series(0, {REPLICAS - 1})) AS i) r
             ) TO '{out_dir}/{t}.parquet'"""
         )
-        print(f"[gen_sf1] {t}: {sizes[t]} -> {sizes[t] * REPLICAS}",
+        print(f"[gen_sf1] {t}: {counts[t]} -> {counts[t] * REPLICAS}",
               flush=True)
 
     # documents: replica 0 verbatim; replicas 1..9 regenerated text over
@@ -185,8 +202,9 @@ def main() -> None:
         "seed": SEED,
         "generated_unix": int(time.time()),
         "rows": {
-            t: (sizes[t] * REPLICAS if t not in ("region", "nation") else None)
-            for t in sizes
+            t: (counts[t] * REPLICAS
+                if t not in ("region", "nation") else None)
+            for t in counts
         },
     }
     with open(f"{out_dir}/MANIFEST.json", "w") as fh:
