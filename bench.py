@@ -26,7 +26,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from bigdata1_spark import registry  # noqa: E402
-from bigdata1_spark.operators import dedup  # noqa: E402
+from bigdata1_spark.operators import dedup, text_analysis  # noqa: E402
 from bigdata1_spark.session import get_spark  # noqa: E402
 
 # Bench-only timings (VERDICT r07 item 3): the registry key `dedup_near`
@@ -37,6 +37,11 @@ from bigdata1_spark.session import get_spark  # noqa: E402
 # have no oracle entry; they exist only for the per-key timing record.
 EXTRA_BENCH = {
     "dedup_near_lsh_only": dedup.dedup_near,
+    # the full curation plan with the production (pure-LSH) near-dedup
+    # stage spliced in — measures what a real ingest pays for dedup
+    # inside the pipeline (VERDICT r08 item 7); invariants pinned in
+    # tests, no SQL oracle possible (xxhash64-derived signatures)
+    "pipeline_pretraining_lsh": text_analysis.pipeline_pretraining_lsh,
 }
 # A registry key that collides with an EXTRA_BENCH name would be timed
 # twice with the second run silently dropped from the headline total —

@@ -46,6 +46,26 @@ def _doc_shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
     )
 
 
+def shingle_hashes_of(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Shingle-hash table for an ARBITRARY (doc_id, text) frame —
+    pipeline stages near-dedup a gated/deduped corpus, not the raw
+    table, so the shingle base is a parameter (same semantics as
+    :func:`_doc_shingle_hashes`, which delegates here)."""
+    sh = docs.select(
+        "doc_id",
+        textfns.word_shingles(textfns.tokens(F.col("text")), n)
+        .alias("shingles"),
+    )
+    return sh.select(
+        "doc_id",
+        F.array_sort(
+            F.array_distinct(
+                F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
+            )
+        ).alias("hs"),
+    )
+
+
 def _doc_shingle_hashes(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
     """Shingle sets as sorted ARRAY<BIGINT> of xxhash64 values.
 
@@ -55,14 +75,8 @@ def _doc_shingle_hashes(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFra
     Jaccard on the hashed sets equals Jaccard on the string sets up to
     a ~2^-64-per-pair collision (the DuckDB oracle cross-checks at test
     scale)."""
-    sh = _doc_shingles(spark, sf_dir, n)
-    return sh.select(
-        "doc_id",
-        F.array_sort(
-            F.array_distinct(
-                F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
-            )
-        ).alias("hs"),
+    return shingle_hashes_of(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), n
     )
 
 
@@ -77,11 +91,20 @@ def dedup_jaccard(
 
     A naive inverted-index count explodes on hot shingles (a shingle in
     d docs yields d² pair rows). Prefix filtering is exact and bounded:
-    order each doc's shingle hashes canonically (sorted xxhash64), index
-    only the first ⌊(1-t)·n⌋+1 — any pair with J ≥ t provably shares a
-    prefix element — then verify candidates with one array_intersect of
-    the hashed sets per pair. Same result set as the quadratic oracle
-    SQL, sub-quadratic candidate generation. Columns: id1, id2, jaccard.
+    order each doc's shingle hashes by a GLOBAL total order, index only
+    the first ⌊(1-t)·n⌋+1 — any pair with J ≥ t provably shares a
+    prefix element (valid for ANY total order) — then verify candidates
+    with one array_intersect of the hashed sets per pair. The order
+    used is All-Pairs' canonical rarest-first: ascending corpus
+    document frequency, hash as tie-break. That choice is the whole
+    ballgame at scale — prefixes then hold each doc's RAREST shingles,
+    so inverted-index buckets stay small even when the corpus shares a
+    vocabulary (a hash order scatters hot shingles into prefixes and
+    the r9 sf1 measurement showed the resulting candidate blowup:
+    39-64× time at 10× docs; df-ordering restored ~linear scaling).
+    A length filter (J ≥ t ⇒ t·|A| ≤ |B| ∧ t·|B| ≤ |A|) prunes the
+    bucket joins further. Same result set as the quadratic oracle SQL,
+    sub-quadratic candidate generation. Columns: id1, id2, jaccard.
 
     ``hashed_shingles`` lets a caller that fans out (dedup_clusters)
     supply — and own the lifecycle of — the cached shingle table; when
@@ -92,16 +115,39 @@ def dedup_jaccard(
     ordered = hashed_shingles if hashed_shingles is not None else (
         _doc_shingle_hashes(spark, sf_dir).cache()
     )
-    prefix_len = F.floor(F.size("hs") * (1.0 - threshold)).cast("int") + 1
-    prefixes = ordered.select(
-        "doc_id",
-        F.explode(F.slice(F.col("hs"), 1, prefix_len)).alias("h"),
+    # rarest-first canonical order: df per shingle hash (one map-side-
+    # combinable agg over the exploded corpus), then per-doc sort by
+    # (df, h) and keep the ⌊(1-t)·n⌋+1-element prefix. struct ordering
+    # is field-lexicographic, so array_sort(struct(df, h)) IS the
+    # global order restricted to the doc.
+    ex = ordered.select(
+        "doc_id", F.size("hs").alias("n"), F.explode("hs").alias("h")
     )
+    df_tbl = ex.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    prefix_len = F.floor(F.col("n") * (1.0 - threshold)).cast("int") + 1
+    prefixes = (
+        ex.join(df_tbl, "h")
+        .groupBy("doc_id", "n")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "h"))).alias("rk"))
+        .select(
+            "doc_id",
+            "n",
+            F.explode(
+                F.transform(
+                    F.slice(F.col("rk"), 1, prefix_len), lambda s: s["h"]
+                )
+            ).alias("h"),
+        )
+    )
+    t = float(threshold)
     cand = (
         prefixes.alias("a")
         .join(prefixes.alias("b"),
               (F.col("a.h") == F.col("b.h"))
-              & (F.col("a.doc_id") < F.col("b.doc_id")))
+              & (F.col("a.doc_id") < F.col("b.doc_id"))
+              # length filter: J ≥ t bounds the size ratio by t
+              & (F.col("b.n") >= F.col("a.n") * t)
+              & (F.col("a.n") >= F.col("b.n") * t))
         .select(
             F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2")
         )
@@ -422,30 +468,20 @@ def dedup_embedding(
     )
 
 
-def dedup_clusters(
-    spark: SparkSession, sf_dir: str, max_iter: int = 20
+def min_label_components(
+    nodes: DataFrame, pairs: DataFrame, max_iter: int = 20
 ) -> DataFrame:
-    """Connected components over the near-dup pair graph → canonical
-    cluster id (min doc_id reachable) per document.
-
-    This is the group-resolution step every dedup pipeline needs after
-    pairwise detection: keep one representative per component. Iterative
-    hash-to-min label propagation — each round is one distributed
-    join+min-aggregate, labels converge in O(log n) rounds (components
-    here are tiny; the cap is a safety net, convergence is checked).
-    ``localCheckpoint`` truncates lineage so plans stay bounded across
-    iterations. Labels only ever decrease, so a round with zero changes
-    is a fixed point — the convergence count (an extra join+job) runs
-    every second round rather than every round: a diameter-1 graph
-    (the common near-dup case) finishes in 2 rounds + 1 check instead
-    of 2 rounds + 2 checks, and high-diameter graphs halve their count
-    jobs. Columns: doc_id, cluster_id, cluster_size.
-    """
+    """Connected components by iterative hash-to-min label propagation
+    over an (id1, id2) pair frame — the reusable group-resolution core
+    of :func:`dedup_clusters`, parameterized so pipeline stages can
+    cluster pairs from ANY detector (exact-Jaccard or pure-LSH) over
+    any node set. Each round is one distributed join + min-aggregate;
+    labels converge in O(log diameter) rounds; ``localCheckpoint``
+    truncates lineage so plans stay bounded. Labels only decrease, so
+    a round with zero changes is a fixed point — checked every second
+    round to halve count jobs. ``nodes``: single-column frame of ids.
+    Returns (node, lbl) with lbl = min reachable id."""
     check_every = 2
-    sh = _doc_shingle_hashes(spark, sf_dir).cache()
-    pairs = dedup_jaccard(spark, sf_dir, hashed_shingles=sh).select(
-        "id1", "id2"
-    )
     edges = (
         pairs.union(
             pairs.select(
@@ -456,9 +492,9 @@ def dedup_clusters(
         .withColumnRenamed("id2", "dst")
         .cache()
     )
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    labels = docs.select(
-        F.col("doc_id").alias("node"), F.col("doc_id").alias("lbl")
+    id_col = nodes.columns[0]
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("lbl")
     ).localCheckpoint()
     for it in range(max_iter):
         msgs = (
@@ -487,10 +523,37 @@ def dedup_clusters(
         labels = new_labels
         if converged:
             break
-    # the result depends only on the checkpointed labels — release both
-    # caches this function owns (edges, and the shingle table it passed
-    # into dedup_jaccard)
     edges.unpersist(blocking=False)
+    return labels
+
+
+def dedup_clusters(
+    spark: SparkSession, sf_dir: str, max_iter: int = 20
+) -> DataFrame:
+    """Connected components over the near-dup pair graph → canonical
+    cluster id (min doc_id reachable) per document.
+
+    This is the group-resolution step every dedup pipeline needs after
+    pairwise detection: keep one representative per component. Iterative
+    hash-to-min label propagation — each round is one distributed
+    join+min-aggregate, labels converge in O(log n) rounds (components
+    here are tiny; the cap is a safety net, convergence is checked).
+    ``localCheckpoint`` truncates lineage so plans stay bounded across
+    iterations. Labels only ever decrease, so a round with zero changes
+    is a fixed point — the convergence count (an extra join+job) runs
+    every second round rather than every round: a diameter-1 graph
+    (the common near-dup case) finishes in 2 rounds + 1 check instead
+    of 2 rounds + 2 checks, and high-diameter graphs halve their count
+    jobs. Columns: doc_id, cluster_id, cluster_size.
+    """
+    sh = _doc_shingle_hashes(spark, sf_dir).cache()
+    pairs = dedup_jaccard(spark, sf_dir, hashed_shingles=sh).select(
+        "id1", "id2"
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    labels = min_label_components(docs, pairs, max_iter=max_iter)
+    # the result depends only on the checkpointed labels — release the
+    # cache this function owns (the shingle table passed to dedup_jaccard)
     sh.unpersist(blocking=False)
     sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (

@@ -368,6 +368,71 @@ def pipeline_pretraining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+def pipeline_pretraining_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``pipeline_pretraining`` with the NEAR-dedup stage a production
+    ingest actually runs spliced in (VERDICT r08 item 7): quality gate
+    → exact dedup → MinHash-LSH near-dedup (the pure-LSH scale path —
+    ``dedup_near``'s banded candidates + Jaccard ≥ 0.5 verify, NOT the
+    oracle-checkable exact composite) → connected-component
+    representative selection → content-hash split → per-split stats.
+
+    This key exists to MEASURE the production dedup cost inside the
+    full curation plan (bench-only, `bench.py` EXTRA_BENCH): the
+    LSH leg's xxhash64-derived signatures are not SQL-reproducible, so
+    a DuckDB value-hash oracle is impossible by construction — the
+    checked contract lives in ``dedup_near``'s registry key; THIS
+    composition's invariants (survivor set ⊇ the exact-pair pipeline's,
+    determinism, stage monotonicity) are pinned in
+    `tests/test_extensions.py`. Shingle hashes are computed over the
+    GATED+DEDUPED corpus only (the pipeline ordering that matters at
+    100 TB: the quality gate shrinks the LSH input before the one
+    shuffle-heavy stage), shared by candidates and verify via one
+    cache. Columns: split, n_docs, total_tokens.
+    """
+    from bigdata1_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = quality_filters(spark, sf_dir).filter(
+        F.col("keep") == 1
+    ).select("doc_id")
+    gated = (
+        docs.select("doc_id", "text")
+        .join(kept, "doc_id", "left_semi")
+        .cache()
+    )
+    reps = gated.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    deduped = gated.join(reps.select("doc_id"), "doc_id", "left_semi")
+    sh = dedup.shingle_hashes_of(deduped).cache()
+    near = dedup.dedup_near(spark, sf_dir, hashed_shingles=sh).select(
+        "id1", "id2"
+    )
+    labels = dedup.min_label_components(deduped.select("doc_id"), near)
+    survivors = deduped.join(
+        labels.filter(F.col("node") == F.col("lbl")).select(
+            F.col("node").alias("doc_id")
+        ),
+        "doc_id",
+        "left_semi",
+    )
+    result = (
+        survivors.select(
+            split_of(split_bucket(F.col("text"))).alias("split"),
+            F.size(_toks()).cast("long").alias("nt"),
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").cast("long").alias("total_tokens"),
+        )
+    )
+    # eager ≤3-row materialization lets both corpus-sized caches release
+    # before returning (same lifecycle rule as pipeline_pretraining)
+    result = result.localCheckpoint(eager=True)
+    sh.unpersist(blocking=False)
+    gated.unpersist(blocking=False)
+    return result
+
+
 def ngram_freq(spark: SparkSession, sf_dir: str, top_n: int = 50) -> DataFrame:
     """Corpus-level bigram frequencies, top-N with deterministic
     tie-break — vocabulary/phrase statistics over the documents table

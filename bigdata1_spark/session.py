@@ -85,6 +85,18 @@ def get_spark(
     conf["spark.sql.shuffle.partitions"] = str(
         shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
     )
+    if master.startswith("local"):
+        # Local mode packs driver + all executor threads into ONE JVM,
+        # and Spark's 1g default Xmx starves 32 threads (~31 MB each):
+        # measured at sf1, assoc_rules' hash aggregation OOMed the
+        # whole context. Size the heap for the harness box instead —
+        # env-overridable, and only for local masters (under
+        # spark-submit the driver JVM is already running and this conf
+        # would be silently ignored).
+        conf.setdefault(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

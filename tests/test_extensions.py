@@ -433,3 +433,63 @@ def test_twa_within_value_range(spark, sf_dir):
         .count()
     )
     assert bad == 0
+
+
+def test_pipeline_pretraining_lsh_invariants(spark, sf_dir):
+    """The bench-only LSH-chained curation pipeline (VERDICT r08 item
+    7) has no SQL oracle by construction (xxhash64-derived signatures),
+    so its contract is pinned here instead:
+
+    1. schema + split domain match `pipeline_pretraining`;
+    2. per-split counts/tokens are ≤ the exact-dedup-only pipeline's
+       (the spliced-in near-dedup stage can only REMOVE docs);
+    3. the LSH survivor stats sit between the exact-near-pipeline's
+       and the exact-only pipeline's (LSH pairs ⊆ exact pairs on the
+       same shingle table -> finer components -> ≥ representatives);
+    4. deterministic across runs.
+    """
+    from pyspark.sql import functions as F
+
+    from bigdata1_spark.operators import dedup
+    from bigdata1_spark.operators.text_analysis import (
+        pipeline_pretraining,
+        pipeline_pretraining_lsh,
+        quality_filters,
+    )
+    from bigdata1_spark.sources.tables import load_table
+
+    lsh = {r["split"]: r for r in pipeline_pretraining_lsh(spark, sf_dir).collect()}
+    exact_only = {
+        r["split"]: r for r in pipeline_pretraining(spark, sf_dir).collect()
+    }
+    assert set(lsh) <= {"train", "val", "test"}
+    for s, row in lsh.items():
+        assert row["n_docs"] <= exact_only[s]["n_docs"]
+        assert row["total_tokens"] <= exact_only[s]["total_tokens"]
+
+    # exact-near reference pipeline built from the same stages, with
+    # the detector swapped to the exact prefix-filtered pair set
+    docs = load_table(spark, sf_dir, "documents")
+    kept = quality_filters(spark, sf_dir).filter(F.col("keep") == 1).select(
+        "doc_id"
+    )
+    gated = docs.select("doc_id", "text").join(kept, "doc_id", "left_semi")
+    reps = gated.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    deduped = gated.join(reps.select("doc_id"), "doc_id", "left_semi")
+    sh = dedup.shingle_hashes_of(deduped).cache()
+    exact_pairs = dedup.dedup_jaccard(
+        spark, sf_dir, hashed_shingles=sh
+    ).select("id1", "id2")
+    labels = dedup.min_label_components(deduped.select("doc_id"), exact_pairs)
+    n_exact_near = labels.filter(F.col("node") == F.col("lbl")).count()
+    sh.unpersist(blocking=False)
+
+    n_lsh = sum(r["n_docs"] for r in lsh.values())
+    n_exact_only = sum(r["n_docs"] for r in exact_only.values())
+    assert n_exact_near <= n_lsh <= n_exact_only
+
+    again = {
+        r["split"]: tuple(r)
+        for r in pipeline_pretraining_lsh(spark, sf_dir).collect()
+    }
+    assert again == {s: tuple(r) for s, r in lsh.items()}
