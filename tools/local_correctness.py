@@ -70,9 +70,20 @@ def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import __spark_entry__ as entry
 
+    # driver-gate defaults (local[8]/16) mirror the driver harness at
+    # sf0.01; a big-sf sweep overrides via env for throughput
     spark = (
-        SparkSession.builder.master("local[8]")
-        .config("spark.sql.shuffle.partitions", "16")
+        SparkSession.builder.master(
+            os.environ.get("CORR_MASTER", "local[8]")
+        )
+        .config(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("CORR_SHUFFLE_PARTITIONS", "16"),
+        )
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
@@ -115,6 +126,10 @@ def main() -> None:
         status = (row["err"] or
                   ("PASS" if row["hash_match"] else "FAIL"))
         print(f"{key}: {status}", flush=True)
+        # incremental flush: a big-sf sweep killed mid-run (round clock,
+        # OOM) still banks every completed row
+        with open(out_path, "w") as f:
+            json.dump(report, f, indent=2)
 
     with open(out_path, "w") as f:
         json.dump(report, f, indent=2)
