@@ -475,8 +475,9 @@ def min_label_components(
     over an (id1, id2) pair frame — the reusable group-resolution core
     of :func:`dedup_clusters`, parameterized so pipeline stages can
     cluster pairs from ANY detector (exact-Jaccard or pure-LSH) over
-    any node set. Each round is one distributed join + min-aggregate;
-    labels converge in O(log diameter) rounds; ``localCheckpoint``
+    any node set. Each round is one neighbor-min step (join + min-agg)
+    plus one pointer-doubling self-join, so labels converge in
+    O(log diameter) rounds — not O(diameter); ``localCheckpoint``
     truncates lineage so plans stay bounded. Labels only decrease, so
     a round with zero changes is a fixed point — checked every second
     round to halve count jobs. ``nodes``: single-column frame of ids.
@@ -502,12 +503,29 @@ def min_label_components(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
+        stepped = labels.join(msgs, "node", "left").select(
+            "node",
+            F.least(
+                F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
+            ).alias("lbl"),
+        )
+        # Pointer doubling: lbl(v) <- min(lbl(v), lbl(lbl(v))). Every
+        # label IS a node id (labels start as own ids and only adopt
+        # other node ids), so the self-lookup is total; combined with
+        # the one-hop neighbor step above, the reach distance doubles
+        # per round and a diameter-d chain resolves in O(log d) rounds
+        # instead of O(d) — measured at sf1, where regenerated near-dup
+        # chains are long enough for the difference to dominate the
+        # dedup_clusters runtime.
+        jump = stepped.select(
+            F.col("node").alias("jnode"), F.col("lbl").alias("jlbl")
+        )
         new_labels = (
-            labels.join(msgs, "node", "left")
+            stepped.join(jump, stepped["lbl"] == jump["jnode"], "left")
             .select(
                 "node",
                 F.least(
-                    F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
+                    F.col("lbl"), F.coalesce(F.col("jlbl"), F.col("lbl"))
                 ).alias("lbl"),
             )
             .localCheckpoint()
@@ -535,9 +553,10 @@ def dedup_clusters(
 
     This is the group-resolution step every dedup pipeline needs after
     pairwise detection: keep one representative per component. Iterative
-    hash-to-min label propagation — each round is one distributed
-    join+min-aggregate, labels converge in O(log n) rounds (components
-    here are tiny; the cap is a safety net, convergence is checked).
+    hash-to-min label propagation with pointer doubling — each round is
+    one distributed join+min-aggregate plus a label self-join that jumps
+    lbl(lbl(v)), so even long near-dup chains converge in O(log diameter)
+    rounds (the cap is a safety net, convergence is checked).
     ``localCheckpoint`` truncates lineage so plans stay bounded across
     iterations. Labels only ever decrease, so a round with zero changes
     is a fixed point — the convergence count (an extra join+job) runs

@@ -462,6 +462,136 @@ def sessionize_stream(
     )
 
 
+def sessionize_stream_tws(
+    spark: SparkSession,
+    source_dir: str,
+    gap_min: int = 30,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Per-user sessionization on the Spark-4 ``transformWithState``
+    arbitrary-stateful API — the modern twin of
+    :func:`sessionize_stream` (``applyInPandasWithState``), kept
+    semantically bit-identical so both drain against the SAME
+    gaps-and-islands oracle.
+
+    The StatefulProcessor surface replaces the single opaque state
+    tuple + GroupStateTimeout with named state variables
+    (``getValueState``) and explicit event-time timers
+    (``registerTimer`` / ``handleExpiredTimer``), which is what a
+    production pipeline migrates to on Spark 4: typed state that can
+    evolve schema, multiple variables per key, and timers decoupled
+    from state updates. Session gap uses ``>`` (an event at exactly
+    last_ts + gap stays in-session) and state holds microsecond
+    BIGINTs, matching the batch ``sessionize`` key exactly.
+    Columns: user_id, session_start, session_end, n_events.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap_us = gap_min * 60 * 1_000_000
+    out_schema = (
+        "user_id BIGINT, session_start TIMESTAMP, "
+        "session_end TIMESTAMP, n_events BIGINT"
+    )
+
+    def _emit(key, sessions):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(sessions),
+                "session_start": [
+                    pd.Timestamp(s[0], unit="us") for s in sessions
+                ],
+                "session_end": [
+                    pd.Timestamp(s[1], unit="us") for s in sessions
+                ],
+                "n_events": [s[2] for s in sessions],
+            }
+        )
+
+    class SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._open = handle.getValueState(
+                "open", "start BIGINT, end BIGINT, n BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            ts_all = []
+            for pdf in rows:
+                ts_all.extend(int(t.value // 1_000) for t in pdf["ts"])
+            cur = self._open.get() if self._open.exists() else None
+            closed = []
+            for t in sorted(ts_all):
+                if cur is None:
+                    cur = (t, t, 1)
+                elif t - cur[1] > gap_us:
+                    closed.append(cur)
+                    cur = (t, t, 1)
+                else:
+                    cur = (cur[0], t, cur[2] + 1)
+            if cur is not None:
+                self._open.update(cur)
+                # one live timer per key: drop the stale gap deadline
+                # before arming the new one (timers are not replaced
+                # implicitly, unlike GroupState's single timeout)
+                for expiry in list(self._handle.listTimers()):
+                    self._handle.deleteTimer(expiry)
+                # ceil to ms for the same reason as the GroupState
+                # twin: flooring could fire 1 ms before the boundary
+                self._handle.registerTimer(-(-(cur[1] + gap_us) // 1000))
+            if closed:
+                yield _emit(key, closed)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if self._open.exists():
+                cur = self._open.get()
+                self._open.clear()
+                yield _emit(key, [cur])
+
+        def close(self) -> None:
+            pass
+
+    stream = (
+        _read_events_stream(
+            spark, source_dir, max_files_per_trigger=max_files_per_trigger
+        )
+        .withWatermark("ts", "1 hour")
+        .select("user_id", "ts")
+    )
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=SessionProcessor(),
+        outputStructType=out_schema,
+        outputMode="append",
+        timeMode="eventTime",
+    )
+
+
+@contextlib.contextmanager
+def _rocksdb_state_store(spark: SparkSession):
+    """``transformWithState`` requires the RocksDB state-store provider
+    (its column-family layout backs named state variables + timers).
+    Scope the provider switch to the drain and restore the session
+    default so the HDFS-backed keys keep their checkpoint contracts."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
 def _run_bounded_append(
     spark: SparkSession, stream_df: DataFrame, work: str
 ) -> DataFrame:

@@ -248,6 +248,28 @@ def test_dedup_clusters_consistent_with_pairs(spark, sf_dir):
     assert sum(sizes.values()) == docs_n
 
 
+def test_min_label_components_chain_converges_logarithmically(spark):
+    """Pointer doubling must resolve a 64-node path graph within 8
+    rounds (one-hop propagation alone would need 63): run with
+    max_iter=8 and require FULL convergence to the chain minimum.
+    This is the O(log diameter) guarantee the 100 TB story relies on —
+    long near-dup chains (boilerplate drift) must not cost one Spark
+    job per hop."""
+    from bigdata1_spark.operators.dedup import min_label_components
+
+    n = 64
+    nodes = spark.range(n).withColumnRenamed("id", "doc_id")
+    pairs = (
+        spark.range(n - 1)
+        .select(
+            F.col("id").alias("id1"), (F.col("id") + 1).alias("id2")
+        )
+    )
+    labels = min_label_components(nodes, pairs, max_iter=8)
+    got = {r["node"]: r["lbl"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
 def test_ivf_multiprobe_recall_dominates_single(spark, sf_dir):
     """Multi-probe IVF must recover at least as much of the exact top-k
     as single-probe (it searches a superset of cells including the
