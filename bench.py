@@ -46,9 +46,12 @@ EXTRA_BENCH = {
 # A registry key that collides with an EXTRA_BENCH name would be timed
 # twice with the second run silently dropped from the headline total —
 # fail loudly instead (ADVICE r8).
-assert not set(EXTRA_BENCH) & set(registry.QUERIES), (
-    "EXTRA_BENCH keys must be disjoint from registry.QUERIES"
-)
+_overlap = set(EXTRA_BENCH) & set(registry.QUERIES)
+if _overlap:  # explicit raise: asserts vanish under `python -O`
+    raise RuntimeError(
+        "EXTRA_BENCH keys must be disjoint from registry.QUERIES: "
+        f"{sorted(_overlap)}"
+    )
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 RUNS = int(os.environ.get("BENCH_RUNS", "3"))
@@ -79,6 +82,15 @@ def main() -> None:
     errors: dict[str, str] = {}
     bench_items = [(k, registry.QUERIES[k]) for k in sorted(registry.QUERIES)]
     bench_items += sorted(EXTRA_BENCH.items())
+    # BENCH_ONLY=a,b,c — time just those keys (iteration loop while
+    # tuning one operator; the headline artifact is always a full run)
+    only = os.environ.get("BENCH_ONLY")
+    if only:
+        wanted = {k.strip() for k in only.split(",") if k.strip()}
+        unknown = wanted - {k for k, _ in bench_items}
+        if unknown:
+            raise RuntimeError(f"BENCH_ONLY names unknown keys: {sorted(unknown)}")
+        bench_items = [(k, f) for k, f in bench_items if k in wanted]
     for key, fn in bench_items:
         # operators that cache intermediates (dedup_*, assoc_rules) leave
         # entries behind; clear BEFORE each key (not after a successful

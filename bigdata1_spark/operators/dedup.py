@@ -138,6 +138,15 @@ def dedup_jaccard(
                 )
             ).alias("h"),
         )
+        # the self-join below aliases this subtree twice with distinct
+        # expr-ids, so neither static nor AQE exchange reuse dedupes it
+        # (verified: no ReusedExchange in the executed plan) — without
+        # the cache the whole explode→df-join→collect_list pipeline,
+        # df aggregation included, runs TWICE per call. Prefix rows are
+        # ⌊(1-t)n⌋+1 per doc (a fraction of the corpus), so the cache is
+        # strictly smaller than the recompute; same session-cache
+        # lifecycle as the shingle table above.
+        .cache()
     )
     t = float(threshold)
     cand = (

@@ -225,12 +225,19 @@ def sort_asc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- O4: ordered limit (SURVEY.md §2.4 O4 — absent in reference) ---------
 
 def limit_n(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Total order before limit so the row set is deterministic
-    (TakeOrderedAndProject physical op)."""
+    """Ordered limit (TakeOrderedAndProject physical op).
+
+    ORDER BY covers ALL THREE projected columns: (l_orderkey,
+    l_linenumber) alone is not a total order on this data (11,785
+    duplicate pairs at sf0.01, 1.18M at sf1 — verified), so a LIMIT
+    boundary inside a tie group could cut differently between engines.
+    With the full projection in the sort key, any rows still tied are
+    projection-identical, so every boundary choice yields the same
+    result multiset and the value hash is engine-independent."""
     return (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_partkey")
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey")
         .limit(100)
     )
 

@@ -307,7 +307,7 @@ register(
     micro.limit_n,
     """
     SELECT l_orderkey, l_linenumber, l_partkey
-    FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 100
+    FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey LIMIT 100
     """,
 )
 
@@ -3986,6 +3986,15 @@ register(
     streaming_events.events_stateful_sessions_streamed,
     ORACLES["sessionize"],
 )
+
+# NOT registered: events_tws_sessions_streamed (the Spark-4
+# transformWithState twin of the key above). Its Python runner needs
+# google.protobuf, absent in this container — verified by attempting
+# the drain (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE:
+# "cannot import name 'descriptor' from 'google.protobuf'"). The
+# implementation + RocksDB-scoped drain live in streaming/events.py
+# and a parity test (tests/test_streaming.py) runs it wherever the
+# runtime supports it, skipping with the documented reason here.
 
 # Stream-STATIC enrichment join: no watermark, no join state, no
 # sentinel flush — the static dim re-resolves per micro-batch.

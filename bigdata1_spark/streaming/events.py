@@ -547,10 +547,19 @@ def sessionize_stream_tws(
                 yield _emit(key, closed)
 
         def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
-            if self._open.exists():
-                cur = self._open.get()
-                self._open.clear()
-                yield _emit(key, [cur])
+            if not self._open.exists():
+                return
+            cur = self._open.get()
+            # Guard against a stale timer racing a state update: only
+            # finalize if the expired deadline is the one the CURRENT
+            # open session armed (same ceil-to-ms arithmetic as
+            # handleInputRows). A stale expiry would otherwise close a
+            # session that new events have since extended.
+            deadline_ms = -(-(cur[1] + gap_us) // 1000)
+            if expiredTimerInfo.getExpiryTimeInMs() < deadline_ms:
+                return
+            self._open.clear()
+            yield _emit(key, [cur])
 
         def close(self) -> None:
             pass
@@ -993,6 +1002,52 @@ def events_stateful_sessions_streamed(
             "n_events",
         )
         drained = _run_bounded_append(spark, sessions, work)
+        return drained.filter(F.col("user_id") >= 0)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def events_tws_sessions_streamed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Drain of the Spark-4 ``transformWithState`` sessionizer
+    (:func:`sessionize_stream_tws`) — the modern arbitrary-stateful API
+    (named state variables + explicit event-time timers), drained
+    against the SAME gaps-and-islands oracle as the batch ``sessionize``
+    key and its ``applyInPandasWithState`` twin, so the two stateful
+    surfaces are proven bit-identical on the same data.
+
+    NOT a registry key in this container: the TWS Python runner
+    requires ``google.protobuf`` (state-server protocol), which is
+    absent here — the drain fails with
+    STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE. The parity test in
+    tests/test_streaming.py runs it wherever the runtime supports it
+    and skips with that reason otherwise.
+
+    ``transformWithState`` requires the RocksDB state-store provider
+    (column families back the named state + timer registers), so the
+    drain runs inside :func:`_rocksdb_state_store`, which scopes the
+    provider switch and restores the session default afterward.
+    Columns: user_id, session_start, session_end, n_events.
+    """
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="bigdata1_tws_sess_")
+    try:
+        src = _flush_source(spark, sf_dir, work)
+        sessions = sessionize_stream_tws(
+            spark, src, max_files_per_trigger=1
+        ).select(
+            "user_id",
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .alias("session_start"),
+            F.date_format("session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .alias("session_end"),
+            "n_events",
+        )
+        with _rocksdb_state_store(spark):
+            drained = _run_bounded_append(spark, sessions, work)
         return drained.filter(F.col("user_id") >= 0)
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -543,3 +543,37 @@ def test_session_streamed_killed_mid_drain_resumes_to_parity(
     assert got == want, (
         f"resumed drain diverged: {len(got)} vs {len(want)} sessions"
     )
+
+
+def _tws_runtime_supported() -> bool:
+    """transformWithState's Python state-server protocol is
+    protobuf-encoded; without google.protobuf the streaming runner
+    dies at init (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE:
+    "cannot import name 'descriptor' from 'google.protobuf'" —
+    verified in this container)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        return False
+    return True
+
+
+@pytest.mark.skipif(
+    not _tws_runtime_supported(),
+    reason="transformWithState needs google.protobuf in the Python env; "
+    "absent in this container (runner init failure verified)",
+)
+def test_tws_sessionizer_full_parity_with_batch(spark, sf_dir):
+    """The Spark-4 transformWithState sessionizer (named state +
+    explicit event-time timers, RocksDB provider) must be bit-identical
+    to the batch gaps-and-islands `sessionize` — the same oracle its
+    applyInPandasWithState twin (`events_stateful_sessions_streamed`)
+    is held to, proving the two arbitrary-stateful surfaces agree."""
+    from bigdata1_spark.operators.relational import sessionize
+
+    got = {
+        tuple(r)
+        for r in se.events_tws_sessions_streamed(spark, sf_dir).collect()
+    }
+    batch = {tuple(r) for r in sessionize(spark, sf_dir).collect()}
+    assert got == batch

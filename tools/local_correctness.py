@@ -72,23 +72,27 @@ def main() -> None:
 
     # driver-gate defaults (local[8]/16) mirror the driver harness at
     # sf0.01; a big-sf sweep overrides via env for throughput
-    spark = (
-        SparkSession.builder.master(
-            os.environ.get("CORR_MASTER", "local[8]")
+    def _new_spark():
+        s = (
+            SparkSession.builder.master(
+                os.environ.get("CORR_MASTER", "local[8]")
+            )
+            .config(
+                "spark.sql.shuffle.partitions",
+                os.environ.get("CORR_SHUFFLE_PARTITIONS", "16"),
+            )
+            .config(
+                "spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+            )
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.ui.showConsoleProgress", "false")
+            .getOrCreate()
         )
-        .config(
-            "spark.sql.shuffle.partitions",
-            os.environ.get("CORR_SHUFFLE_PARTITIONS", "16"),
-        )
-        .config(
-            "spark.driver.memory",
-            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
-        )
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.ui.showConsoleProgress", "false")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
+        s.sparkContext.setLogLevel("ERROR")
+        return s
+
+    spark = _new_spark()
 
     con = duckdb.connect()
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
@@ -103,25 +107,69 @@ def main() -> None:
     if only:
         wanted = {k.strip() for k in only.split(",") if k.strip()}
         qs = {k: v for k, v in qs.items() if k in wanted}
+
+    # RESUME=1: reload an existing artifact and only re-run keys that are
+    # not conclusively adjudicated (big-sf sweeps take hours; the r9 run
+    # died mid-way with a dead JVM and 97 keys never got a verdict).
     report: dict[str, dict] = {}
-    for key in sorted(qs):
+    if os.environ.get("RESUME") and os.path.exists(out_path):
+        with open(out_path) as f:
+            report = json.load(f)
+
+    def _done(row: dict) -> bool:
+        if row.get("hash_match") is not None:
+            return True  # adjudicated pass OR fail — both are verdicts
+        return row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+
+    # A dead JVM (OOM-killed executor thread taking the gateway down)
+    # must not void the rest of the sweep: on gateway-level errors,
+    # rebuild the session and retry the key once.
+    _GATEWAY_ERRS = ("Connection refused", "Java gateway",
+                     "Py4JNetworkError", "Answer from Java side is empty")
+
+    def _run_key(key):
         row = {"rows_match": None, "schema_match": None, "hash_match": None,
                "spark_rows": None, "oracle_rows": None, "err": None}
+        got = qs[key](spark, sf_dir).toPandas()
+        got = got[sorted(got.columns)]
+        row["spark_rows"] = len(got)
+        if key not in osql:
+            row["err"] = "no_oracle"
+        else:
+            want = con.execute(osql[key]).df()
+            want = want[sorted(want.columns)]
+            row["oracle_rows"] = len(want)
+            row["rows_match"] = len(got) == len(want)
+            row["schema_match"] = list(got.columns) == list(want.columns)
+            row["hash_match"] = _value_hash(got) == _value_hash(want)
+        return row
+
+    for key in sorted(qs):
+        if _done(report.get(key, {})):
+            continue
         try:
-            got = qs[key](spark, sf_dir).toPandas()
-            got = got[sorted(got.columns)]
-            row["spark_rows"] = len(got)
-            if key not in osql:
-                row["err"] = "no_oracle"
-            else:
-                want = con.execute(osql[key]).df()
-                want = want[sorted(want.columns)]
-                row["oracle_rows"] = len(want)
-                row["rows_match"] = len(got) == len(want)
-                row["schema_match"] = list(got.columns) == list(want.columns)
-                row["hash_match"] = _value_hash(got) == _value_hash(want)
+            row = _run_key(key)
         except Exception as ex:  # noqa: BLE001 - report, don't crash the sweep
-            row["err"] = f"{type(ex).__name__}: {ex}"[:300]
+            msg = f"{type(ex).__name__}: {ex}"
+            if any(s in msg for s in _GATEWAY_ERRS):
+                print(f"{key}: gateway died — restarting Spark and "
+                      "retrying once", flush=True)
+                try:
+                    spark.stop()
+                except Exception:  # noqa: BLE001 - JVM already gone
+                    pass
+                spark = _new_spark()
+                try:
+                    row = _run_key(key)
+                except Exception as ex2:  # noqa: BLE001
+                    row = {"rows_match": None, "schema_match": None,
+                           "hash_match": None, "spark_rows": None,
+                           "oracle_rows": None,
+                           "err": f"{type(ex2).__name__}: {ex2}"[:300]}
+            else:
+                row = {"rows_match": None, "schema_match": None,
+                       "hash_match": None, "spark_rows": None,
+                       "oracle_rows": None, "err": msg[:300]}
         report[key] = row
         status = (row["err"] or
                   ("PASS" if row["hash_match"] else "FAIL"))

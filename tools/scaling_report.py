@@ -62,6 +62,7 @@ def main() -> None:
         "ratio_flag_threshold": RATIO_FLAG,
         "flagged": flagged,
         "missing_in_big": sorted(set(qs) - set(qb)),
+        "missing_in_small": sorted(set(qb) - set(qs)),
         "errors_big": big.get("errors", {}),
         "loadavg_small": small.get("loadavg_start"),
         "loadavg_big": big.get("loadavg_start"),
