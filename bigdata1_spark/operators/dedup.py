@@ -492,14 +492,24 @@ def min_label_components(
     round to halve count jobs. ``nodes``: single-column frame of ids.
     Returns (node, lbl) with lbl = min reachable id."""
     check_every = 2
+    # Symmetrize in ONE scan of the pair plan: union(pairs, swapped)
+    # reads the (lazy, possibly expensive — dedup_jaccard) pair lineage
+    # twice before the cache is populated; exploding a 2-element struct
+    # array emits both directions from a single pass.
     edges = (
-        pairs.union(
-            pairs.select(
-                F.col("id2").alias("id1"), F.col("id1").alias("id2")
-            )
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("id1").alias("src"), F.col("id2").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("id2").alias("src"), F.col("id1").alias("dst")
+                    ),
+                )
+            ).alias("e")
         )
-        .withColumnRenamed("id1", "src")
-        .withColumnRenamed("id2", "dst")
+        .select("e.src", "e.dst")
         .cache()
     )
     id_col = nodes.columns[0]

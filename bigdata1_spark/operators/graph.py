@@ -78,9 +78,10 @@ def graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     Columns: node, degree.
     """
     e = _co_supplier_edges(spark, sf_dir)
+    # explode both endpoints in ONE scan — union(e.a, e.b) would run
+    # the (lazy) edge generation, distinct shuffle included, twice
     return (
-        e.select(F.col("a").alias("node"))
-        .union(e.select(F.col("b").alias("node")))
+        e.select(F.explode(F.array("a", "b")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
@@ -309,9 +310,18 @@ def pagerank(
         )
         .distinct()
     )
+    # symmetrize in one scan (union's two legs would each run the
+    # join+distinct lineage before the cache is populated)
     edges = (
-        cs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
-        .union(cs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+        cs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("c").alias("src"), F.col("s").alias("dst")),
+                    F.struct(F.col("s").alias("src"), F.col("c").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .cache()
     )
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
