@@ -115,6 +115,39 @@ def salted_count(df: DataFrame, keys: Sequence[str], n_salts: int = 16) -> DataF
     )
 
 
+def skew_salted_join(spark, sf_dir: str) -> DataFrame:
+    """Registry-facing replication-salted join: lineitem⋈supplier on
+    l_suppkey through :func:`salted_join`, then revenue per nation.
+
+    l_suppkey is the canonical hot join key under a power-law workload
+    (in the Zipf-skewed bench twin one supplier owns ~18% of all
+    lineitem rows — a plain shuffle join funnels those onto one task).
+    The salted plan joins on (key, salt) so the hot key's rows spread
+    across n_salts tasks; the small side is replicated once per salt.
+    Join semantics equal the unsalted inner join, which is exactly what
+    the plain-SQL oracle pins; revenue goes through decimal at the
+    aggregate so re-association cannot drift the double. In production
+    a broadcastable dim would sidestep this entirely — the salted path
+    is for small sides past the broadcast threshold (and for the
+    stateful/stream joins AQE cannot replan).
+    Columns: nationkey, revenue, n_items.
+    """
+    from bigdata1_spark.operators.basket import exact_sum
+    from bigdata1_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    joined = salted_join(li, supp, "l_suppkey")
+    return joined.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        exact_sum(F.col("l_extendedprice"), "revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
 def skew_salted_agg(spark, sf_dir: str) -> DataFrame:
     """Registry-facing skew-safe aggregation over the hottest real key
     in the testdata: event_type has single-digit cardinality over

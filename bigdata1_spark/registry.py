@@ -4225,6 +4225,23 @@ register(
     """,
 )
 
+# Replication-salted join on the canonical hot FK (l_suppkey) — equals
+# the unsalted inner join by construction, which the oracle pins; the
+# Zipf-skewed bench twin (tools/gen_skew.py) gives the hot key ~18% of
+# all rows so the salting is exercised by data that needs it.
+register(
+    "skew_salted_join",
+    plans_skew.skew_salted_join,
+    """
+    SELECT s.s_nationkey AS nationkey,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+             AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY 1
+    """,
+)
+
 register(
     "fuzzy_join",
     matching.fuzzy_join,
