@@ -15,6 +15,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from bigdata1_spark.functions import hashing, textfns, vectors
 from bigdata1_spark.sources.tables import load_table
@@ -670,3 +671,140 @@ def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(keep, "doc_id", "left_semi").select(
         "doc_id", "lang", "source"
     )
+
+
+# --------------------------------------------------------------------------
+# SemDeDup: clustering-based semantic dedup (Abbas et al. 2023, public).
+# Distinct from the LSH family above: candidate blocking comes from a
+# k-means partition of embedding space, not from hash buckets.
+# --------------------------------------------------------------------------
+
+SEMDEDUP_K = 8
+SEMDEDUP_ITERS = 2
+SEMDEDUP_GRID = 1e5  # integer quantization grid (see semdedup docstring)
+
+
+def _semdedup_quantize(col):
+    """floor(x * GRID + 0.5) as double — the integer grid both engines
+    agree on bit-for-bit (|x| <= ~6 -> |xq| <= 6e5; squared-diff sums
+    over 64 dims stay < 2^53, so every distance and mean below is EXACT
+    double arithmetic in any summation order)."""
+    return F.floor(col * F.lit(SEMDEDUP_GRID) + F.lit(0.5)).cast("double")
+
+
+def _semdedup_assign(q: DataFrame, cent: DataFrame) -> DataFrame:
+    """Assign each vector to its nearest centroid (squared L2 on the
+    integer grid, ties broken by lowest cid). ``cent`` is k rows —
+    broadcast, so the 'cross join' is a bounded map-side compare with
+    zero shuffle; the argmin is a map-side-combinable min(struct)."""
+    d2 = F.aggregate(
+        F.zip_with("vq", "c", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        q.crossJoin(F.broadcast(cent))
+        .select("vec_id", "vq", d2.alias("d2"), "cid")
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.struct("d2", "cid")).alias("m"),
+            F.first("vq").alias("vq"),  # identical across the k copies
+        )
+        .select("vec_id", "vq", F.col("m.cid").alias("cluster"))
+    )
+
+
+def _semdedup_update(assigned: DataFrame) -> DataFrame:
+    """Lloyd update: per-(cluster, dim) mean, re-quantized onto the
+    integer grid. Sums of grid integers are exact doubles, so avg =
+    sum/count is the identical double in Spark and DuckDB; floor(.+0.5)
+    returns the next round's centroids to the grid. Shuffles only
+    k x dim tiny rows after map-side partial aggregation."""
+    ex = assigned.select(
+        "cluster", F.posexplode("vq").alias("pos", "x")
+    )
+    means = ex.groupBy("cluster", "pos").agg(
+        F.floor(F.avg("x") + F.lit(0.5)).cast("double").alias("cx")
+    )
+    return (
+        means.groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cx"))).alias("a"))
+        .select(
+            F.col("cluster").alias("cid"),
+            F.transform("a", lambda s: s["cx"]).alias("c"),
+        )
+    )
+
+
+def semdedup(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = SEMDEDUP_K,
+    iters: int = SEMDEDUP_ITERS,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Semantic dedup pairs via k-means blocking (SemDeDup): cluster
+    the corpus embeddings with a fixed-iteration seeded Lloyd loop,
+    then emit within-cluster pairs with cosine >= threshold. The
+    cluster partition — not an LSH bucket — bounds the quadratic term,
+    which is the published SemDeDup recipe for web-scale corpora.
+
+    Cross-engine determinism: k-means runs on an integer-quantized
+    copy of the vectors (grid 1e-5), where squared distances and
+    per-cluster means are EXACT double arithmetic — so assignments
+    cannot flip on last-ulp float noise between Spark's fold order and
+    DuckDB's, and the oracle unrolls the identical iterations in SQL.
+    Init is the k lowest vec_ids' vectors (deterministic, no RNG);
+    argmin ties break to the lowest cid on both sides. Final cosines
+    are computed from the RAW vectors inside the same per-block
+    grouped map as dedup_embedding (bit-identical left-fold sums).
+
+    Scale posture (100 TB): assignment is a broadcast compare + one
+    map-side-combinable argmin (no data shuffle); the update shuffles
+    k*dim rows; pair generation is one shuffle of n vectors with
+    |cluster|^2-bounded work per group. At scale, k grows with N to
+    cap cluster size (SemDeDup uses ~50k clusters for LAION-scale),
+    and oversized clusters re-split by a second-level k-means or the
+    hot-bucket chunking dedup_embedding already uses. iters is fixed
+    and small by design — SemDeDup's dedup quality saturates early and
+    a fixed count keeps the lineage/plan bounded.
+
+    Columns: id1, id2, cos_sim.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", vectors.as_double(F.col("embedding")).alias("v")
+    )
+    q = emb.select(
+        "vec_id",
+        "v",
+        F.transform("v", lambda x: _semdedup_quantize(x)).alias("vq"),
+    ).cache()  # scanned by every assign round + the final pair join
+    cent = (
+        q.orderBy("vec_id")
+        .limit(k)  # TakeOrderedAndProject: no global sort
+        .select("vec_id", "vq")
+        .withColumn(
+            "cid",
+            # single-partition window over exactly k rows
+            F.row_number().over(Window.orderBy("vec_id")) - F.lit(1),
+        )
+        .select(F.col("cid").cast("int").alias("cid"), F.col("vq").alias("c"))
+    )
+    for _ in range(iters):
+        cent = _semdedup_update(_semdedup_assign(q, cent))
+    final = _semdedup_assign(q, cent).select("vec_id", "cluster")
+    blocked = q.select("vec_id", "v").join(final, "vec_id")
+    return blocked.groupBy("cluster").applyInPandas(
+        _block_pairs_fn(threshold), "id1 long, id2 long, cos_sim double"
+    )
+
+
+def semdedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the semantically-deduplicated corpus: SemDeDup keeps
+    the lowest-id member of every cosine-duplicate relation and drops
+    the rest — i.e. any vector appearing as id2 in a semdedup pair is
+    removed. Columns: vec_id, label."""
+    pairs = semdedup(spark, sf_dir)
+    drop = pairs.select(F.col("id2").alias("vec_id")).distinct()
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.join(drop, "vec_id", "left_anti").select("vec_id", "label")

@@ -4612,3 +4612,97 @@ register(
     ORDER BY freq DESC, pair LIMIT 30
     """,
 )
+
+
+# SemDeDup (clustering-blocked semantic dedup): the oracle unrolls the
+# SAME fixed-iteration integer-grid k-means the Spark operator runs —
+# squared distances and per-cluster means are exact double arithmetic on
+# the 1e-5 grid, so assignments agree bit-for-bit across engines (no
+# float argmin drift), and the final within-cluster cosines reuse the
+# proven dedup_embedding fold semantics.
+def _semdedup_sql(select_tail: str) -> str:
+    from bigdata1_spark.operators.dedup import (
+        SEMDEDUP_GRID,
+        SEMDEDUP_ITERS,
+        SEMDEDUP_K,
+    )
+
+    dim = 64
+    grid = f"{SEMDEDUP_GRID:.1f}"
+
+    def assign(name: str, cent: str, cols: str) -> str:
+        return f"""{name} AS (
+      SELECT {cols} FROM (
+        SELECT q.vec_id, q.vq, c.cid AS cluster,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_sum(list_transform(range(1, {dim + 1}),
+                   i -> (q.vq[i] - c.c[i]) * (q.vq[i] - c.c[i]))), c.cid
+               ) AS rn
+        FROM q CROSS JOIN {cent} c
+      ) WHERE rn = 1
+    )"""
+
+    def update(name: str, src: str) -> str:
+        return f"""{name}m AS (
+      SELECT cluster, i, floor(avg(x) + 0.5) AS cx FROM (
+        SELECT cluster, unnest(vq) AS x,
+               unnest(range(1, {dim + 1})) AS i FROM {src}
+      ) ex GROUP BY cluster, i
+    ), {name} AS (
+      SELECT cluster AS cid, list(cx ORDER BY i) AS c
+      FROM {name}m GROUP BY cluster
+    )"""
+
+    parts = [
+        f"""WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), q AS (
+      SELECT vec_id, v,
+             list_transform(v, x -> floor(x * {grid} + 0.5)) AS vq
+      FROM e
+    ), c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+             vq AS c
+      FROM (SELECT vec_id, vq FROM q ORDER BY vec_id LIMIT {SEMDEDUP_K})
+    )"""
+    ]
+    cent = "c0"
+    for it in range(1, SEMDEDUP_ITERS + 1):
+        parts.append(assign(f"a{it}", cent, "vec_id, vq, cluster"))
+        parts.append(update(f"c{it}", f"a{it}"))
+        cent = f"c{it}"
+    parts.append(assign("af", cent, "vec_id, cluster"))
+    parts.append(
+        """n AS (
+      SELECT q.vec_id, af.cluster, q.v,
+             sqrt(list_dot_product(q.v, q.v)) AS nrm
+      FROM q JOIN af USING (vec_id)
+    ), nn AS (
+      SELECT vec_id, cluster, list_transform(v, x -> x / nrm) AS vn
+      FROM n WHERE nrm > 0
+    ), pairs AS (
+      SELECT a.vec_id AS id1, b.vec_id AS id2,
+             list_dot_product(a.vn, b.vn) AS cos_sim
+      FROM nn a JOIN nn b
+        ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.vn, b.vn) >= 0.3
+    )"""
+    )
+    return ",\n    ".join(parts) + "\n    " + select_tail
+
+
+register(
+    "dedup_semantic",
+    dedup.semdedup,
+    _semdedup_sql("SELECT id1, id2, cos_sim FROM pairs"),
+)
+
+register(
+    "dedup_semantic_apply",
+    dedup.semdedup_apply,
+    _semdedup_sql(
+        """SELECT vec_id, label FROM embeddings
+    WHERE vec_id NOT IN (SELECT id2 FROM pairs)"""
+    ),
+)

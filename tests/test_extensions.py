@@ -515,3 +515,55 @@ def test_pipeline_pretraining_lsh_invariants(spark, sf_dir):
         for r in pipeline_pretraining_lsh(spark, sf_dir).collect()
     }
     assert again == {s: tuple(r) for s, r in lsh.items()}
+
+
+def test_semdedup_invariants(spark, sf_dir):
+    """SemDeDup pairs must be same-cluster cosine hits with no false
+    positives vs the brute-force truth, and the apply step must drop
+    exactly the distinct id2 set."""
+    from pyspark.sql import functions as F2
+
+    from bigdata1_spark.functions import vectors
+    from bigdata1_spark.operators import dedup
+    from bigdata1_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", vectors.as_double(F2.col("embedding")).alias("v")
+    )
+    a = emb.select(F2.col("vec_id").alias("id1"), F2.col("v").alias("v1"))
+    b = emb.select(F2.col("vec_id").alias("id2"), F2.col("v").alias("v2"))
+    truth = {
+        (r["id1"], r["id2"])
+        for r in a.join(b, F2.col("id1") < F2.col("id2"))
+        .filter(vectors.cosine(F2.col("v1"), F2.col("v2")) >= 0.3)
+        .collect()
+    }
+    pairs = dedup.semdedup(spark, sf_dir).collect()
+    got = {(r["id1"], r["id2"]) for r in pairs}
+    assert got, "semdedup found no pairs on testdata"
+    assert got <= truth  # exact in-cluster verify -> no false positives
+    assert all(r["id1"] < r["id2"] and r["cos_sim"] >= 0.3 for r in pairs)
+
+    n_total = emb.count()
+    n_drop = len({r["id2"] for r in pairs})
+    kept = dedup.semdedup_apply(spark, sf_dir)
+    assert kept.count() == n_total - n_drop
+    assert kept.columns == ["vec_id", "label"]
+
+
+def test_semdedup_kmeans_deterministic(spark, sf_dir):
+    """The integer-grid k-means must produce identical pair sets under
+    perturbed parallelism (different fold/summation orders) — the
+    property the cross-engine oracle relies on."""
+    from bigdata1_spark.operators import dedup
+
+    base = {(r["id1"], r["id2"], round(r["cos_sim"], 9))
+            for r in dedup.semdedup(spark, sf_dir).collect()}
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        perturbed = {(r["id1"], r["id2"], round(r["cos_sim"], 9))
+                     for r in dedup.semdedup(spark, sf_dir).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert base == perturbed
