@@ -40,7 +40,9 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
-REPLICAS = 10
+# GEN_REPLICAS=30 turns the same generator into an sf3 third scale
+# point (two points give a ratio; three give a slope with confidence)
+REPLICAS = int(os.environ.get("GEN_REPLICAS", "10"))
 SEED = 20260814
 
 # key column -> tables that carry it (offset = replica * N(owning table))
