@@ -66,7 +66,12 @@ def main() -> None:
     # compare numerically; the raw directory name rides in "sf_label".
     sf_label = os.path.basename(SF_DIR.rstrip("/"))
     try:
-        sf = float(sf_label.replace("sf", "") or 0)
+        # accepts both the driver's "sf0.1" and the generated big-sf
+        # twins ".sf1data"/".sf3data" so scaling tooling can join on a
+        # numeric sf instead of a null
+        sf = float(
+            sf_label.lstrip(".").removesuffix("data").replace("sf", "") or 0
+        )
     except ValueError:  # unconventional dir name → numeric slot stays null
         sf = None
     spark = get_spark(app_name="bigdata1-bench")
