@@ -489,3 +489,134 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kept_chars"),
         )
     )
+
+
+# Per-domain document cap (RefinedWeb-style): a handful of hot domains
+# dominate any web crawl; capping each domain at K quality-ranked docs
+# bounds their influence on the training mixture.
+DOMAIN_CAP_K = 10
+
+# DSIR (Xie et al. 2023) hashed-feature space: bigrams hashed into a
+# fixed bucket count so the per-distribution model is a 64-cell table
+# regardless of corpus size.
+DSIR_BUCKETS = 64
+DSIR_TARGET_LANG = "en"
+
+
+def domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quality cap: keep at most K documents per source
+    domain, ranked by a quality proxy (here n_chars desc) with doc_id
+    as the unique tie-break — the RefinedWeb-style guard against a few
+    hot domains dominating the training mixture.
+
+    One shuffle on source; the rank-≤-K filter is recognized by
+    Spark's WindowGroupLimit rule, which inserts a map-side partial
+    top-K per group BEFORE the exchange, so a domain with 10^8 pages
+    ships only K rows per input partition — the window never
+    materializes a whole domain. (doc_id is unique, so the order is
+    total and the kept set is deterministic under any partitioning.)
+    Columns: source, doc_id, n_chars, rk.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return docs.select(
+        "source", "doc_id", "n_chars", F.row_number().over(w).alias("rk")
+    ).filter(F.col("rk") <= DOMAIN_CAP_K)
+
+
+def dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document
+    by the log-likelihood ratio of a hashed-bigram unigram model of the
+    TARGET domain (here lang='en') against the RAW corpus model, and
+    keep documents the target model prefers.
+
+    Hashing bigrams into ``DSIR_BUCKETS`` cells makes both
+    distribution models fixed-size tables: the two bucket-count
+    aggregates map-side combine down to ≤64 rows each, broadcast back,
+    and the only doc-keyed shuffle carries (doc, bucket) counts — ≤64
+    rows per doc regardless of length. The weight is
+    ``mean_g [ ln p_target(bucket(g)) − ln p_raw(bucket(g)) ]`` with
+    Laplace-smoothed probabilities; smoothed counts are exact integers,
+    so both engines divide and ln identical doubles, and the per-doc
+    float fold runs in explicit bucket order from 0.0 (the doc_entropy
+    ln-parity discipline). Keep decisions compare the floor-6-rounded
+    weight so the emitted flag is consistent with the emitted weight.
+    Columns: doc_id, n_grams, weight, keep.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    bg = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(_seq_bigrams(tokens(F.col("text")))).alias("gram"),
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5("gram"), 1, 2), 16, 10).cast("long")
+            % DSIR_BUCKETS
+        ).alias("bucket"),
+    )
+    # per-doc bucket counts: the one doc-keyed shuffle (≤64 rows/doc)
+    dwc = bg.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    # raw + target bucket models: ≤64 rows after map-side combine
+    bc = bg.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("r_cnt"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+        ).alias("t_cnt"),
+    )
+    tot = bc.agg(
+        F.sum("r_cnt").alias("r_tot"), F.sum("t_cnt").alias("t_tot")
+    )
+    lr = (
+        bc.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.col("t_cnt") + 1).cast("double")
+                    / (F.col("t_tot") + DSIR_BUCKETS).cast("double")
+                )
+                - F.log(
+                    (F.col("r_cnt") + 1).cast("double")
+                    / (F.col("r_tot") + DSIR_BUCKETS).cast("double")
+                )
+            ).alias("lr"),
+        )
+    )
+    per_doc = (
+        dwc.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_grams"),
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "bucket",
+                        (F.col("cnt").cast("double") * F.col("lr")).alias(
+                            "term"
+                        ),
+                    )
+                )
+            ).alias("ts"),
+        )
+    )
+    w = F.aggregate(
+        F.transform(F.col("ts"), lambda x: x["term"]),
+        F.lit(0.0),
+        lambda a, t: a + t,
+    ) / F.col("n_grams").cast("double")
+    wr = F.floor(w * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        wr.alias("weight"),
+        (wr > F.lit(0.0)).cast("long").alias("keep"),
+    )

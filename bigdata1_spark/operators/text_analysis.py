@@ -898,3 +898,70 @@ def bpe_merge_round2(
             "freq",
         )
     )
+
+
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average log-probability under a Laplace-smoothed
+    corpus unigram LM — the perplexity-style fluency filter (CCNet /
+    Wikipedia-LM gating): text whose tokens the corpus model finds
+    improbable (rare-token soup, corrupted extraction) scores low and
+    is dropped before training.
+
+    Two aggregation passes over the exploded token stream, both
+    map-side combined: (doc, word) counts (per-doc vocabulary) and the
+    corpus model (one row per distinct word). ``p_w = (c_w + 1) /
+    (N + V)`` is a division of exact integers, so both engines ln the
+    identical double; the per-doc score folds ``cnt·ln p_w`` in
+    explicit word order from 0.0 (the doc_entropy ln-parity
+    discipline). At 100 TB the (word → ln p) model is vocabulary-sized
+    — the score join shuffles on word, never re-touching raw text.
+    Columns: doc_id, n_tokens, logprob_per_token.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select("doc_id", F.explode(_toks()).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    corpus_model = wc.groupBy("word").agg(F.sum("cnt").alias("ccnt"))
+    tot = corpus_model.agg(
+        F.sum("ccnt").alias("n_corpus"),
+        F.count(F.lit(1)).alias("v_corpus"),
+    )
+    lp = corpus_model.crossJoin(F.broadcast(tot)).select(
+        "word",
+        F.log(
+            (F.col("ccnt") + 1).cast("double")
+            / (F.col("n_corpus") + F.col("v_corpus")).cast("double")
+        ).alias("lnp"),
+    )
+    per_doc = (
+        wc.join(lp, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "word",
+                        (F.col("cnt").cast("double") * F.col("lnp")).alias(
+                            "term"
+                        ),
+                    )
+                )
+            ).alias("ts"),
+        )
+    )
+    s = F.aggregate(
+        F.transform(F.col("ts"), lambda x: x["term"]),
+        F.lit(0.0),
+        lambda a, t: a + t,
+    )
+    lpt = s / F.col("n_tokens").cast("double")
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        (F.floor(lpt * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "logprob_per_token"
+        ),
+    )

@@ -4706,3 +4706,108 @@ register(
     WHERE vec_id NOT IN (SELECT id2 FROM pairs)"""
     ),
 )
+
+# ---------------------------------------------------------------------------
+# Round-10 curation additions: per-domain caps, LM-fluency filtering, and
+# DSIR importance weighting — the three selection passes between quality
+# filtering and mixture sampling in a pretraining ingest.
+# ---------------------------------------------------------------------------
+
+register(
+    "domain_cap",
+    corpus.domain_cap,
+    """
+    SELECT source, doc_id, n_chars, rk FROM (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY n_chars DESC, doc_id
+             ) AS rk
+      FROM documents
+    ) WHERE rk <= 10
+    """,
+)
+
+register(
+    "unigram_logprob",
+    text_analysis.unigram_logprob,
+    """
+    WITH wc AS (
+      SELECT doc_id, word, COUNT(*) AS cnt
+      FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(text, '\\s+'),
+                                  x -> len(x) > 0)) AS word
+        FROM documents
+      ) GROUP BY 1, 2
+    ), corpus_model AS (
+      SELECT word, SUM(cnt) AS ccnt FROM wc GROUP BY 1
+    ), tot AS (
+      SELECT SUM(ccnt) AS n_corpus, COUNT(*) AS v_corpus
+      FROM corpus_model
+    ), terms AS (
+      SELECT w.doc_id, w.word, w.cnt,
+             CAST(w.cnt AS DOUBLE)
+             * ln(CAST(c.ccnt + 1 AS DOUBLE)
+                  / CAST(t.n_corpus + t.v_corpus AS DOUBLE)) AS term
+      FROM wc w JOIN corpus_model c ON w.word = c.word CROSS JOIN tot t
+    ), per_doc AS (
+      SELECT doc_id, SUM(cnt) AS n_tokens,
+             list(term ORDER BY word) AS ts
+      FROM terms GROUP BY 1
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           FLOOR(list_reduce(list_prepend(0.0, ts), (a, t) -> a + t)
+                 / CAST(n_tokens AS DOUBLE) * 1e6 + 0.5) / 1e6
+             AS logprob_per_token
+    FROM per_doc
+    """,
+)
+
+register(
+    "dsir_sample",
+    corpus.dsir_sample,
+    """
+    WITH words AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(text, '\\s+'),
+                         x -> len(x) > 0) AS w
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, lang,
+             CAST((16 * (strpos('0123456789abcdef',
+                          substr(md5(array_to_string(w[i:i+1], ' ')), 1, 1))
+                         - 1)
+                   + (strpos('0123456789abcdef',
+                          substr(md5(array_to_string(w[i:i+1], ' ')), 2, 1))
+                      - 1)) % 64 AS BIGINT) AS bucket
+      FROM words,
+           (SELECT unnest(generate_series(1, greatest(len(w) - 1, 1))) AS i)
+    ), dwc AS (
+      SELECT doc_id, bucket, COUNT(*) AS cnt FROM bg GROUP BY 1, 2
+    ), bc AS (
+      SELECT bucket, COUNT(*) AS r_cnt,
+             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_cnt
+      FROM bg GROUP BY 1
+    ), tot AS (
+      SELECT SUM(r_cnt) AS r_tot, SUM(t_cnt) AS t_tot FROM bc
+    ), lr AS (
+      SELECT bucket,
+             ln(CAST(t_cnt + 1 AS DOUBLE) / CAST(t_tot + 64 AS DOUBLE))
+             - ln(CAST(r_cnt + 1 AS DOUBLE) / CAST(r_tot + 64 AS DOUBLE))
+               AS lr
+      FROM bc CROSS JOIN tot
+    ), per_doc AS (
+      SELECT d.doc_id, SUM(d.cnt) AS n_grams,
+             list(CAST(d.cnt AS DOUBLE) * l.lr ORDER BY d.bucket) AS ts
+      FROM dwc d JOIN lr l ON d.bucket = l.bucket GROUP BY 1
+    ), scored AS (
+      SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+             FLOOR(list_reduce(list_prepend(0.0, ts), (a, t) -> a + t)
+                   / CAST(n_grams AS DOUBLE) * 1e6 + 0.5) / 1e6 AS weight
+      FROM per_doc
+    )
+    SELECT doc_id, n_grams, weight,
+           CAST(weight > 0 AS BIGINT) AS keep
+    FROM scored
+    """,
+)

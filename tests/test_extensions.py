@@ -567,3 +567,84 @@ def test_semdedup_kmeans_deterministic(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert base == perturbed
+
+
+def test_domain_cap_keeps_top_k_longest(spark, sf_dir):
+    """Per-source cap invariants: ≤K rows per source, rank contiguous
+    from 1, and no dropped doc is longer than a kept one (quality order
+    respected) — the RefinedWeb per-domain guard semantics."""
+    from collections import defaultdict
+
+    from bigdata1_spark.operators import corpus
+    from bigdata1_spark.sources.tables import load_table
+
+    kept = corpus.domain_cap(spark, sf_dir).collect()
+    per_src = defaultdict(list)
+    for r in kept:
+        per_src[r["source"]].append(r)
+    docs = load_table(spark, sf_dir, "documents").collect()
+    all_src = defaultdict(list)
+    for r in docs:
+        all_src[r["source"]].append(r)
+    for src, rows in per_src.items():
+        assert len(rows) <= corpus.DOMAIN_CAP_K
+        assert sorted(r["rk"] for r in rows) == list(range(1, len(rows) + 1))
+        kept_ids = {r["doc_id"] for r in rows}
+        min_kept = min(r["n_chars"] for r in rows)
+        dropped = [r for r in all_src[src] if r["doc_id"] not in kept_ids]
+        assert all(r["n_chars"] <= min_kept for r in dropped)
+
+
+def test_domain_cap_partial_group_limit(spark, sf_dir):
+    """The rank<=K filter must rewrite to a map-side Partial
+    WindowGroupLimit BEFORE the exchange — at 100 TB a hot domain ships
+    K rows per input partition, never the whole domain."""
+    from bigdata1_spark.operators import corpus
+    from bigdata1_spark.plans import checks
+    from bigdata1_spark.plans.checks import formatted_plan
+
+    df = corpus.domain_cap(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "WindowGroupLimit" in plan
+    checks.assert_max_exchanges(df, 1, "domain_cap")
+
+
+def test_unigram_logprob_bounds_and_coverage(spark, sf_dir):
+    """Laplace-smoothed log-probs are strictly negative, every doc with
+    ≥1 token is scored, and n_tokens agrees with doc_entropy's count
+    (same tokenizer, same explode path)."""
+    from bigdata1_spark.operators import text_analysis
+
+    scored = {
+        r["doc_id"]: r
+        for r in text_analysis.unigram_logprob(spark, sf_dir).collect()
+    }
+    ent = {
+        r["doc_id"]: r["n_tokens"]
+        for r in text_analysis.doc_entropy(spark, sf_dir).collect()
+    }
+    assert set(scored) == set(ent)
+    for doc_id, r in scored.items():
+        assert r["logprob_per_token"] < 0.0
+        assert r["n_tokens"] == ent[doc_id]
+
+
+def test_dsir_prefers_target_language(spark, sf_dir):
+    """DSIR's whole point: documents from the target domain (lang='en')
+    must score higher on average than non-target documents, and the
+    keep flag must be exactly (weight > 0)."""
+    from bigdata1_spark.operators import corpus
+    from bigdata1_spark.sources.tables import load_table
+
+    w = {r["doc_id"]: r for r in corpus.dsir_sample(spark, sf_dir).collect()}
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    en = [r["weight"] for d, r in w.items() if langs[d] == "en"]
+    zh = [r["weight"] for d, r in w.items() if langs[d] == "zh"]
+    assert en and zh
+    assert sum(en) / len(en) > sum(zh) / len(zh)
+    for r in w.values():
+        assert r["keep"] == (1 if r["weight"] > 0 else 0)
+        assert r["n_grams"] >= 1
