@@ -965,3 +965,68 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             "logprob_per_token"
         ),
     )
+
+
+# Fixed training-sequence length for vocab_encode packing (the
+# doc_chunking convention, halved so sf0.001 docs still split).
+VOCAB_SEQ_LEN = 32
+
+
+def vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize-to-ids + fixed-length sequence packing — the last hop
+    before training shards: rank the corpus vocabulary by frequency
+    (id 1 = most frequent), map every token position to its id, and
+    pack each document's id stream into ``VOCAB_SEQ_LEN``-token
+    training sequences in position order.
+
+    The vocabulary rank is a GLOBAL enumeration, but never a
+    single-partition window: ``floor(log2(cnt))`` buckets are monotone
+    in the (cnt desc) sort order, so the two-pass offset pattern
+    (global_enumerate) ranks within ≤64 constant-bounded buckets in
+    parallel and adds broadcast per-bucket offsets — (cnt, word) is a
+    total order, so ids are deterministic. The id join shuffles on
+    word (vocabulary-scale right side, AQE broadcasts when small); the
+    pack groupBy is the only corpus-keyed shuffle, carrying one row
+    per 32-token window. The id sequence is emitted CSV-joined (the
+    collect_list_agg array-output convention, engine-portable hashing).
+    Columns: doc_id, seq_idx, ids_csv, n_ids.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(_toks()).alias("pos", "word")
+    )
+    vc = tok.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    bucketed = vc.withColumn("bkt", F.floor(F.log2("cnt")).cast("long"))
+    per_b = bucketed.groupBy("bkt").agg(F.count(F.lit(1)).alias("n"))
+    w_off = Window.orderBy(F.desc("bkt")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = per_b.select(
+        "bkt", F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("off")
+    )
+    w_in = Window.partitionBy("bkt").orderBy(F.desc("cnt"), F.asc("word"))
+    vocab = (
+        bucketed.join(F.broadcast(offs), "bkt")
+        .select(
+            "word",
+            (F.col("off") + F.row_number().over(w_in)).alias("wid"),
+        )
+    )
+    ids = tok.join(vocab, "word")
+    packed = ids.groupBy(
+        "doc_id",
+        F.floor(F.col("pos") / F.lit(VOCAB_SEQ_LEN)).cast("long").alias(
+            "seq_idx"
+        ),
+    ).agg(F.array_sort(F.collect_list(F.struct("pos", "wid"))).alias("ps"))
+    return packed.select(
+        "doc_id",
+        "seq_idx",
+        F.array_join(
+            F.transform(F.col("ps"), lambda x: x["wid"].cast("string")),
+            ",",
+        ).alias("ids_csv"),
+        F.size("ps").cast("long").alias("n_ids"),
+    )

@@ -4811,3 +4811,32 @@ register(
     FROM scored
     """,
 )
+
+register(
+    "vocab_encode",
+    text_analysis.vocab_encode,
+    """
+    WITH words AS (
+      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                                 x -> len(x) > 0) AS w
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, i - 1 AS pos, w[i] AS word
+      FROM words,
+           (SELECT unnest(generate_series(1, len(w))) AS i)
+    ), vocab AS (
+      SELECT word, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, word) AS wid
+      FROM tok GROUP BY word
+    ), ids AS (
+      SELECT t.doc_id, t.pos, v.wid FROM tok t JOIN vocab v
+        ON t.word = v.word
+    ), packed AS (
+      SELECT doc_id, CAST(FLOOR(pos / 32.0) AS BIGINT) AS seq_idx,
+             list(wid ORDER BY pos) AS ids
+      FROM ids GROUP BY 1, 2
+    )
+    SELECT doc_id, seq_idx, array_to_string(ids, ',') AS ids_csv,
+           CAST(len(ids) AS BIGINT) AS n_ids
+    FROM packed
+    """,
+)

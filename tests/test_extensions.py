@@ -648,3 +648,29 @@ def test_dsir_prefers_target_language(spark, sf_dir):
     for r in w.values():
         assert r["keep"] == (1 if r["weight"] > 0 else 0)
         assert r["n_grams"] >= 1
+
+
+def test_vocab_encode_roundtrip_and_packing(spark, sf_dir):
+    """Tokenizer-encode invariants: total ids == total tokens, every
+    sequence ≤ VOCAB_SEQ_LEN ids, ids are a contiguous 1..V range over
+    the vocabulary, and id 1 is the corpus's most frequent token."""
+    from collections import Counter
+
+    from bigdata1_spark.operators import text_analysis
+    from bigdata1_spark.functions.textfns import tokens as tok_fn
+    from bigdata1_spark.sources.tables import load_table
+
+    packed = text_analysis.vocab_encode(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tok_fn(F.col("text"))).alias("word")
+    ).collect()
+    n_tokens = len(docs)
+    assert sum(r["n_ids"] for r in packed) == n_tokens
+    seqs = [[int(x) for x in r["ids_csv"].split(",")] for r in packed]
+    assert all(len(s) == r["n_ids"] for s, r in zip(seqs, packed))
+    assert all(r["n_ids"] <= text_analysis.VOCAB_SEQ_LEN for r in packed)
+    all_ids = [i for s in seqs for i in s]
+    vocab_size = len({r["word"] for r in docs})
+    assert set(all_ids) == set(range(1, vocab_size + 1))
+    top_word, top_cnt = Counter(r["word"] for r in docs).most_common(1)[0]
+    assert all_ids.count(1) == top_cnt
