@@ -116,13 +116,14 @@ def sql_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF (table function): one row per '-'-token of the order
-    priority with its ordinal — the lateral-view shape via the UDTF API.
-    Python is acceptable here (API-surface demo, tiny input); the bulk
-    path for the same shape is ``posexplode_items``.
+    priority with its ordinal — the lateral-view shape via the UDTF API,
+    Arrow-vectorized (``useArrow=True`` plans ArrowEvalPythonUDTF:
+    batched Arrow transfer, not per-row pickling). The bulk path for
+    the same shape is ``posexplode_items``.
     """
     from pyspark.sql.functions import lit, udtf
 
-    @udtf(returnType="pos: bigint, token: string")
+    @udtf(returnType="pos: bigint, token: string", useArrow=True)
     class SplitTokens:
         def eval(self, key: int, text: str):  # noqa: ANN001
             for i, tok in enumerate(str(text).split("-")):
@@ -361,10 +362,10 @@ def udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``udtf_tokens`` (fixed schema) covers the basic surface, this key
     covers the analyze-time one.
 
-    Like udtf_tokens it is deliberately row-at-a-time Python — the
-    point is the API contract, and the oracle still pins its values;
-    the performant tokenizers live in text_analysis (all built-ins).
-    Columns: doc_id, w0, w1, n_words.
+    Arrow-vectorized like udtf_tokens (the whole Python-eval surface
+    rides the Arrow batch path; the registry-wide plan audit pins
+    BatchEvalPython out of every plan); the performant tokenizers live
+    in text_analysis (all built-ins). Columns: doc_id, w0, w1, n_words.
     """
     from pyspark.sql.functions import udtf
     from pyspark.sql.types import (
@@ -375,7 +376,7 @@ def udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.udtf import AnalyzeResult
 
-    @udtf
+    @udtf(useArrow=True)
     class FirstWords:
         @staticmethod
         def analyze(text, n):

@@ -826,3 +826,30 @@ def test_aqe_skew_join_engages_on_hot_key(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_registry_wide_plan_audit(spark, sf_dir):
+    """EVERY registry key's physical plan, mechanically audited for the
+    two invariants the 100 TB posture claims repo-wide: no
+    CartesianProduct (join_cross is the one deliberate exception;
+    broadcast-1-row scalars plan as BroadcastNestedLoopJoin, which is
+    bounded and allowed) and no BatchEvalPython (row-at-a-time Python
+    UDF — Arrow/Pandas eval nodes are the sanctioned Python path).
+    Targeted tests pin per-key shapes; this pins the floor for keys no
+    one wrote a targeted test for, including future ones."""
+    from bigdata1_spark import registry
+
+    allow_cartesian = {"join_cross"}
+    violations = []
+    for key in sorted(registry.QUERIES):
+        try:
+            df = registry.QUERIES[key](spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as ex:  # noqa: BLE001 - surface as a violation
+            violations.append(f"{key}: plan build failed: {ex}")
+            continue
+        if "CartesianProduct" in plan and key not in allow_cartesian:
+            violations.append(f"{key}: CartesianProduct in plan")
+        if "BatchEvalPython" in plan:
+            violations.append(f"{key}: row-at-a-time BatchEvalPython")
+    assert not violations, "\n".join(violations)
