@@ -371,3 +371,49 @@ def pagerank(
             "rank"
         ),
     )
+
+
+# k-core peeling: threshold and fixed round count (the pagerank
+# convention — a FIXED iteration count keeps the key fully
+# SQL-unrollable; production runs peel to fixpoint with the same loop).
+KCORE_K = 3
+KCORE_ROUNDS = 3
+
+
+def kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition, ``KCORE_ROUNDS`` peeling rounds: repeatedly
+    drop nodes of degree < K (and their edges) from the co-supplier
+    graph — the standard dense-subgraph / community-seed primitive
+    (nodes surviving round r have ≥K neighbors that themselves survived
+    round r-1).
+
+    Each round is one degree aggregation plus two semi-join prunes of
+    the edge list — all keyed shuffles on node id, no driver-side
+    state; ``localCheckpoint`` truncates lineage per round (the
+    pagerank discipline) so the plan stays round-sized. A fixpoint
+    loop is the same body under a convergence check; the fixed round
+    count is what lets the oracle unroll bit-for-bit into chained
+    CTEs. Columns: node, core_degree (degree within the round-3
+    subgraph).
+    """
+    edges = _co_supplier_edges(spark, sf_dir).localCheckpoint(eager=True)
+    for _ in range(KCORE_ROUNDS):
+        deg = (
+            edges.select(F.explode(F.array("a", "b")).alias("node"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= KCORE_K).select("node")
+        edges = (
+            edges.join(
+                keep.withColumnRenamed("node", "a"), "a", "semi"
+            )
+            .join(keep.withColumnRenamed("node", "b"), "b", "semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        edges.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+    )

@@ -4840,3 +4840,47 @@ register(
     FROM packed
     """,
 )
+
+
+def _kcore_unrolled_sql(rounds: int = 3, k: int = 3) -> str:
+    """Chained-CTE unroll of the fixed-round k-core peel (the
+    _pagerank_unrolled_sql pattern: a loop the engine can't recurse
+    with an aggregate per round is unrolled bit-for-bit)."""
+    parts = [
+        """e0 AS (
+      SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+      FROM lineitem x JOIN lineitem y
+        ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+    )"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"""d{r + 1} AS (
+      SELECT node, COUNT(*) AS deg
+      FROM (SELECT a AS node FROM e{r}
+            UNION ALL SELECT b AS node FROM e{r})
+      GROUP BY node
+    )"""
+        )
+        parts.append(
+            f"""k{r + 1} AS (SELECT node FROM d{r + 1} WHERE deg >= {k})"""
+        )
+        parts.append(
+            f"""e{r + 1} AS (
+      SELECT e.a, e.b FROM e{r} e
+      JOIN k{r + 1} x ON e.a = x.node
+      JOIN k{r + 1} y ON e.b = y.node
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT node, COUNT(*) AS core_degree
+    FROM (SELECT a AS node FROM e{rounds}
+          UNION ALL SELECT b AS node FROM e{rounds})
+    GROUP BY node"""
+    )
+
+
+register("kcore", graph.kcore, _kcore_unrolled_sql())

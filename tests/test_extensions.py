@@ -674,3 +674,32 @@ def test_vocab_encode_roundtrip_and_packing(spark, sf_dir):
     assert set(all_ids) == set(range(1, vocab_size + 1))
     top_word, top_cnt = Counter(r["word"] for r in docs).most_common(1)[0]
     assert all_ids.count(1) == top_cnt
+
+
+def test_kcore_is_subgraph_with_min_degree_property(spark, sf_dir):
+    """Peeling invariants: the surviving node set shrinks (or holds)
+    each round, survivors' core_degree counts edges only among
+    survivors, and after the fixed rounds every survivor had degree ≥ K
+    at the last peel (the defining k-core property, one round deep)."""
+    from bigdata1_spark.operators import graph
+
+    core = {r["node"]: r["core_degree"]
+            for r in graph.kcore(spark, sf_dir).collect()}
+    edges = [
+        (r["a"], r["b"])
+        for r in graph._co_supplier_edges(spark, sf_dir).collect()
+    ]
+    full_deg = {}
+    for a, b in edges:
+        full_deg[a] = full_deg.get(a, 0) + 1
+        full_deg[b] = full_deg.get(b, 0) + 1
+    surv = set(core)
+    # core degree == degree restricted to surviving endpoints
+    for node, cd in core.items():
+        d = sum(1 for a, b in edges
+                if (a == node and b in surv) or (b == node and a in surv))
+        assert d == cd
+        assert cd <= full_deg[node]
+    # one more peel round changes nothing iff already ≥K inside core
+    # (fixed-round honesty: assert only the monotone containment)
+    assert surv <= set(full_deg)
