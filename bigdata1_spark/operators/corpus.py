@@ -620,3 +620,167 @@ def dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         wr.alias("weight"),
         (wr > F.lit(0.0)).cast("long").alias("keep"),
     )
+
+
+# Exact-substring span dedup (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better"): a duplicated SPAN is removed, not
+# the whole document. SPAN_N=10 word-grams stand in for the paper's
+# 50-token threshold at this corpus's 30-150-word doc lengths.
+SPAN_N = 10
+
+
+def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact dedup: any word 10-gram whose text occurs >= 2
+    times corpus-wide (any doc, any position — within-doc repeats
+    count) marks every token position it covers; covered positions are
+    stripped and the survivor text re-joined.
+
+    Shape: an inverted gram index, never doc x doc. Grams shuffle on a
+    128-bit md5 digest of the gram (not the ~10-word string itself —
+    ~4x narrower shuffle rows for identical join semantics; both
+    engines digest with the same md5 so even a collision would agree),
+    duplicated digests join back to mark covered positions, and a
+    left-anti on (doc_id, pos) keeps the survivors. Every shuffle
+    carries at most one row per (doc, gram) or (doc, pos) — linear in
+    corpus token count, the same scale story as contamination_ngrams.
+
+    Columns: doc_id, n_tokens, n_dup_tokens, dup_frac, clean_text
+    (whitespace-normalized: tokens re-joined with single spaces).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id", tokens(F.col("text")).alias("w")
+    ).withColumn("n_toks", F.size("w"))
+    grams = tk.select(
+        "doc_id",
+        "n_toks",
+        F.posexplode(_ngrams_n(F.col("w"), SPAN_N)).alias("p0", "gram"),
+    ).select(
+        "doc_id",
+        "n_toks",
+        (F.col("p0") + 1).alias("start"),
+        F.md5("gram").alias("digest"),
+    )
+    dup = (
+        grams.groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("digest")
+    )
+    # a gram at `start` covers start..start+N-1, clipped to doc length
+    # (short-doc whole-text grams cover what exists); the outer greatest
+    # keeps sequence() ascending for degenerate empty-text docs
+    cover_end = F.greatest(
+        F.least(F.col("start") + F.lit(SPAN_N - 1), F.col("n_toks")),
+        F.col("start"),
+    )
+    covered = (
+        grams.join(dup, "digest")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("start"), cover_end)).alias("pos"),
+        )
+        .distinct()
+    )
+    toks = tk.select(
+        "doc_id", F.posexplode("w").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "tok")
+    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
+    kept_agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("clean_text"),
+    )
+    out = tk.select("doc_id", "n_toks").join(kept_agg, "doc_id", "left_outer")
+    n_dup = F.col("n_toks") - F.coalesce(F.col("n_kept"), F.lit(0))
+    return out.select(
+        "doc_id",
+        F.col("n_toks").cast("long").alias("n_tokens"),
+        n_dup.cast("long").alias("n_dup_tokens"),
+        F.when(
+            F.col("n_toks") > 0,
+            n_dup.cast("double") / F.col("n_toks").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_frac"),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+    )
+
+
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003, the MOSS
+# algorithm): k-gram hashes, keep the minimum of every w-wide window
+# (rightmost on hash ties). Guarantees every shared run of
+# WINNOW_K + WINNOW_W - 1 tokens shares a fingerprint, with ~2/(w+1)
+# selection density — the classic bounded-density alternative to
+# keep-every-gram fingerprinting.
+WINNOW_K = 4
+WINNOW_W = 5
+_POS_ENC = 1 << 20  # (hash, rightmost-pos) tuple packed into one long
+
+
+def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints.
+
+    The selection rule ("each window's minimum, rightmost on ties") is
+    exactly a forward-frame window-min: pack (hash, pos) into one long
+    v = h * 2^20 + (2^20-1-pos) so MIN(v) picks min hash then max pos,
+    take MIN over ROWS BETWEEN CURRENT AND w-1 FOLLOWING per doc, keep
+    full windows only (start <= G-w+1; docs with fewer grams than w
+    collapse to one whole-doc window), and DISTINCT the winners.
+
+    One shuffle total (the per-doc window partitioning); hashes are the
+    first 8 md5 hex digits so both engines agree bit-for-bit.
+    Columns: doc_id, pos (1-based gram position), fp (32-bit hash).
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id",
+        F.posexplode(
+            _ngrams_n(tokens(F.col("text")), WINNOW_K)
+        ).alias("p0", "gram"),
+    ).select(
+        "doc_id",
+        (F.col("p0") + 1).alias("pos"),
+        F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    g = g.withColumn(
+        "v",
+        F.col("h") * F.lit(_POS_ENC)
+        + (F.lit(_POS_ENC - 1) - F.col("pos")),
+    )
+    by_doc = Window.partitionBy("doc_id")
+    frame = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(0, WINNOW_W - 1)
+    )
+    wm = g.select(
+        "doc_id",
+        "pos",
+        F.min("v").over(frame).alias("wmin"),
+        F.count(F.lit(1)).over(by_doc).alias("n_grams"),
+    )
+    sel = (
+        wm.filter(
+            F.col("pos")
+            <= F.greatest(F.col("n_grams") - F.lit(WINNOW_W - 1), F.lit(1))
+        )
+        .select("doc_id", "wmin")
+        .distinct()
+    )
+    return sel.select(
+        "doc_id",
+        (F.lit(_POS_ENC - 1) - F.col("wmin") % F.lit(_POS_ENC))
+        .cast("long")
+        .alias("pos"),
+        F.expr(f"CAST(wmin DIV {_POS_ENC} AS BIGINT)").alias("fp"),
+    )

@@ -4884,3 +4884,108 @@ def _kcore_unrolled_sql(rounds: int = 3, k: int = 3) -> str:
 
 
 register("kcore", graph.kcore, _kcore_unrolled_sql())
+
+
+# Span-level exact-substring dedup (Lee et al. 2022): duplicated word
+# 10-grams (>=2 occurrences corpus-wide, within-doc repeats included)
+# mark covered token positions; survivors re-join. The oracle mirrors
+# the md5-digest join so even a hash collision agrees across engines.
+register(
+    "substring_dedup",
+    corpus.substring_dedup,
+    r"""
+    WITH words AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'),
+                         x -> len(x) > 0) AS w
+      FROM documents
+    ), base AS (
+      SELECT doc_id, w, len(w) AS n_toks FROM words
+    ), starts AS (
+      SELECT doc_id, n_toks, w,
+             unnest(generate_series(1, greatest(n_toks - 9, 1))) AS start
+      FROM base
+    ), grams AS (
+      SELECT doc_id, n_toks, start,
+             md5(array_to_string(w[start:start+9], ' ')) AS digest
+      FROM starts
+    ), dup AS (
+      SELECT digest FROM grams GROUP BY digest HAVING COUNT(*) >= 2
+    ), covered AS (
+      SELECT DISTINCT doc_id, pos FROM (
+        SELECT g.doc_id,
+               unnest(generate_series(
+                 g.start, least(g.start + 9, g.n_toks))) AS pos
+        FROM grams g JOIN dup d USING (digest)
+      )
+    ), toks AS (
+      SELECT doc_id, w, unnest(generate_series(1, n_toks)) AS pos
+      FROM base
+    ), tok2 AS (
+      SELECT doc_id, pos, w[pos] AS tok FROM toks
+    ), kept AS (
+      SELECT t.doc_id, t.pos, t.tok
+      FROM tok2 t LEFT JOIN covered c
+        ON t.doc_id = c.doc_id AND t.pos = c.pos
+      WHERE c.doc_id IS NULL
+    ), kept_agg AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY pos) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(b.n_toks AS BIGINT) AS n_tokens,
+           CAST(b.n_toks - COALESCE(k.n_kept, 0) AS BIGINT)
+             AS n_dup_tokens,
+           CASE WHEN b.n_toks > 0
+                THEN CAST(b.n_toks - COALESCE(k.n_kept, 0) AS DOUBLE)
+                     / CAST(b.n_toks AS DOUBLE)
+                ELSE 0.0 END AS dup_frac,
+           COALESCE(k.clean_text, '') AS clean_text
+    FROM base b LEFT JOIN kept_agg k USING (doc_id)
+    """,
+)
+
+# Winnowing (MOSS) fingerprints: per-window forward-frame MIN over the
+# packed (hash, rightmost-pos) long, full windows only, DISTINCT
+# winners — identical window semantics in both engines.
+register(
+    "winnow_fingerprint",
+    corpus.winnow_fingerprint,
+    r"""
+    WITH words AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'),
+                         x -> len(x) > 0) AS w
+      FROM documents
+    ), starts AS (
+      SELECT doc_id, w,
+             unnest(generate_series(1, greatest(len(w) - 3, 1))) AS pos
+      FROM words
+    ), hashed AS (
+      SELECT doc_id, pos,
+             CAST('0x' || substr(
+               md5(array_to_string(w[pos:pos+3], ' ')), 1, 8) AS BIGINT)
+               AS h
+      FROM starts
+    ), v AS (
+      SELECT doc_id, pos,
+             h * 1048576 + (1048575 - pos) AS v,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
+      FROM hashed
+    ), wm AS (
+      SELECT doc_id, pos, n_grams,
+             MIN(v) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING)
+               AS wmin
+      FROM v
+    ), sel AS (
+      SELECT DISTINCT doc_id, wmin
+      FROM wm WHERE pos <= greatest(n_grams - 4, 1)
+    )
+    SELECT doc_id,
+           CAST(1048575 - (wmin % 1048576) AS BIGINT) AS pos,
+           CAST(wmin // 1048576 AS BIGINT) AS fp
+    FROM sel
+    """,
+)

@@ -703,3 +703,57 @@ def test_kcore_is_subgraph_with_min_degree_property(spark, sf_dir):
     # one more peel round changes nothing iff already ≥K inside core
     # (fixed-round honesty: assert only the monotone containment)
     assert surv <= set(full_deg)
+
+
+def test_substring_dedup_span_invariants(spark, sf_dir):
+    """Span-level dedup (Lee et al. 2022 shape): counts reconcile with
+    the cleaned text, removal is span-shaped (never more dup tokens
+    than the doc has), and a doc whose every 10-gram is unique
+    corpus-wide keeps its full (whitespace-normalized) text."""
+    from bigdata1_spark.operators import corpus
+
+    rows = corpus.substring_dedup(spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    assert {r["doc_id"] for r in rows} == set(docs)
+    for r in rows:
+        n_kept = len(r["clean_text"].split()) if r["clean_text"] else 0
+        assert r["n_tokens"] - r["n_dup_tokens"] == n_kept
+        assert 0 <= r["n_dup_tokens"] <= r["n_tokens"]
+        if r["n_tokens"]:
+            assert abs(
+                r["dup_frac"] - r["n_dup_tokens"] / r["n_tokens"]
+            ) < 1e-12
+        if r["n_dup_tokens"] == 0:
+            assert r["clean_text"] == " ".join(docs[r["doc_id"]].split())
+        else:
+            # survivors are a subsequence of the original token stream
+            orig = docs[r["doc_id"]].split()
+            it = iter(orig)
+            assert all(t in it for t in r["clean_text"].split())
+
+
+def test_winnow_fingerprint_guarantee_and_density(spark, sf_dir):
+    """Winnowing contracts: every selected pos is a real gram position,
+    per-doc selections are unique by position, at least one fingerprint
+    per doc, and — the paper's guarantee — every full w-window of gram
+    hashes contains a selected position."""
+    from bigdata1_spark.operators import corpus
+    from bigdata1_spark.operators.corpus import WINNOW_K, WINNOW_W
+
+    sel = {}
+    for r in corpus.winnow_fingerprint(spark, sf_dir).collect():
+        sel.setdefault(r["doc_id"], set()).add(r["pos"])
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    assert {r["doc_id"] for r in docs} == set(sel)
+    for r in docs:
+        toks = r["text"].split()
+        n_grams = max(len(toks) - WINNOW_K + 1, 1)
+        positions = sel[r["doc_id"]]
+        assert positions and all(1 <= p <= n_grams for p in positions)
+        # coverage: each full window [i, i+w-1] holds >=1 selection
+        for i in range(1, max(n_grams - WINNOW_W + 1, 1) + 1):
+            win = set(range(i, min(i + WINNOW_W - 1, n_grams) + 1))
+            assert win & positions, (r["doc_id"], i)
