@@ -95,6 +95,11 @@ def main() -> None:
     spark = _new_spark()
 
     con = duckdb.connect()
+    # parallel sharded sweeps oversubscribe the box badly if every
+    # DuckDB grabs all cores (3 shards x 32 threads + 3 Spark JVMs);
+    # cap the oracle engine when the caller says so
+    if os.environ.get("CORR_DUCK_THREADS"):
+        con.execute(f"PRAGMA threads={int(os.environ['CORR_DUCK_THREADS'])}")
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"):
         con.execute(
