@@ -4845,9 +4845,14 @@ register(
 def _kcore_unrolled_sql(rounds: int = 3, k: int = 3) -> str:
     """Chained-CTE unroll of the fixed-round k-core peel (the
     _pagerank_unrolled_sql pattern: a loop the engine can't recurse
-    with an aggregate per round is unrolled bit-for-bit)."""
+    with an aggregate per round is unrolled bit-for-bit).
+
+    Every chained CTE is MATERIALIZED: e{r} and k{r} are each
+    referenced twice, so inlining re-evaluates the whole upstream
+    chain per reference — 2^rounds copies of the 31M-row (sf1) edge
+    self-join, which spilled DuckDB to a full disk at sf1."""
     parts = [
-        """e0 AS (
+        """e0 AS MATERIALIZED (
       SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
       FROM lineitem x JOIN lineitem y
         ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
@@ -4855,7 +4860,7 @@ def _kcore_unrolled_sql(rounds: int = 3, k: int = 3) -> str:
     ]
     for r in range(rounds):
         parts.append(
-            f"""d{r + 1} AS (
+            f"""d{r + 1} AS MATERIALIZED (
       SELECT node, COUNT(*) AS deg
       FROM (SELECT a AS node FROM e{r}
             UNION ALL SELECT b AS node FROM e{r})
@@ -4863,10 +4868,10 @@ def _kcore_unrolled_sql(rounds: int = 3, k: int = 3) -> str:
     )"""
         )
         parts.append(
-            f"""k{r + 1} AS (SELECT node FROM d{r + 1} WHERE deg >= {k})"""
+            f"""k{r + 1} AS MATERIALIZED (SELECT node FROM d{r + 1} WHERE deg >= {k})"""
         )
         parts.append(
-            f"""e{r + 1} AS (
+            f"""e{r + 1} AS MATERIALIZED (
       SELECT e.a, e.b FROM e{r} e
       JOIN k{r + 1} x ON e.a = x.node
       JOIN k{r + 1} y ON e.b = y.node
