@@ -116,14 +116,18 @@ def sql_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF (table function): one row per '-'-token of the order
-    priority with its ordinal — the lateral-view shape via the UDTF API,
-    Arrow-vectorized (``useArrow=True`` plans ArrowEvalPythonUDTF:
-    batched Arrow transfer, not per-row pickling). The bulk path for
-    the same shape is ``posexplode_items``.
+    priority with its ordinal — the lateral-view shape via the UDTF API.
+
+    Deliberately NOT Arrow-vectorized: useArrow=True plans
+    ArrowEvalPythonUDTF, which converts every per-row eval() yield
+    through pandas and measured 8-10x SLOWER here (2.1 s -> 17-23 s at
+    sf0.1, A/B in-process both orders) — per-row tiny-yield table
+    functions are the one Python surface where the pickled path wins.
+    The bulk path for the same shape is ``posexplode_items``.
     """
     from pyspark.sql.functions import lit, udtf
 
-    @udtf(returnType="pos: bigint, token: string", useArrow=True)
+    @udtf(returnType="pos: bigint, token: string")
     class SplitTokens:
         def eval(self, key: int, text: str):  # noqa: ANN001
             for i, tok in enumerate(str(text).split("-")):
@@ -362,10 +366,11 @@ def udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``udtf_tokens`` (fixed schema) covers the basic surface, this key
     covers the analyze-time one.
 
-    Arrow-vectorized like udtf_tokens (the whole Python-eval surface
-    rides the Arrow batch path; the registry-wide plan audit pins
-    BatchEvalPython out of every plan); the performant tokenizers live
-    in text_analysis (all built-ins). Columns: doc_id, w0, w1, n_words.
+    Pickled-path like udtf_tokens (Arrow UDTF eval measured 8-10x
+    slower for tiny per-row yields; the plan audit allowlists the two
+    UDTF keys and pins BatchEvalPython out of everything else); the
+    performant tokenizers live in text_analysis (all built-ins).
+    Columns: doc_id, w0, w1, n_words.
     """
     from pyspark.sql.functions import udtf
     from pyspark.sql.types import (
@@ -376,7 +381,7 @@ def udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.udtf import AnalyzeResult
 
-    @udtf(useArrow=True)
+    @udtf
     class FirstWords:
         @staticmethod
         def analyze(text, n):

@@ -740,11 +740,15 @@ def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
+    # materialize the token array in its own projection before the
+    # gram transform: _ngrams_n reads it WINNOW_K+1 times per position
+    # inside HOF lambdas, which sit outside codegen CSE — inlined, the
+    # regex split re-runs per F.get (measured ~7x on this key at sf0.1)
     g = docs.select(
+        "doc_id", tokens(F.col("text")).alias("w")
+    ).select(
         "doc_id",
-        F.posexplode(
-            _ngrams_n(tokens(F.col("text")), WINNOW_K)
-        ).alias("p0", "gram"),
+        F.posexplode(_ngrams_n(F.col("w"), WINNOW_K)).alias("p0", "gram"),
     ).select(
         "doc_id",
         (F.col("p0") + 1).alias("pos"),

@@ -840,6 +840,13 @@ def test_registry_wide_plan_audit(spark, sf_dir):
     from bigdata1_spark import registry
 
     allow_cartesian = {"join_cross"}
+    # The UDTF keys deliberately plan BatchEvalPythonUDTF: the Arrow
+    # UDTF path (useArrow=True -> ArrowEvalPythonUDTF) converts each
+    # per-row eval() yield through pandas and measured 8-10x SLOWER on
+    # these tiny-yield table functions (2.1 s -> 17-23 s at sf0.1,
+    # A/B in-process both orders). Row-at-a-time applies to scalar
+    # UDFs, where the rule stands unconditionally.
+    allow_pickled_udtf = {"udtf_tokens", "udtf_analyze"}
     violations = []
     for key in sorted(registry.QUERIES):
         try:
@@ -850,6 +857,9 @@ def test_registry_wide_plan_audit(spark, sf_dir):
             continue
         if "CartesianProduct" in plan and key not in allow_cartesian:
             violations.append(f"{key}: CartesianProduct in plan")
-        if "BatchEvalPython" in plan:
+        if "BatchEvalPythonUDTF" in plan:
+            if key not in allow_pickled_udtf:
+                violations.append(f"{key}: pickled BatchEvalPythonUDTF")
+        elif "BatchEvalPython" in plan:
             violations.append(f"{key}: row-at-a-time BatchEvalPython")
     assert not violations, "\n".join(violations)
