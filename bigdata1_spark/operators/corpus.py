@@ -563,13 +563,31 @@ def dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             % DSIR_BUCKETS
         ).alias("bucket"),
     )
-    # per-doc bucket counts: the one doc-keyed shuffle (≤64 rows/doc)
-    dwc = bg.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
-    # raw + target bucket models: ≤64 rows after map-side combine
-    bc = bg.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("r_cnt"),
+    # per-doc bucket counts: the one doc-keyed shuffle (≤64 rows/doc).
+    # lang rides along (functionally dependent on doc_id, so the group
+    # cardinality is unchanged) so BOTH corpus models below re-aggregate
+    # THIS frame instead of re-reading the raw corpus. The frame fans
+    # out three ways (bc→lr, bc→tot, per_doc) and self-join-style
+    # lineage duplication defeats exchange reuse (the dedup_jaccard
+    # lesson), so without the cache the executed plan re-ran
+    # tokenize+explode over the parquet scan 3× (verified r10/r11:
+    # 3 Scan parquet, 0 ReusedExchange). Cached rows are ≤64 per doc
+    # regardless of doc length — strictly smaller than the recompute;
+    # session-cache lifecycle as in dedup_jaccard.
+    dwc = (
+        bg.groupBy("doc_id", "lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .cache()
+    )
+    # raw + target bucket models: ≤64 rows, derived by re-aggregating
+    # the cached per-doc counts — sum(cnt) over docs is algebraically
+    # identical to counting grams, in exact integers.
+    bc = dwc.groupBy("bucket").agg(
+        F.sum("cnt").alias("r_cnt"),
         F.sum(
-            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+            F.when(F.col("lang") == DSIR_TARGET_LANG, F.col("cnt")).otherwise(
+                F.lit(0)
+            )
         ).alias("t_cnt"),
     )
     tot = bc.agg(
@@ -592,7 +610,8 @@ def dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     per_doc = (
-        dwc.join(F.broadcast(lr), "bucket")
+        dwc.select("doc_id", "bucket", "cnt")
+        .join(F.broadcast(lr), "bucket")
         .groupBy("doc_id")
         .agg(
             F.sum("cnt").alias("n_grams"),
@@ -721,6 +740,22 @@ def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 WINNOW_K = 4
 WINNOW_W = 5
 _POS_ENC = 1 << 20  # (hash, rightmost-pos) tuple packed into one long
+# The 20-bit position field bounds supported doc length at 2^20-1 grams
+# (~1M words). Beyond that the packing silently corrupts min/tie-break
+# order — and the oracle packs identically, so the hash sweep could
+# never catch it (ADVICE r11). _pack_pos fails loudly instead.
+
+
+def _pack_pos(h, pos):
+    """Pack (hash, 1-based pos) into one long so MIN(v) = (min hash,
+    rightmost pos). Raises at runtime on pos >= 2^20 rather than
+    corrupting: widen _POS_ENC before ingesting million-gram docs."""
+    ok = F.assert_true(
+        pos < F.lit(_POS_ENC),
+        f"winnow_fingerprint: gram position >= {_POS_ENC} overflows the "
+        "20-bit _POS_ENC packing field",
+    )
+    return F.when(ok.isNull(), h * F.lit(_POS_ENC) + (F.lit(_POS_ENC - 1) - pos))
 
 
 def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -756,11 +791,7 @@ def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("h"),
     )
-    g = g.withColumn(
-        "v",
-        F.col("h") * F.lit(_POS_ENC)
-        + (F.lit(_POS_ENC - 1) - F.col("pos")),
-    )
+    g = g.withColumn("v", _pack_pos(F.col("h"), F.col("pos")))
     by_doc = Window.partitionBy("doc_id")
     frame = (
         Window.partitionBy("doc_id")

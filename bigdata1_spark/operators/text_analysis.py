@@ -918,12 +918,24 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     Columns: doc_id, n_tokens, logprob_per_token.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # wc fans out 3 ways (corpus_model→tot, corpus_model→lp, per_doc)
+    # and nothing below reuses exchanges across those aliased subtrees
+    # (verified r10/r11: 3 Scan parquet, 0 ReusedExchange) — without
+    # the cache the tokenize+explode pipeline re-reads the corpus 3×.
+    # Cached rows are per-doc vocabularies (≤ token count, usually far
+    # fewer) — smaller than the recompute; session-cache lifecycle as
+    # in dedup_jaccard. corpus_model itself fans out twice (tot, lp),
+    # so it is cached too: vocabulary-sized, saves a second wc-wide
+    # shuffle.
     wc = (
         docs.select("doc_id", F.explode(_toks()).alias("word"))
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .cache()
     )
-    corpus_model = wc.groupBy("word").agg(F.sum("cnt").alias("ccnt"))
+    corpus_model = (
+        wc.groupBy("word").agg(F.sum("cnt").alias("ccnt")).cache()
+    )
     tot = corpus_model.agg(
         F.sum("ccnt").alias("n_corpus"),
         F.count(F.lit(1)).alias("v_corpus"),

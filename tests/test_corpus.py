@@ -210,3 +210,24 @@ def test_doc_entropy_bounds(spark, sf_dir):
         # 1e-6 headroom: the floor-6 output rounding can land up to
         # 5e-7 above the exact ln(n) bound for a uniform doc.
         assert -1e-6 <= r["entropy"] <= math.log(max(r["n_tokens"], 2)) + 1e-6
+
+
+def test_winnow_pack_pos_overflow_guard(spark):
+    """_pack_pos must RAISE on a gram position that no longer fits the
+    20-bit field (2^20) instead of silently corrupting tie-breaking —
+    the oracle packs identically, so only a loud failure is detectable
+    (ADVICE r11). The boundary value 2^20-1 still packs fine."""
+    from pyspark.sql import functions as F
+    from py4j.protocol import Py4JJavaError
+
+    lim = corpus._POS_ENC
+    ok = spark.range(1).select(
+        corpus._pack_pos(F.lit(7), F.lit(lim - 1)).alias("v")
+    ).first()["v"]
+    assert ok == 7 * lim  # rightmost pos encodes as 0 remainder
+    bad = spark.range(1).select(
+        corpus._pack_pos(F.lit(7), F.lit(lim)).alias("v")
+    )
+    with pytest.raises((Py4JJavaError, Exception)) as ei:
+        bad.first()
+    assert "overflows" in str(ei.value) or "_POS_ENC" in str(ei.value)

@@ -857,9 +857,42 @@ def test_registry_wide_plan_audit(spark, sf_dir):
             continue
         if "CartesianProduct" in plan and key not in allow_cartesian:
             violations.append(f"{key}: CartesianProduct in plan")
-        if "BatchEvalPythonUDTF" in plan:
-            if key not in allow_pickled_udtf:
-                violations.append(f"{key}: pickled BatchEvalPythonUDTF")
-        elif "BatchEvalPython" in plan:
+        # Check the scalar row-at-a-time case INDEPENDENTLY of the UDTF
+        # case (an `elif` here let a scalar BatchEvalPython hide behind
+        # a sanctioned UDTF node in the same plan — ADVICE r11).
+        n_udtf = plan.count("BatchEvalPythonUDTF")
+        n_scalar = plan.count("BatchEvalPython") - n_udtf
+        if n_udtf and key not in allow_pickled_udtf:
+            violations.append(f"{key}: pickled BatchEvalPythonUDTF")
+        if n_scalar:
             violations.append(f"{key}: row-at-a-time BatchEvalPython")
     assert not violations, "\n".join(violations)
+
+
+def _unique_scan_count(df) -> int:
+    """Unique '(N) Scan parquet' node-detail headers in the FINAL plan
+    (Initial Plan section excluded; cached subtrees plan as
+    InMemoryTableScan and don't count)."""
+    from bigdata1_spark.plans.checks import formatted_plan
+
+    final = formatted_plan(df).split("== Initial Plan ==")[0]
+    return len(set(re.findall(r"^\((\d+)\) Scan parquet", final, re.M)))
+
+
+def test_dsir_sample_single_corpus_scan(spark, sf_dir):
+    """dsir_sample's bucket-count frame fans out into BOTH corpus
+    models and the per-doc score; without the cache the executed plan
+    re-ran tokenize+explode over the documents parquet 3x (VERDICT
+    r10/r11 weak item). The fixed plan reads documents ONCE."""
+    from bigdata1_spark.operators import corpus
+
+    assert _unique_scan_count(corpus.dsir_sample(spark, sf_dir)) <= 1
+
+
+def test_unigram_logprob_single_corpus_scan(spark, sf_dir):
+    """Same multi-consumer-lineage class as dsir_sample (VERDICT
+    r10/r11 weak item 2): wc feeds corpus_model->tot, corpus_model->lp
+    and per_doc — one documents scan after the cache."""
+    from bigdata1_spark.operators import text_analysis
+
+    assert _unique_scan_count(text_analysis.unigram_logprob(spark, sf_dir)) <= 1
