@@ -43,10 +43,17 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_type", "ts"
     )
+    # t1/t2 each feed the NEXT stage and the final join-back; aliased
+    # lineage defeats exchange reuse, so uncached the plan re-read (and
+    # re-aggregated) the signup branch 3x and the click branch 2x —
+    # 7 events scans total (the dsir_sample lineage class). Cached,
+    # each stage is one pruned scan; the caches hold one row per
+    # converting user, far smaller than the event log.
     t1 = (
         ev.filter(F.col("event_type") == FUNNEL_STAGES[0])
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
+        .cache()
     )
     t2 = (
         ev.filter(F.col("event_type") == FUNNEL_STAGES[1])
@@ -54,6 +61,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
+        .cache()
     )
     t3 = (
         ev.filter(F.col("event_type") == FUNNEL_STAGES[2])

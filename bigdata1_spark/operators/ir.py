@@ -62,9 +62,14 @@ def tfidf_topterms(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
     words = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("term")
     )
+    # tf fans out into the df model and the score join (the
+    # unigram_logprob lineage class) — cache the per-(doc, term) counts
+    # so the corpus is tokenized once, not three times. n_docs stays a
+    # separate count-only scan: deriving it from tf would drop docs
+    # that tokenize to zero terms.
     tf = words.groupBy("doc_id", "term").agg(
         F.count(F.lit(1)).alias("tf")
-    )
+    ).cache()
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     idf = F.log(
@@ -102,12 +107,17 @@ def bm25_search(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", tokens(F.col("text")).alias("toks")
     )
-    dl = docs.select("doc_id", F.size("toks").alias("dl"))
+    # dl fans out (corpus stats + the score join) and tf fans out (df
+    # model + the score join) — uncached, each consumer re-tokenized
+    # the corpus (4 scans). dl caches 2 longs/doc; tf is bounded by
+    # |query terms| × docs containing them. One scan per cache fill.
+    dl = docs.select("doc_id", F.size("toks").alias("dl")).cache()
     tf = (
         docs.select("doc_id", F.explode("toks").alias("term"))
         .filter(F.col("term").isin(*BM25_QUERY))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .cache()
     )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     stats = dl.agg(
@@ -179,11 +189,21 @@ def cooccur_pmi(spark: SparkSession, sf_dir: str, top_n: int = 50,
             )
         ).alias("p")
     ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
-    bigrams = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("b"))
+    # both model tables fan out below (bigrams → totals + scored; uni →
+    # totals + two join sides) and aliased subtrees defeat exchange
+    # reuse — uncached, the plan re-ran tokenize+explode over the
+    # corpus FIVE times (the dsir_sample lineage class). The caches are
+    # vocabulary-/bigram-vocabulary-sized aggregates, far smaller than
+    # the recompute; one corpus scan per cache fill is the floor (the
+    # two aggregates explode the token stream with different keys).
+    bigrams = (
+        pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("b")).cache()
+    )
     uni = (
         docs.select(F.explode("toks").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("u"))
+        .cache()
     )
     totals = bigrams.agg(F.sum("b").alias("tb")).crossJoin(
         uni.agg(F.sum("u").alias("t"))

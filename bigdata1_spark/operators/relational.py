@@ -524,12 +524,18 @@ def upsert_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
     )
+    # updates and max_key each feed the output union AND the anti-join
+    # build side; uncached, the base scan re-ran per consumer (5
+    # customer scans — the dsir_sample lineage class). The cache sits
+    # on the union's CHILDREN, not on `changes` itself: union nodes
+    # flatten into a parent union before cache lookup can match them.
+    # In production the changes set is a real (small) CDC table.
     updates = base.filter(F.col("c_custkey") % 10 == 3).select(
         "c_custkey",
         F.lit("CHANGED").alias("c_mktsegment"),
         F.lit("update").alias("op"),
-    )
-    max_key = base.agg(F.max("c_custkey").alias("mx"))
+    ).cache()
+    max_key = base.agg(F.max("c_custkey").alias("mx")).cache()
     inserts = (
         spark.range(1, 51)
         .crossJoin(F.broadcast(max_key))

@@ -98,19 +98,36 @@ def _ivf_scored(
     would drift between engines; hash-sampling keeps the oracle exact
     while exercising the identical plan shape)."""
     emb = _emb(spark, sf_dir)
-    cents = (
+    return emb.crossJoin(
+        F.broadcast(_hash_sampled_centroids(emb, n_cells))
+    ).select(
+        "vec_id", "label", "v", "cid",
+        vectors.cosine(F.col("v"), F.col("cv")).alias("cscore"),
+    )
+
+
+def _hash_sampled_centroids(emb: DataFrame, n: int) -> DataFrame:
+    """The ``n`` vectors with smallest ``md5(vec_id)`` as (cid, cv).
+
+    Cached: every IVF/PQ key references its centroid/codebook table
+    from several plan branches (assignment, query scoring, probe
+    ranking, per-subspace ADC lookups), and each aliased reference
+    would otherwise re-run the full-corpus TakeOrdered sample —
+    sim_topk_ivf_pq's plan carried SIX unfiltered embeddings scans
+    from this alone (the dsir_sample lineage class). The cache is n
+    rows (n ≤ 32); at 100 TB the codebook is trained offline and this
+    table is an ingest-time artifact, as the callers' docstrings state.
+    """
+    return (
         emb.select(
             F.col("vec_id").alias("cid"),
             F.col("v").alias("cv"),
             F.md5(F.col("vec_id").cast("string")).alias("h"),
         )
         .orderBy("h", "cid")
-        .limit(n_cells)
+        .limit(n)
         .select("cid", "cv")
-    )
-    return emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "label", "v", "cid",
-        vectors.cosine(F.col("v"), F.col("cv")).alias("cscore"),
+        .cache()
     )
 
 
@@ -394,16 +411,7 @@ def pq_encode(
     subspace distances, 1e-6 floor-rounded).
     """
     emb = _emb(spark, sf_dir)
-    cents = (
-        emb.select(
-            F.col("vec_id").alias("cid"),
-            F.col("v").alias("cv"),
-            F.md5(F.col("vec_id").cast("string")).alias("h"),
-        )
-        .orderBy("h", "cid")
-        .limit(k)
-        .select("cid", "cv")
-    )
+    cents = _hash_sampled_centroids(emb, k)
     pairs = emb.crossJoin(F.broadcast(cents))
     for s in range(m):
         lo = s * dsub + 1  # 1-based slice start
@@ -469,16 +477,7 @@ def sim_topk_ivf_pq(
     """
     asg = _ivf_assign(_ivf_scored(spark, sf_dir, n_cells))
     emb = _emb(spark, sf_dir)
-    cents = (
-        emb.select(
-            F.col("vec_id").alias("cid"),
-            F.col("v").alias("cv"),
-            F.md5(F.col("vec_id").cast("string")).alias("h"),
-        )
-        .orderBy("h", "cid")
-        .limit(k)
-        .select("cid", "cv")
-    )
+    cents = _hash_sampled_centroids(emb, k)
 
     def subdist(s: int, vcol: str) -> Column:
         lo = s * dsub + 1
@@ -518,7 +517,10 @@ def sim_topk_ivf_pq(
                 " 0D, (acc, x) -> acc + x)"
             ),
         )
-    qtab = qtab.select("cid", *[f"qd{s}" for s in range(m)])
+    # k rows, referenced once per subspace by the m ADC joins below —
+    # cached so the query-side branch (pruned vec_id=0 scan + codebook)
+    # materializes once instead of m times.
+    qtab = qtab.select("cid", *[f"qd{s}" for s in range(m)]).cache()
 
     # Probe cells: the n_probes centroids nearest the query.
     probes = (

@@ -1009,7 +1009,13 @@ def vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", F.posexplode(_toks()).alias("pos", "word")
     )
-    vc = tok.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    # the vocabulary fans out (bucket histogram + the ranked id table)
+    # and tok feeds both vc and the id join — uncached, the corpus was
+    # tokenized 3x. Caching the vocabulary-sized vc bounds it to 2
+    # scans (vc fill + the id join's re-tokenize); caching tok itself
+    # would hold every token POSITION of the corpus, costlier than the
+    # one extra pass.
+    vc = tok.groupBy("word").agg(F.count(F.lit(1)).alias("cnt")).cache()
     bucketed = vc.withColumn("bkt", F.floor(F.log2("cnt")).cast("long"))
     per_b = bucketed.groupBy("bkt").agg(F.count(F.lit(1)).alias("n"))
     w_off = Window.orderBy(F.desc("bkt")).rowsBetween(

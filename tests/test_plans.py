@@ -896,3 +896,251 @@ def test_unigram_logprob_single_corpus_scan(spark, sf_dir):
     from bigdata1_spark.operators import text_analysis
 
     assert _unique_scan_count(text_analysis.unigram_logprob(spark, sf_dir)) <= 1
+
+
+# Per-key parquet-scan budget (VERDICT r11 task 3): the number of
+# '(N) Scan parquet' nodes in each key's FINAL physical plan, pinned at
+# the audited value so the multi-consumer-lineage defect class (a frame
+# fanning out into consumers that each re-read the base parquet —
+# dsir_sample/unigram_logprob in r10/r11, cooccur_pmi/sim_topk_ivf_pq/
+# funnel_conversion/... fixed in r12) is mechanically gated. Cached
+# subtrees plan as InMemoryTableScan; a cache's fill plan prints once,
+# so a 2 often reads "one pass + one cache fill". Keys above 2 carry an
+# inline adjudication. Streaming/generator keys read no parquet (0).
+# A NEW key must be added here deliberately — unknown keys fail.
+SCAN_BUDGETS = {
+    "agg_distinct": 1,
+    "agg_stats": 1,
+    "anomaly_zscore": 1,
+    "approx_sketch": 2,
+    "array_ops": 1,
+    "arrow_map": 1,
+    "asof_join": 2,
+    "asof_join_forward": 2,
+    "assoc_rules": 1,
+    "billing_total_b": 2,
+    "bm25_search": 2,
+    "bpe_merge_round": 0,
+    "bpe_merge_round2": 0,
+    "bpe_pair_counts": 1,
+    "cdc_apply": 1,
+    "centroid_per_label": 1,
+    "cogrouped_map": 2,
+    "collect_list_agg": 2,
+    "column_profile": 1,
+    "concurrency": 1,
+    "contamination_ngrams": 2,
+    "cooccur_pmi": 2,
+    "cumulative_distinct": 1,
+    "decontaminate_apply": 3,  # source-pruned test/train splits of one table
+    "dedup_apply": 2,
+    "dedup_chunks": 1,
+    "dedup_clusters": 0,
+    "dedup_embedding": 1,
+    "dedup_embedding_multiprobe": 3,  # one linear pass per LSH table seed (documented recall dial)
+    "dedup_exact": 1,
+    "dedup_jaccard": 0,
+    "dedup_near": 0,
+    "dedup_near_apply": 1,
+    "dedup_semantic": 1,
+    "dedup_semantic_apply": 2,
+    "dedup_simhash": 1,
+    "doc_chunking": 1,
+    "doc_entropy": 1,
+    "domain_cap": 1,
+    "dpp_join": 0,
+    "dq_expectations": 3,  # single agg pass + referential anti-join (lineitem x2) + orders
+    "dsir_sample": 1,
+    "embedding_norms": 1,
+    "event_transitions": 1,
+    "events_attribution_streamed": 0,
+    "events_dedup_streamed": 0,
+    "events_enrich_streamed": 0,
+    "events_leftjoin_streamed": 0,
+    "events_session_streamed": 0,
+    "events_sliding": 1,
+    "events_sliding_streamed": 0,
+    "events_stateful_sessions_streamed": 0,
+    "events_upsert_streamed": 0,
+    "events_user_counts_streamed": 0,
+    "events_window": 1,
+    "events_window_streamed": 0,
+    "ewma": 1,
+    "explode_items": 1,
+    "filter_predicate": 1,
+    "fingerprint": 1,
+    "funnel_conversion": 4,  # 3 event_type-pruned stage scans + users distinct; stage aggs cached
+    "fuzzy_join": 4,  # dim-table fuzzy self-join (both sides + blocking branches)
+    "gen_billings": 0,
+    "global_count": 1,
+    "global_enumerate": 2,
+    "graph_degree": 1,
+    "groupby_count": 2,
+    "groupby_cube": 1,
+    "groupby_grouping_sets": 1,
+    "groupby_median_mode": 2,
+    "groupby_quantiles": 1,
+    "groupby_rollup": 1,
+    "groupby_sum": 2,
+    "grouped_map_normalize": 1,
+    "heavy_hitters": 2,
+    "histogram": 2,
+    "holt_winters": 1,
+    "interval_coverage": 1,
+    "interval_overlap_join": 2,
+    "itemset_freq": 1,
+    "ivm_delta_agg": 2,
+    "join_anti": 2,
+    "join_broadcast": 2,
+    "join_cross": 2,
+    "join_outer": 2,
+    "join_range": 1,
+    "join_self_pairs": 1,
+    "join_semi": 2,
+    "kcore": 0,
+    "knn_classify": 2,
+    "knn_join": 2,
+    "lang_id": 2,
+    "limit_n": 1,
+    "locf_fill": 2,
+    "map_ops": 1,
+    "mixture_sample": 1,
+    "multimodal_join": 2,
+    "multimodal_pipeline": 0,
+    "ngram_freq": 1,
+    "ntile_stats": 1,
+    "observed_metrics": 0,
+    "ohlc_bars": 1,
+    "pagerank": 0,
+    "pagerank_iter1": 0,
+    "pandas_grouped_agg": 1,
+    "pii_scrub": 1,
+    "pipeline_pretraining": 0,
+    "pivot_agg": 2,
+    "posexplode_items": 1,
+    "pq_encode": 2,
+    "project_cast": 1,
+    "project_month": 1,
+    "project_split": 1,
+    "psi_drift": 2,
+    "python_datasource": 0,
+    "python_stream_source": 0,
+    "quality_filters": 2,
+    "quality_score": 1,
+    "repetition_metrics": 2,
+    "resample_interpolate": 2,
+    "retention_cohorts": 2,
+    "rollup_multires": 1,
+    "runtime_filter_join": 0,
+    "sample_exact_k": 1,
+    "sample_split": 1,
+    "sample_stratified": 1,
+    "sample_weighted": 2,
+    "scalar_concat": 1,
+    "scalar_datetime": 1,
+    "scalar_json": 1,
+    "scalar_round": 1,
+    "scalar_string": 1,
+    "scalar_url": 1,
+    "scalar_variant": 1,
+    "scan_csv": 0,
+    "scan_jsonl": 0,
+    "scan_orc": 0,
+    "scan_parquet": 1,
+    "scan_partitioned": 0,
+    "scd2_intervals": 1,
+    "schema_evolution": 0,
+    "seasonal_naive": 2,
+    "session_window_fn": 1,
+    "sessionize": 1,
+    "setop_except": 2,
+    "setop_except_all": 2,
+    "setop_intersect": 2,
+    "setop_intersect_all": 2,
+    "setop_union": 2,
+    "shard_pack": 1,
+    "sim_topk": 2,
+    "sim_topk_ivf": 3,  # corpus pass + codebook cache fill + pruned vec_id=0 query branch
+    "sim_topk_ivf_multiprobe": 4,  # corpus + codebook fill + 2 pruned query branches
+    "sim_topk_ivf_pq": 4,  # corpus + codebook fill + 2 pruned query branches (was 13 pre-cache)
+    "sim_topk_lsh": 2,
+    "sketch_merge_rollup": 2,
+    "skew_salted_agg": 1,
+    "skew_salted_join": 2,
+    "skyline": 1,
+    "sort_asc": 2,
+    "sort_desc": 1,
+    "sql_api": 2,
+    "sql_catalog": 0,
+    "sql_lateral": 2,
+    "substring_dedup": 4,  # gram-index pass + original-text rejoin + 2 doc_id-pruned sides
+    "table_diff": 3,  # snapshot B is fixture-derived from A twice; production diffs 2 real tables
+    "text_normalize": 1,
+    "text_stats": 1,
+    "tfidf_topterms": 2,
+    "token_count": 1,
+    "topk_window": 2,
+    "tpch_q1": 1,
+    "tpch_q10": 4,  # 4 base tables
+    "tpch_q11": 2,
+    "tpch_q12": 2,
+    "tpch_q13": 2,
+    "tpch_q14": 2,
+    "tpch_q15": 0,
+    "tpch_q16": 3,  # 3 base tables
+    "tpch_q17": 4,  # part + lineitem self-avg subquery
+    "tpch_q18": 3,  # lineitem IN-subquery + 2 tables
+    "tpch_q19": 2,
+    "tpch_q2": 5,  # 5 base tables
+    "tpch_q20": 4,  # 4 tables incl. lineitem qty subquery
+    "tpch_q21": 7,  # lineitem x3 (anti/semi self-joins) + orders x2 + 2 dims
+    "tpch_q22": 3,  # customer self-avg subquery + orders
+    "tpch_q3": 3,  # 3 base tables
+    "tpch_q4": 2,
+    "tpch_q5": 6,  # 6 base tables
+    "tpch_q6": 1,
+    "tpch_q7": 6,  # 5 tables + nation self-alias
+    "tpch_q8": 7,  # 7 tables (nation aliased twice, one pruned away)
+    "tpch_q9": 5,  # 5 tables + nation
+    "transpose_stats": 0,
+    "triangle_count": 0,
+    "twa": 1,
+    "udtf_analyze": 1,
+    "udtf_tokens": 1,
+    "unigram_logprob": 1,
+    "unpivot_metrics": 1,
+    "upsert_apply": 3,  # fixture derives changes from base (cached children); production reads a real CDC table
+    "user_paths": 1,
+    "vocab_encode": 2,
+    "window_first_last": 1,
+    "window_lag": 2,
+    "window_range_frame": 1,
+    "window_rank": 2,
+    "window_running_sum": 1,
+    "winnow_fingerprint": 1,
+    "zorder_cluster": 1,
+}
+
+
+def test_registry_wide_scan_budget(spark, sf_dir):
+    """EVERY registry key's plan must not read the base parquet more
+    often than its audited budget — the mechanical gate for the
+    repeated-full-corpus-scan class. A violation means a frame fans out
+    into multiple consumers without a cache (or a cache stopped
+    matching, e.g. a union flattened through it — see upsert_apply)."""
+    from bigdata1_spark import registry
+
+    violations = []
+    for key in sorted(registry.QUERIES):
+        budget = SCAN_BUDGETS.get(key)
+        if budget is None:
+            violations.append(f"{key}: no scan budget — audit and add one")
+            continue
+        try:
+            n = _unique_scan_count(registry.QUERIES[key](spark, sf_dir))
+        except Exception as ex:  # noqa: BLE001 - surface as a violation
+            violations.append(f"{key}: plan build failed: {ex}")
+            continue
+        if n > budget:
+            violations.append(f"{key}: {n} parquet scans, budget {budget}")
+    assert not violations, "\n".join(violations)
