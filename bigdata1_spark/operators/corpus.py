@@ -51,14 +51,25 @@ def _seq_bigrams(toks: Column) -> Column:
     occurrence, unlike the deduped shingles minhash uses. Follows the
     word_shingles convention: a doc shorter than 2 tokens yields one
     whole-doc gram (greatest(…,1) also avoids sequence(1,0), which
-    Spark would iterate DOWNWARD)."""
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1)))
-    return F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", F.get(toks, i - 1), F.get(toks, i)
-        ),
-    )
+    Spark would iterate DOWNWARD).
+
+    ``toks`` is let-bound (the word_shingles discipline): the lambda
+    references it 2×/element outside codegen CSE, so a computed
+    argument like ``tokens(text)`` would otherwise re-run its regex
+    split per reference — O(words²) splits/doc (measured 61 s → 2 s on
+    dsir_sample's sf1 explode)."""
+    from bigdata1_spark.functions.hashing import let
+
+    def body(tk: Column) -> Column:
+        idx = F.sequence(F.lit(1), F.greatest(F.size(tk) - 1, F.lit(1)))
+        return F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", F.get(tk, i - 1), F.get(tk, i)
+            ),
+        )
+
+    return let(toks, body)
 
 
 def repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -190,14 +201,22 @@ def contamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _ngrams_n(toks: Column, n: int) -> Column:
     """Sequential word n-grams; docs shorter than n yield one whole-doc
     gram (the word_shingles convention — F.get is NULL-safe past the
-    end and concat_ws drops NULLs, so the gram just comes out short)."""
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
-    return F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.get(toks, i + j - 1) for j in range(n)]
-        ),
-    )
+    end and concat_ws drops NULLs, so the gram just comes out short).
+    ``toks`` is let-bound (see _seq_bigrams) — n references/element."""
+    from bigdata1_spark.functions.hashing import let
+
+    def body(tk: Column) -> Column:
+        idx = F.sequence(
+            F.lit(1), F.greatest(F.size(tk) - (n - 1), F.lit(1))
+        )
+        return F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.get(tk, i + j - 1) for j in range(n)]
+            ),
+        )
+
+    return let(toks, body)
 
 
 def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -551,10 +570,16 @@ def dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "text"
     )
-    bg = docs.select(
+    # materialize the token array in its own projection before the
+    # bigram transform (the winnow_fingerprint lesson): inlined,
+    # _seq_bigrams' F.get calls sit outside codegen CSE and re-run the
+    # regex split per element — O(words²) splits per doc, measured 61 s
+    # for the sf1 explode vs ~2 s materialized.
+    tk = docs.select("doc_id", "lang", tokens(F.col("text")).alias("w"))
+    bg = tk.select(
         "doc_id",
         "lang",
-        F.explode(_seq_bigrams(tokens(F.col("text")))).alias("gram"),
+        F.explode(_seq_bigrams(F.col("w"))).alias("gram"),
     ).select(
         "doc_id",
         "lang",

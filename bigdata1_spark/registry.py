@@ -4242,6 +4242,23 @@ register(
     """,
 )
 
+# Streaming twin of skew_salted_agg: the stateful case explicit
+# salting exists for (a streaming agg's state partitioning is
+# checkpoint-pinned on the grouping key — AQE cannot split a hot key's
+# state partition at runtime). Partial agg keyed (event_type, salt) in
+# the stream, final merge batch-side in the foreachBatch sink; result
+# equals the plain groupBy by associativity, which the same oracle pins.
+register(
+    "events_salted_agg_streamed",
+    streaming_events.events_salted_agg_streamed,
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1
+    """,
+)
+
 register(
     "fuzzy_join",
     matching.fuzzy_join,

@@ -204,6 +204,84 @@ def events_user_counts_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def events_salted_agg_streamed(
+    spark: SparkSession, sf_dir: str, n_salts: int = 16
+) -> DataFrame:
+    """Streaming twin of ``plans.skew.skew_salted_agg`` — the case the
+    salting module exists for (``plans/skew.py`` module docstring): AQE
+    can split a skewed BATCH shuffle partition at runtime, but a
+    streaming stateful aggregation's state partitioning is hashed on
+    the grouping key and pinned by the checkpoint at first start —
+    every update for a hot key lands on the SAME state partition
+    forever, and no runtime replan can split it. Salting the streaming
+    grouping key to (event_type, salt) spreads a hot key's update
+    traffic and state across ``n_salts`` partitions; the FINAL merge
+    down to event_type runs batch-side in the foreachBatch sink, where
+    the input is the pre-aggregated (|keys| × n_salts)-row state
+    table, never raw events.
+
+    The salt is ``xxhash64(user_id, ts) % n_salts`` — a pure function
+    of the row, so a replayed micro-batch lands every event on the
+    same salt (replay-idempotent) instead of re-rolling a
+    nondeterministic spread. Counts and decimal value sums merge
+    associatively, so the sink result equals the plain groupBy — which
+    is exactly what the shared ``skew_salted_agg`` oracle pins.
+    Complete output mode means the final micro-batch carries the full
+    partial-state table and the overwrite sink is replay-safe.
+    Columns: event_type, n_events, total_value.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="bigdata1_salted_agg_stream_")
+    try:
+        src = os.path.join(work, "src")
+        os.makedirs(src)
+        shutil.copy(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(src, "events.parquet"),
+        )
+        out = os.path.join(work, "out")
+
+        partial = (
+            _read_events_stream(spark, src)
+            .withColumn(
+                "__salt",
+                F.pmod(F.xxhash64("user_id", "ts"), F.lit(n_salts)),
+            )
+            .groupBy("event_type", "__salt")
+            .agg(
+                F.count(F.lit(1)).alias("pn"),
+                F.sum(F.col("value").cast("decimal(18,4)")).alias("pv"),
+            )
+        )
+
+        def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
+            (
+                batch_df.groupBy("event_type")
+                .agg(
+                    F.sum("pn").cast("long").alias("n_events"),
+                    F.sum("pv").cast("double").alias("total_value"),
+                )
+                .write.mode("overwrite")
+                .parquet(out)
+            )
+
+        with _state_sized_partitions(spark, src):
+            query = (
+                partial.writeStream.foreachBatch(write_batch)
+                .outputMode("complete")
+                .option("checkpointLocation", os.path.join(work, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            query.awaitTermination()
+        return spark.read.parquet(out).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _read_events_stream(
     spark: SparkSession,
     source_dir: str,

@@ -577,3 +577,31 @@ def test_tws_sessionizer_full_parity_with_batch(spark, sf_dir):
     }
     batch = {tuple(r) for r in sessionize(spark, sf_dir).collect()}
     assert got == batch
+
+
+def test_salted_agg_streamed_matches_batch(spark, sf_dir):
+    """The salted streaming aggregation (partial state on
+    (event_type, salt), final merge in the foreachBatch sink) must
+    equal the plain batch groupBy exactly — counts and decimal sums
+    merge associatively, so salting cannot change the answer."""
+    from pyspark.sql import functions as F
+
+    from bigdata1_spark.sources.tables import load_table
+
+    got = {
+        (r["event_type"], r["n_events"], r["total_value"])
+        for r in se.events_salted_agg_streamed(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    want = {
+        (r["event_type"], r["n_events"], r["total_value"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .collect()
+    }
+    assert got == want
