@@ -250,7 +250,12 @@ def approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # measured 2.3 s vs 0.65 s at sf0.1 for the split plan. The join
     # side is |distinct l_returnflag| rows (3), broadcast for free.
     sketches = li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("apx_parts"),
+        # rsd=0.01, not the 0.05 default: the pinned 5% band is then a
+        # 5-sigma contract instead of 1-sigma — the default rsd put the
+        # Zipf-skew twin's flag-R key set 5.2% off and flipped the
+        # boolean (found by the r12 skew sweep). 1% rsd is 2^14
+        # registers ≈ 16 KB per group — still fixed-memory at any scale.
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("apx_parts"),
         F.expr("approx_percentile(l_extendedprice, 0.5, 1000)")
         .alias("apx_med_price"),
         # one percentile call with an array of fractions over the

@@ -175,8 +175,14 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str,
         F.sum((x * x).cast("decimal(38,12)")).over(w), 4
     ).cast("double")
     mean = sx / n
-    sd = F.sqrt((sxx - sx * sx / n) / (n - F.lit(1.0)))
-    z = (F.col("value") - mean) / sd
+    # try_divide, not '/': a single-event user has n-1 = 0 and a
+    # constant-value user has sd = 0 — DuckDB's '/' yields NULL there
+    # and the |z| filter drops the row, but Spark under ANSI raises
+    # DIVIDE_BY_ZERO. Found by the Zipf-skew sweep (the FK remap
+    # leaves some users with exactly one event); uniform sf0.01/sf1
+    # data never produced the degenerate partitions.
+    sd = F.sqrt(F.try_divide(sxx - sx * sx / n, n - F.lit(1.0)))
+    z = F.try_divide(F.col("value") - mean, sd)
     return (
         ev.select("event_id", "user_id", "value", z.alias("z"))
         .filter(F.abs(F.col("z")) > threshold)

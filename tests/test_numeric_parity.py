@@ -221,3 +221,40 @@ def test_twa_adversarial_magnitude_end_to_end(spark, tmp_path):
     assert wsum_probe > 2**53, "fixture no longer reaches the 2^53 regime"
     assert not math.isinf(wsum_probe)
     assert_matches_oracle(got, con, ORACLES["twa"], key="twa-adversarial")
+
+
+def test_anomaly_zscore_degenerate_partitions_yield_no_rows(spark, tmp_path):
+    """A user with exactly ONE event (n-1 = 0) and a user whose values
+    are all equal (sd = 0) must produce NO output rows — DuckDB's '/'
+    yields NULL there and the |z| filter drops them, so Spark must
+    NULL (try_divide), not raise ANSI DIVIDE_BY_ZERO. Found by the
+    Zipf-skew sweep: the FK remap leaves single-event users that
+    uniform testdata never produced."""
+    import datetime
+
+    from bigdata1_spark.operators.temporal import anomaly_zscore
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        # user 1: single event -> n-1 == 0
+        (100, 1, "click", t0, 5.0),
+        # user 2: constant values -> variance == 0 -> sd == 0
+        (200, 2, "click", t0, 7.0),
+        (201, 2, "click", t0 + datetime.timedelta(hours=1), 7.0),
+        (202, 2, "click", t0 + datetime.timedelta(hours=2), 7.0),
+        # user 3: healthy spread, sanity that the pipeline still works
+        (300, 3, "click", t0, 0.0),
+        (301, 3, "click", t0 + datetime.timedelta(hours=1), 0.0),
+        (302, 3, "click", t0 + datetime.timedelta(hours=2), 100.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, "
+              "ts timestamp, value double"
+    )
+    path = str(tmp_path)
+    df.write.mode("overwrite").parquet(path + "/events.parquet")
+    out = anomaly_zscore(spark, path).collect()
+    # users 1 and 2 contribute nothing; user 3's outlier may or may not
+    # clear the 1.5 threshold — the contract under test is "no raise,
+    # degenerate users dropped"
+    assert all(r["user_id"] == 3 for r in out)
