@@ -3347,6 +3347,30 @@ register(
     """,
 )
 
+# Salted twin of the stream-stream join above: state key (user_id,
+# salt), purchase side replicated per salt — splits a hot user's
+# checkpoint-pinned click state across n_salts store partitions (the
+# skew sweep measured the unsalted join grinding ~35 min on the Zipf
+# twin's hot user). Salting must not change the result multiset, so the
+# oracle is the SAME batch self-join.
+register(
+    "events_salted_join_streamed",
+    streaming_events.events_salted_join_streamed,
+    """
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+           p.value AS purchase_value
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+
 register(
     "events_dedup_streamed",
     streaming_events.events_dedup_streamed,

@@ -359,6 +359,111 @@ def click_purchase_join_stream(
     )
 
 
+SALT_JOIN_N = 4
+
+
+def click_purchase_join_stream_salted(
+    spark: SparkSession,
+    source_dir: str,
+    horizon: str = "1 hour",
+    n_salts: int = SALT_JOIN_N,
+) -> DataFrame:
+    """Salted variant of :func:`click_purchase_join_stream` — the
+    replication recipe of ``plans.skew.salted_join`` applied to
+    checkpoint-pinned stream-stream JOIN state.
+
+    Why it exists (measured, not hypothetical): on the Zipf-skew twin
+    the unsalted join PASSES but grinds ~35 minutes, because every
+    click-state row for the hot user (17.9 % of all events) hashes to
+    ONE state-store partition, and neither AQE nor the state store can
+    split a key at runtime. Salting the state key to (user_id, salt)
+    with ``salt = xxhash64(click_id) % n_salts`` — a pure function of
+    the row, so replays land identically — spreads the hot user's
+    click state and probe work across ``n_salts`` partitions. The
+    purchase side is replicated once per salt (the small-side
+    replication cost ``salted_join`` documents), so each (click,
+    purchase) pair matches EXACTLY once: the click carries one salt
+    value and exactly one purchase replica carries the same one.
+    Join semantics — and therefore the oracle — are identical to the
+    unsalted join. Columns: user_id, click_id, click_ts, purchase_ts,
+    purchase_value.
+    """
+    clicks = (
+        _read_events_stream(spark, source_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+            F.pmod(F.xxhash64("event_id"), F.lit(n_salts)).alias("c_salt"),
+        )
+        .withWatermark("click_ts", horizon)
+    )
+    purchases = (
+        _read_events_stream(spark, source_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+            F.explode(
+                F.sequence(F.lit(0), F.lit(n_salts - 1)).cast(
+                    "array<bigint>"
+                )
+            ).alias("p_salt"),
+        )
+        .withWatermark("purchase_ts", horizon)
+    )
+    return clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("c_salt") == F.col("p_salt"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")
+        ),
+    ).select(
+        "user_id", "click_id", "click_ts", "purchase_ts", "purchase_value"
+    )
+
+
+def events_salted_join_streamed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Registry-facing drain of the SALTED stream-stream interval join
+    (:func:`click_purchase_join_stream_salted`) — the join-side twin of
+    ``events_salted_agg_streamed``, pinned against the SAME batch
+    self-join oracle as the unsalted ``events_attribution_streamed``
+    (salting must not change the result multiset). Columns: user_id,
+    click_id, click_ts, purchase_ts, purchase_value.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    work = tempfile.mkdtemp(prefix="bigdata1_salted_join_stream_")
+    try:
+        src = os.path.join(work, "src")
+        os.makedirs(src)
+        shutil.copy(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(src, "events.parquet"),
+        )
+        joined = click_purchase_join_stream_salted(spark, src).select(
+            "user_id",
+            "click_id",
+            F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .alias("click_ts"),
+            F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .alias("purchase_ts"),
+            "purchase_value",
+        )
+        return _run_bounded_append(spark, joined, work)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def dedup_stream(
     spark: SparkSession,
     source_dir: str,

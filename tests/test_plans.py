@@ -958,6 +958,7 @@ SCAN_BUDGETS = {
     "events_enrich_streamed": 0,
     "events_leftjoin_streamed": 0,
     "events_salted_agg_streamed": 0,
+    "events_salted_join_streamed": 0,
     "events_session_streamed": 0,
     "events_sliding": 1,
     "events_sliding_streamed": 0,

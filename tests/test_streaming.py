@@ -605,3 +605,26 @@ def test_salted_agg_streamed_matches_batch(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_salted_join_stream_matches_unsalted(spark, sf_dir, stream_dir):
+    """Salting the stream-stream join's state key must not change the
+    result multiset: every (click, purchase) pair matches exactly once
+    because one purchase replica carries the click's salt."""
+
+    def drain(df, name):
+        q = (
+            df.writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        return {tuple(r) for r in spark.sql(f"SELECT * FROM {name}").collect()}
+
+    plain = drain(
+        se.click_purchase_join_stream(spark, stream_dir), "plain_join"
+    )
+    salted = drain(
+        se.click_purchase_join_stream_salted(spark, stream_dir),
+        "salted_join",
+    )
+    assert salted == plain and len(plain) > 0
