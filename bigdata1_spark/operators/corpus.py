@@ -774,13 +774,23 @@ _POS_ENC = 1 << 20  # (hash, rightmost-pos) tuple packed into one long
 def _pack_pos(h, pos):
     """Pack (hash, 1-based pos) into one long so MIN(v) = (min hash,
     rightmost pos). Raises at runtime on pos >= 2^20 rather than
-    corrupting: widen _POS_ENC before ingesting million-gram docs."""
-    ok = F.assert_true(
+    corrupting: widen _POS_ENC before ingesting million-gram docs.
+
+    The guard lives in the ``otherwise`` branch so no optimizer rule
+    can fold it away: an ``assert_true(...).isNull()`` predicate is
+    only honored for as long as Catalyst declines to constant-fold
+    IsNull over a NullType column (ADVICE r12)."""
+    return F.when(
         pos < F.lit(_POS_ENC),
-        f"winnow_fingerprint: gram position >= {_POS_ENC} overflows the "
-        "20-bit _POS_ENC packing field",
+        h * F.lit(_POS_ENC) + (F.lit(_POS_ENC - 1) - pos),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"winnow_fingerprint: gram position >= {_POS_ENC} overflows "
+                "the 20-bit _POS_ENC packing field"
+            )
+        ).cast("long")
     )
-    return F.when(ok.isNull(), h * F.lit(_POS_ENC) + (F.lit(_POS_ENC - 1) - pos))
 
 
 def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:

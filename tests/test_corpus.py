@@ -218,7 +218,6 @@ def test_winnow_pack_pos_overflow_guard(spark):
     the oracle packs identically, so only a loud failure is detectable
     (ADVICE r11). The boundary value 2^20-1 still packs fine."""
     from pyspark.sql import functions as F
-    from py4j.protocol import Py4JJavaError
 
     lim = corpus._POS_ENC
     ok = spark.range(1).select(
@@ -228,6 +227,12 @@ def test_winnow_pack_pos_overflow_guard(spark):
     bad = spark.range(1).select(
         corpus._pack_pos(F.lit(7), F.lit(lim)).alias("v")
     )
-    with pytest.raises((Py4JJavaError, Exception)) as ei:
+    # Match on the guard's own message, not a bare Exception: the raise
+    # must come from _pack_pos's raise_error branch, not any unrelated
+    # failure whose stack trace happens to mention the module (ADVICE
+    # r12). raise_error surfaces as USER_RAISED_EXCEPTION /
+    # SparkRuntimeException; match= narrows it to this exact sentinel.
+    from pyspark.errors import SparkRuntimeException
+
+    with pytest.raises(SparkRuntimeException, match="overflows the 20-bit"):
         bad.first()
-    assert "overflows" in str(ei.value) or "_POS_ENC" in str(ei.value)

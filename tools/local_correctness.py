@@ -135,6 +135,13 @@ def main() -> None:
     def _run_key(key):
         row = {"rows_match": None, "schema_match": None, "hash_match": None,
                "spark_rows": None, "oracle_rows": None, "err": None}
+        # Cache-lifecycle convention (see operators/ir.py header): an
+        # operator may leave session-scoped caches behind when its
+        # result frame still depends on them lazily; every harness that
+        # loops over the registry clears BEFORE each key (bench.py does
+        # the same) so a 211-key sweep at sf3 can't accumulate storage
+        # entries across keys (ADVICE r12).
+        spark.catalog.clearCache()
         got = qs[key](spark, sf_dir).toPandas()
         got = got[sorted(got.columns)]
         row["spark_rows"] = len(got)
