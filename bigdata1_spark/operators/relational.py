@@ -301,30 +301,40 @@ def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-class query: per-column null count, exact distinct count,
     min/max, and a decimal-exact mean for lineitem's measure columns.
 
-    ONE aggregation pass computes every statistic (the distinct counts
-    expand map-side, still a single shuffle), then a ``stack`` unpivots
-    the 1-row result into long form — zero extra exchanges. The mean is
-    a decimal sum divided by the count so it is bit-stable across
-    partial-agg orderings (same discipline as ``exact_sum``). At 100 TB
-    this is the profile pass a pipeline runs before schema decisions;
-    only the exact distinct counts are scale-sensitive, and
-    ``approx_sketch`` is the documented sketch fallback.
+    TWO aggregation passes over the pruned 4-column scan, crossJoined
+    into one row: mixing the 4 ``countDistinct`` with the 20 plain
+    aggregates in a single ``agg`` made Catalyst rewrite EVERYTHING
+    through the distinct Expand — 5x the input rows pushed through 24
+    FILTER-gated partial aggregates (measured 5.4 s vs 2.0 s at sf0.1).
+    Split, the plain pass stays a lean single-shuffle partial agg and
+    the distinct pass carries only its own 4-way Expand; both shuffles
+    move one row per partition(+distinct value). The extra pruned scan
+    is the cheaper side of the trade at any scale — the Expand CPU blow-
+    up grows with row count, the second pass reads 4 numeric columns.
+    A ``stack`` then unpivots the 1-row result into long form — zero
+    further exchanges. The mean is a decimal sum divided by the count so
+    it is bit-stable across partial-agg orderings (same discipline as
+    ``exact_sum``). At 100 TB this is the profile pass a pipeline runs
+    before schema decisions; only the exact distinct counts are
+    scale-sensitive, and ``approx_sketch`` is the documented sketch
+    fallback.
     Columns: col_name, n_nulls, n_distinct, min_val, max_val, mean_val.
     """
     cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     li = load_table(spark, sf_dir, "lineitem").select(*cols)
-    aggs = []
+    plain = []
     for c in cols:
-        aggs += [
+        plain += [
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
             .cast("long").alias(f"{c}__nulls"),
-            F.countDistinct(c).alias(f"{c}__distinct"),
             F.min(c).alias(f"{c}__min"),
             F.max(c).alias(f"{c}__max"),
             F.sum(F.col(c).cast("decimal(18,4)")).alias(f"{c}__sum"),
             F.count(c).alias(f"{c}__cnt"),
         ]
-    row = li.agg(*aggs)
+    distincts = [F.countDistinct(c).alias(f"{c}__distinct") for c in cols]
+    # both sides are single rows; the crossJoin is a broadcast of one row
+    row = li.agg(*plain).crossJoin(li.agg(*distincts))
     stacked = ", ".join(
         f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max, "
         f"cast({c}__sum as double) / {c}__cnt"

@@ -4321,6 +4321,22 @@ register(
     """,
 )
 
+# The layout (bucketed tables) changes the PLAN, never the rows — the
+# oracle is the plain join aggregate. tests/test_plans.py pins the
+# zero-exchange sort-merge join that is the key's whole point.
+register(
+    "bucketed_join",
+    layout.bucketed_join,
+    """
+    SELECT strftime(o.o_orderdate, '%Y-%m') AS month,
+           COUNT(*) AS n_lines,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS VARCHAR)
+                AS DOUBLE) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+
 register(
     "groupby_median_mode",
     relational.groupby_median_mode,

@@ -656,6 +656,26 @@ def test_zorder_range_partitioning(spark, sf_dir):
     checks.assert_max_exchanges(df, 1, "zorder_cluster")
 
 
+def test_bucketed_join_zero_exchange_join(spark, sf_dir):
+    """The key's whole point: both sides are bucketed on the join key
+    with the same bucket count, so the sort-merge join must execute
+    with NO exchange below it — the only exchange in the entire plan
+    is the final per-month rollup's. A broadcast join sneaking in (toy
+    sizes beat the merge hint) or a second exchange (bucketing info
+    lost, e.g. a mismatched bucket count) voids the layout demo."""
+    from bigdata1_spark.operators import layout
+
+    df = layout.bucketed_join(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, f"expected sort-merge join:\n{plan}"
+    assert "BroadcastHashJoin" not in plan, (
+        f"bucketed join degraded to broadcast:\n{plan}"
+    )
+    checks.assert_max_exchanges(df, 1, "bucketed_join")
+    # the scans themselves must be the bucketed tables, 8 buckets each
+    assert "bigdata1_bkt_lineitem" in plan and "bigdata1_bkt_orders" in plan
+
+
 def test_global_enumerate_no_global_sort(spark, sf_dir):
     """The whole point: no single-partition WindowExec over row-level
     data. The only unpartitioned window may run on the 64-row bucket
@@ -923,11 +943,12 @@ SCAN_BUDGETS = {
     "bpe_merge_round": 0,
     "bpe_merge_round2": 0,
     "bpe_pair_counts": 1,
+    "bucketed_join": 2,  # the two bucketed-table scans; base tables are read by the eager layout write, not the returned plan
     "cdc_apply": 1,
     "centroid_per_label": 1,
     "cogrouped_map": 2,
     "collect_list_agg": 2,
-    "column_profile": 1,
+    "column_profile": 2,  # deliberate plain-stats + distinct split: one agg forced a 5x Expand over all 24 aggregates (2.6x slower measured)
     "concurrency": 1,
     "contamination_ngrams": 2,
     "cooccur_pmi": 2,
