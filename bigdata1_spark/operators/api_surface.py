@@ -415,6 +415,42 @@ def udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sql_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (``WITH RECURSIVE``, new in Spark 4) — iterative
+    transitive closure expressed in pure SQL text, the surface that
+    previously required a driver-side loop (``pagerank``/``kcore``
+    style localCheckpoint iteration).
+
+    Walks the implicit binary-tree hierarchy over supplier keys
+    (parent(k) = floor(k/2), root 1) and rolls up per depth. The
+    recursion is data-bounded at ~log2(|supplier|) rounds; Spark
+    executes each round as one join against the previous frontier, so
+    the plan is the same per-iteration shape the hand-rolled loops use
+    — but planned and scheduled by the engine. Division semantics are
+    pinned with explicit FLOOR because bare ``/`` differs across
+    engines (Spark truncates on integer cast, DuckDB rounds).
+    Columns: depth, n_nodes, min_key, max_key.
+    """
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView(
+        "v_supplier"
+    )
+    return spark.sql(
+        """
+        WITH RECURSIVE tree(node, depth) AS (
+          SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS depth
+          UNION ALL
+          SELECT s.s_suppkey, t.depth + 1
+          FROM tree t JOIN v_supplier s
+            ON CAST(FLOOR(s.s_suppkey / 2.0) AS BIGINT) = t.node
+               AND s.s_suppkey > 1
+        )
+        SELECT depth, COUNT(*) AS n_nodes,
+               MIN(node) AS min_key, MAX(node) AS max_key
+        FROM tree GROUP BY depth
+        """
+    )
+
+
 def sql_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parameterized SQL + LATERAL correlated subquery — the two
     modern SQL-surface features ``sql_api`` doesn't touch: named

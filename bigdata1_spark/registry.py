@@ -430,6 +430,10 @@ register("scan_csv", jsonl.scan_csv, _TEXT_SOURCE_ORACLE)
 # Same rollup through the bundled columnar ORC source/sink pair.
 register("scan_orc", jsonl.scan_orc, _TEXT_SOURCE_ORACLE)
 
+# Same rollup through the Spark-4 native XML source/sink pair (the
+# escape path: &/</newlines in text must round-trip through markup).
+register("scan_xml", jsonl.scan_xml, _TEXT_SOURCE_ORACLE)
+
 # Custom Python DataSource (Spark 4 V2 API): every row is a pure md5
 # function of its row id, so DuckDB regenerates the identical table.
 from bigdata1_spark.sources import pydatasource  # noqa: E402
@@ -4561,6 +4565,26 @@ register(
       WHERE c.c_acctbal > 1000.0
     )
     SELECT n_name, c_name, c_acctbal FROM ranked WHERE rn <= 2
+    """,
+)
+
+# WITH RECURSIVE on both engines over the same text (FLOOR-pinned
+# division — bare / truncates on int-cast in Spark, rounds in DuckDB).
+register(
+    "sql_recursive",
+    api_surface.sql_recursive,
+    """
+    WITH RECURSIVE tree(node, depth) AS (
+      SELECT CAST(1 AS BIGINT) AS node, CAST(0 AS BIGINT) AS depth
+      UNION ALL
+      SELECT s.s_suppkey, t.depth + 1
+      FROM tree t JOIN supplier s
+        ON CAST(FLOOR(s.s_suppkey / 2.0) AS BIGINT) = t.node
+           AND s.s_suppkey > 1
+    )
+    SELECT depth, COUNT(*) AS n_nodes,
+           MIN(node) AS min_key, MAX(node) AS max_key
+    FROM tree GROUP BY depth
     """,
 )
 

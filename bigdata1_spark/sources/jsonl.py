@@ -84,6 +84,45 @@ def scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents → XML sink → XML source → per-language rollup.
+
+    Spark 4 bundles the (formerly spark-xml) native XML source, the
+    format enterprise feeds still arrive in. One ``<doc>`` element per
+    row under the default root; the writer escapes text content
+    (&amp;/&lt;/newlines all round-trip — pinned by the distinct-md5
+    count, exactly like the CSV quote/escape path), and the explicit
+    read schema skips the inference pass. Read parallelism at scale:
+    one row element per record split, same sharding story as JSONL.
+    Same rollup as ``scan_jsonl``. Columns: lang, n_docs, total_chars,
+    n_texts.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    work = tempfile.mkdtemp(prefix="bigdata1_xml_")
+    try:
+        path = os.path.join(work, "docs_xml")
+        (
+            docs.write.mode("overwrite")
+            .format("xml")
+            .option("rowTag", "doc")
+            .save(path)
+        )
+        back = (
+            spark.read.schema(docs.schema)
+            .format("xml")
+            .option("rowTag", "doc")
+            .load(path)
+        )
+        res = back.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.countDistinct(F.md5("text")).alias("n_texts"),
+        )
+        return res.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents → ORC sink → ORC source → per-language rollup.
 

@@ -1069,6 +1069,7 @@ SCAN_BUDGETS = {
     "scan_csv": 0,
     "scan_jsonl": 0,
     "scan_orc": 0,
+    "scan_xml": 0,
     "scan_parquet": 1,
     "scan_partitioned": 0,
     "scd2_intervals": 1,
@@ -1096,6 +1097,7 @@ SCAN_BUDGETS = {
     "sql_api": 2,
     "sql_catalog": 0,
     "sql_lateral": 2,
+    "sql_recursive": 0,  # the supplier scan lives inside the UnionLoop subtree, which the formatted plan does not expand
     "substring_dedup": 4,  # gram-index pass + original-text rejoin + 2 doc_id-pruned sides
     "table_diff": 3,  # snapshot B is fixture-derived from A twice; production diffs 2 real tables
     "text_normalize": 1,
