@@ -490,6 +490,19 @@ register(
     """,
 )
 
+# The WRITE half of the plugin API (DataSourceWriter, two-phase
+# commit): rows must survive stage→commit→publish, read back from the
+# committed files only; the oracle recomputes the payload rollup.
+register(
+    "python_datasink",
+    pydatasource.python_datasink,
+    """
+    SELECT lang, source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY 1, 2
+    """,
+)
+
 # Hive-partitioned write + planning-time partition-pruned read (the
 # function asserts PartitionFilters structurally before returning).
 register(

@@ -20,8 +20,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 PYDS_ROWS = 5000
@@ -192,5 +194,117 @@ def python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         return res.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Custom Python data SINK (DataSourceWriter) — the write half of the
+# plugin API, with the real two-phase commit contract: tasks stage
+# uniquely-named files and return commit messages; the driver's
+# commit() publishes them (rename + _SUCCESS) and abort() removes
+# them, so a failed/speculated task can never leave half-written
+# output visible. In local mode the staging dir is the shared local
+# FS; on a cluster this path must be shared storage (object store /
+# DFS) — exactly the contract every file-based V2 sink has.
+# ---------------------------------------------------------------------------
+
+
+class _JsonSinkCommit(WriterCommitMessage):
+    def __init__(self, staged: str):
+        self.staged = staged
+
+
+class JsonSinkWriter(DataSourceWriter):
+    def __init__(self, options):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        import json as _json
+        import os
+        import uuid
+
+        staged = os.path.join(
+            self.path, f"part-{uuid.uuid4().hex}.jsonl.staged"
+        )
+        with open(staged, "w") as f:
+            for row in iterator:
+                f.write(_json.dumps(row.asDict(), sort_keys=True) + "\n")
+        return _JsonSinkCommit(staged)
+
+    def commit(self, messages):
+        import os
+
+        for m in messages:
+            os.rename(m.staged, m.staged[: -len(".staged")])
+        with open(os.path.join(self.path, "_SUCCESS"), "w"):
+            pass
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            try:
+                os.remove(m.staged)
+            except FileNotFoundError:
+                pass
+
+
+class JsonSinkSource(DataSource):
+    @classmethod
+    def name(cls):
+        return "pyjsonsink"
+
+    def writer(self, schema, overwrite):
+        return JsonSinkWriter(self.options)
+
+
+def python_datasink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write through the custom Python sink, then read the COMMITTED
+    files back and return them — proving rows survive the full
+    stage→commit→publish cycle, not just that write() ran. The
+    payload is the per-(lang, source) documents rollup (bigint-only
+    columns, so the JSONL round-trip is exact), small enough that the
+    oracle recomputes it directly from ``documents``.
+    Columns: lang, source, n_docs, total_chars.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from bigdata1_spark.sources.tables import load_table
+
+    spark.dataSource.register(JsonSinkSource)
+    work = tempfile.mkdtemp(prefix="bigdata1_pyds_sink_")
+    try:
+        rollup = (
+            load_table(spark, sf_dir, "documents")
+            .groupBy("lang", "source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").cast("long").alias("total_chars"),
+            )
+        )
+        (
+            rollup.write.format("pyjsonsink")
+            .option("path", work)
+            .mode("append")
+            .save()
+        )
+        assert os.path.exists(os.path.join(work, "_SUCCESS"))
+        schema = StructType(
+            [
+                StructField("lang", StringType()),
+                StructField("source", StringType()),
+                StructField("n_docs", LongType()),
+                StructField("total_chars", LongType()),
+            ]
+        )
+        back = spark.read.schema(schema).json(
+            os.path.join(work, "*.jsonl")
+        )
+        return back.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -148,3 +148,58 @@ def test_write_compacted_partitioned(spark, sf_dir, tmp_path):
     # one partition value -> small handful of files
     for d in part_dirs:
         assert len(glob.glob(f"{d}/*.parquet")) <= 4, d
+
+
+def test_python_datasink_two_phase_commit(spark, sf_dir, tmp_path):
+    """The custom sink's transactional contract: write() STAGES files
+    (invisible to a committed-files read), commit() publishes them and
+    marks _SUCCESS, abort() removes staging — so failed/speculated
+    tasks can never surface half-written output."""
+    import glob
+
+    from pyspark.sql import Row
+
+    from bigdata1_spark.sources.pydatasource import (
+        JsonSinkWriter,
+        _JsonSinkCommit,
+    )
+
+    w = JsonSinkWriter({"path": str(tmp_path)})
+    msg = w.write(iter([Row(a=1, b="x"), Row(a=2, b="y")]))
+    assert isinstance(msg, _JsonSinkCommit)
+    # staged only: no committed .jsonl yet
+    assert glob.glob(f"{tmp_path}/*.jsonl") == []
+    assert glob.glob(f"{tmp_path}/*.jsonl.staged") == [msg.staged]
+    w.commit([msg])
+    assert len(glob.glob(f"{tmp_path}/*.jsonl")) == 1
+    assert glob.glob(f"{tmp_path}/*.jsonl.staged") == []
+    assert (tmp_path / "_SUCCESS").exists()
+    # abort path: stage another file, then abort — nothing published
+    msg2 = w.write(iter([Row(a=3, b="z")]))
+    w.abort([msg2])
+    assert glob.glob(f"{tmp_path}/*.jsonl.staged") == []
+    assert len(glob.glob(f"{tmp_path}/*.jsonl")) == 1  # only the committed one
+
+
+def test_python_datasink_end_to_end(spark, sf_dir):
+    """Full engine path: DataFrame → custom Python sink → committed
+    JSONL → read-back equals the direct rollup."""
+    from bigdata1_spark.sources import pydatasource
+    from bigdata1_spark.sources.tables import load_table
+
+    got = (
+        pydatasource.python_datasink(spark, sf_dir)
+        .orderBy("lang", "source")
+        .collect()
+    )
+    want = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("lang", "source")
+        .collect()
+    )
+    assert got == want

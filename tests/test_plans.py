@@ -1047,6 +1047,7 @@ SCAN_BUDGETS = {
     "project_split": 1,
     "psi_drift": 2,
     "python_datasource": 0,
+    "python_datasink": 0,  # eager checkpoint after the sink round-trip
     "python_stream_source": 0,
     "quality_filters": 2,
     "quality_score": 1,
