@@ -130,6 +130,11 @@ def udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="pos: bigint, token: string")
     class SplitTokens:
         def eval(self, key: int, text: str):  # noqa: ANN001
+            # NULL text yields NO rows — str(None) would tokenize the
+            # literal 'None' while SQL string_split(NULL)->unnest emits
+            # nothing (found by the .nulldata sweep)
+            if text is None:
+                return
             for i, tok in enumerate(str(text).split("-")):
                 yield i + 1, tok
 
@@ -250,12 +255,13 @@ def cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def recon(opdf: pd.DataFrame, lpdf: pd.DataFrame) -> pd.DataFrame:
+        # cents stays float until AFTER the aggregation: a NULL price is
+        # NaN here, and astype(int64) on NaN raises (found by the
+        # .nulldata sweep). size counts every line (SQL COUNT(*)); sum
+        # skips NaN (SQL SUM skips NULL); cent-integers sum exactly in
+        # doubles, so the post-agg int cast is lossless.
         lsum = (
-            lpdf.assign(
-                cents=(lpdf["l_extendedprice"] * 100)
-                .round()
-                .astype("int64")
-            )
+            lpdf.assign(cents=(lpdf["l_extendedprice"] * 100).round())
             .groupby("l_orderkey")
             .agg(n_lines=("cents", "size"), total_cents=("cents", "sum"))
             .reset_index()

@@ -388,7 +388,15 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("chunk_id").cast("long").alias("chunk_id"),
         F.size("chunk").cast("long").alias("n_tokens"),
-        F.md5(F.concat_ws(" ", F.col("chunk"))).alias("chunk_md5"),
+        # NULL text → NULL chunk → NULL fingerprint: concat_ws would
+        # silently flatten the NULL array to '' and fingerprint it as
+        # md5('') while SQL md5(NULL) is NULL (found by the .nulldata
+        # sweep). Empty docs (tk = []) still hash '' — the documented
+        # degenerate-doc convention — only absent text propagates NULL.
+        F.when(
+            F.col("chunk").isNotNull(),
+            F.md5(F.concat_ws(" ", F.col("chunk"))),
+        ).alias("chunk_md5"),
     )
 
 
@@ -809,7 +817,13 @@ def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    # NULL text produces NO fingerprints (pinned on both sides): left
+    # unfiltered, both engines emit a (doc_id, NULL, NULL) row whose
+    # NULLs coerce the whole oracle column to float in pandas and void
+    # the value-hash (found by the .nulldata sweep).
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     # materialize the token array in its own projection before the
     # gram transform: _ngrams_n reads it WINNOW_K+1 times per position
     # inside HOF lambdas, which sit outside codegen CSE — inlined, the

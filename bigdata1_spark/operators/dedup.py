@@ -52,7 +52,13 @@ def shingle_hashes_of(docs: DataFrame, n: int = 3) -> DataFrame:
     pipeline stages near-dedup a gated/deduped corpus, not the raw
     table, so the shingle base is a parameter (same semantics as
     :func:`_doc_shingle_hashes`, which delegates here)."""
-    sh = docs.select(
+    # NULL text contributes NO shingles and therefore pairs with
+    # nothing: unfiltered, the degenerate whole-doc shingle maps every
+    # NULL doc to the same hash and declares them all mutual duplicates
+    # while the SQL oracles (NULL never equals NULL) pair none of them
+    # (found by the .nulldata sweep). Empty STRINGS keep the documented
+    # degenerate-doc convention — only absent text is excluded.
+    sh = docs.filter(F.col("text").isNotNull()).select(
         "doc_id",
         textfns.word_shingles(textfns.tokens(F.col("text")), n)
         .alias("shingles"),

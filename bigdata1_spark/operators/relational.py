@@ -68,9 +68,12 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     window (rows unbounded preceding), decimal-exact accumulation.
     Total order inside each partition via (o_orderdate, o_orderkey)."""
     orders = load_table(spark, sf_dir, "orders")
+    # null order pinned explicitly: Spark ASC defaults NULLS FIRST but
+    # DuckDB defaults NULLS LAST — on NULL-bearing data (the .nulldata
+    # twin) an implicit default silently diverges the running prefix
     w = (
         Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
+        .orderBy(F.asc_nulls_first("o_orderdate"), "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return orders.select(
@@ -95,7 +98,7 @@ def window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("item", "month")
         .agg(exact_sum(F.col("l_extendedprice"), "revenue"))
     )
-    w = Window.partitionBy("item").orderBy("month")
+    w = Window.partitionBy("item").orderBy(F.asc_nulls_first("month"))
     prev = F.lag("revenue").over(w)
     return monthly.select(
         "item", "month", "revenue",
@@ -274,13 +277,23 @@ def approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_extendedprice").alias("grp_min"),
         F.max("l_extendedprice").alias("grp_max"),
     )
-    exact = li.groupBy("l_returnflag").agg(
+    exact = li.groupBy(F.col("l_returnflag").alias("rf2")).agg(
         F.countDistinct("l_partkey").alias("exact_parts")
     )
-    agg = sketches.join(exact, "l_returnflag").select(
-        "*",
-        F.coalesce(F.element_at("pp", 1), F.col("grp_min")).alias("p_lo"),
-        F.coalesce(F.element_at("pp", 2), F.col("grp_max")).alias("p_hi"),
+    # null-SAFE group-key join: GROUP BY produces a NULL-flag group on
+    # NULL-bearing data, and a plain equi-join silently drops it (NULL
+    # never equals NULL) — the two aggregate frames would desync by one
+    # row (found by the .nulldata sweep).
+    agg = (
+        sketches.join(
+            exact, F.col("l_returnflag").eqNullSafe(F.col("rf2"))
+        )
+        .drop("rf2")
+        .select(
+            "*",
+            F.coalesce(F.element_at("pp", 1), F.col("grp_min")).alias("p_lo"),
+            F.coalesce(F.element_at("pp", 2), F.col("grp_max")).alias("p_hi"),
+        )
     )
     return agg.select(
         "l_returnflag",
@@ -422,7 +435,9 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("item", "month")
         .agg(exact_sum(F.col("l_extendedprice"), "revenue"))
     )
-    w = Window.partitionBy("item").orderBy(F.desc("revenue"), F.asc("month"))
+    w = Window.partitionBy("item").orderBy(
+        F.desc_nulls_last("revenue"), F.asc_nulls_first("month")
+    )
     return monthly.select(
         "item", "month", "revenue",
         F.rank().over(w).cast("long").alias("rnk"),
@@ -447,7 +462,7 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = (
         Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
+        .orderBy(F.asc_nulls_first("o_orderdate"), "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     return orders.select(
@@ -732,9 +747,14 @@ def ntile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Columns: bucket, n_rows, min_price, max_price, sum_price.
     """
     k = 10
+    # NULL prices are excluded from the bucketing (matched by the
+    # oracle's WHERE): a quantile bucket for NULL is meaningless, and
+    # the engines disagree where NTILE sorts it (Spark NULLS FIRST →
+    # bucket 1, DuckDB NULLS LAST → bucket k) — found by the .nulldata
+    # sweep.
     li = load_table(spark, sf_dir, "lineitem").select(
         F.col("l_extendedprice").alias("p")
-    )
+    ).filter(F.col("p").isNotNull())
     freq = li.groupBy("p").agg(F.count(F.lit(1)).alias("c"))
     # global rank interval per distinct value: [a, b]
     ranked = _range_partitioned_running(

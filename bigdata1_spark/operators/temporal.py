@@ -45,15 +45,26 @@ def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "tag", "pvalue")
+        .orderBy("ts", "tag", F.asc_nulls_first("pvalue"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # ts and value ride ONE struct: two separate last(ignorenulls)
+    # carries desynchronize when a purchase's value is legitimately
+    # NULL — the value carry skips it and pairs the newest purchase_ts
+    # with an OLDER purchase's value (found by the .nulldata sweep).
+    # The struct is non-null for every purchase row, so the carry
+    # always moves both fields together; NULLS FIRST on the value
+    # tie-break keeps "last row at equal ts" = MAX non-null value,
+    # matching the oracle's per-(user, ts) MAX collapse even when some
+    # of the tied values are NULL.
+    pstruct = F.last(
+        F.when(F.col("tag") == 0, F.struct("ts", "pvalue")),
+        ignorenulls=True,
+    ).over(w)
     merged = purchases.unionByName(clicks).select(
         "user_id", "ts", "tag", "event_id",
-        F.last(F.when(F.col("tag") == 0, F.col("ts")), ignorenulls=True)
-        .over(w).alias("purchase_ts"),
-        F.last(F.when(F.col("tag") == 0, F.col("pvalue")), ignorenulls=True)
-        .over(w).alias("purchase_value"),
+        pstruct["ts"].alias("purchase_ts"),
+        pstruct["pvalue"].alias("purchase_value"),
     )
     # no-prior-purchase clicks keep LEFT-join semantics via explicit
     # sentinels ('' / -1.0) — NULL-free output hashes identically under
@@ -223,11 +234,19 @@ def ewma(spark: SparkSession, sf_dir: str, alpha: float = 0.1,
         .orderBy("ts", "event_id")
         .rowsBetween(-(lookback - 1), Window.currentRow)
     )
+    # NULL values are SKIPPED from the series (collect_list drops them;
+    # the oracle pins the same with list_filter) — an all-NULL frame
+    # yields an empty array, which must short-circuit to NULL: slice
+    # with length size-1 = -1 raises under ANSI (found by the .nulldata
+    # sweep), and the fold has no seed.
     arr = F.collect_list("value").over(w)
-    folded = F.aggregate(
-        F.slice(arr, 2, F.size(arr) - 1),
-        F.element_at(arr, 1),
-        lambda acc, v: F.lit(1.0 - alpha) * acc + F.lit(alpha) * v,
+    folded = F.when(
+        F.size(arr) > 0,
+        F.aggregate(
+            F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(0))),
+            F.element_at(arr, 1),
+            lambda acc, v: F.lit(1.0 - alpha) * acc + F.lit(alpha) * v,
+        ),
     )
     return ev.select(
         "event_id", "user_id",
@@ -578,12 +597,17 @@ def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("ts"), F.asc("tag"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # same struct carry as asof_join: a NULL pvalue (per-(user,ts) MAX
+    # over all-NULL values) must ride WITH its timestamp, not be
+    # skipped by a separate ignorenulls carry
+    nstruct = F.last(
+        F.when(F.col("tag") == 0, F.struct("ts", "pvalue")),
+        ignorenulls=True,
+    ).over(w)
     merged = purchases.unionByName(clicks).select(
         "user_id", "ts", "tag", "event_id",
-        F.last(F.when(F.col("tag") == 0, F.col("ts")), ignorenulls=True)
-        .over(w).alias("next_ts"),
-        F.last(F.when(F.col("tag") == 0, F.col("pvalue")), ignorenulls=True)
-        .over(w).alias("next_value"),
+        nstruct["ts"].alias("next_ts"),
+        nstruct["pvalue"].alias("next_value"),
     )
     return merged.filter(F.col("tag") == 1).select(
         "event_id", "user_id",

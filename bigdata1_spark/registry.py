@@ -406,6 +406,7 @@ register(
            CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
              AS total
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_extendedprice IS NOT NULL AND o.o_orderdate IS NOT NULL
     GROUP BY 1, 2
     """,
 )
@@ -1201,7 +1202,8 @@ register(
     """
     SELECT o_custkey, o_orderkey,
            CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
-             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             PARTITION BY o_custkey
+             ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ) AS VARCHAR) AS DOUBLE) AS running_spent
     FROM orders
@@ -1222,7 +1224,8 @@ register(
     )
     SELECT item, month, revenue,
            revenue - COALESCE(
-             LAG(revenue) OVER (PARTITION BY item ORDER BY month), 0.0)
+             LAG(revenue) OVER (
+               PARTITION BY item ORDER BY month ASC NULLS FIRST), 0.0)
              AS delta
     FROM monthly
     """,
@@ -1842,7 +1845,8 @@ register(
            PERCENT_RANK() OVER w AS prnk,
            CAST(NTILE(4) OVER w AS BIGINT) AS quartile
     FROM monthly
-    WINDOW w AS (PARTITION BY item ORDER BY revenue DESC, month ASC)
+    WINDOW w AS (PARTITION BY item
+                 ORDER BY revenue DESC NULLS LAST, month ASC NULLS FIRST)
     """,
 )
 
@@ -1880,7 +1884,8 @@ register(
            COALESCE(NTH_VALUE(o_orderkey, 2) OVER w, -1) AS second_order
     FROM orders
     WINDOW w AS (
-      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      PARTITION BY o_custkey
+      ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey
       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     """,
 )
@@ -2729,13 +2734,22 @@ register(
     "ewma",
     temporal.ewma,
     """
+    WITH framed AS (
+      SELECT event_id, user_id,
+             list_filter(
+               list(value) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 49 PRECEDING AND CURRENT ROW),
+               v -> v IS NOT NULL) AS vals
+      FROM events
+    )
     SELECT event_id, user_id,
-           FLOOR(list_reduce(
-             list(value) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN 49 PRECEDING AND CURRENT ROW),
-             (acc, v) -> 0.9 * acc + 0.1 * v) * 1e6 + 0.5) / 1e6 AS ewma
-    FROM events
+           CASE WHEN len(vals) = 0 THEN NULL
+                ELSE FLOOR(list_reduce(
+                       vals, (acc, v) -> 0.9 * acc + 0.1 * v)
+                     * 1e6 + 0.5) / 1e6
+           END AS ewma
+    FROM framed
     """,
 )
 
@@ -3846,7 +3860,7 @@ register(
     WITH t AS (
       SELECT l_extendedprice AS p,
              NTILE(10) OVER (ORDER BY l_extendedprice) AS bucket
-      FROM lineitem
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
     )
     SELECT bucket, COUNT(*) AS n_rows,
            MIN(p) AS min_price, MAX(p) AS max_price,
@@ -5056,7 +5070,7 @@ register(
       SELECT doc_id,
              list_filter(string_split_regex(text, '\s+'),
                          x -> len(x) > 0) AS w
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ), starts AS (
       SELECT doc_id, w,
              unnest(generate_series(1, greatest(len(w) - 3, 1))) AS pos

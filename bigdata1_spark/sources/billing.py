@@ -110,12 +110,18 @@ def total_per_month_b(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata1_spark.operators.basket import exact_sum, month_of
     from bigdata1_spark.sources.tables import load_table
 
+    # Format B has no NULL representation: a null date would render as
+    # the unparseable 'null-null-null' (format_string stringifies NULL
+    # — ANSI to_date then raises; found by the .nulldata sweep) and a
+    # null cost would drop its field from concat_ws. Rows that cannot
+    # round-trip are excluded from the fixture — the oracle filters
+    # identically, so this is the key's contract, not a data loss.
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_extendedprice"
-    )
+    ).filter(F.col("l_extendedprice").isNotNull())
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate"
-    )
+    ).filter(F.col("o_orderdate").isNotNull())
     items = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
         "o_orderkey",
         F.format_string(
