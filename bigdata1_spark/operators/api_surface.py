@@ -57,8 +57,13 @@ def pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf("long")
     def cents_sum(price: pd.Series) -> int:
+        # dropna FIRST: NaN survives floor() and astype(int64) turns it
+        # into an arbitrary huge integer (numpy invalid-cast), silently
+        # poisoning the sum (.nulldata sweep); SQL SUM skips NULLs.
         return int(
-            np.floor(price.to_numpy() * 100.0 + 0.5).astype("int64").sum()
+            np.floor(price.dropna().to_numpy() * 100.0 + 0.5)
+            .astype("int64")
+            .sum()
         )
 
     li = load_table(spark, sf_dir, "lineitem")

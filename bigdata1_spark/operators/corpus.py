@@ -170,15 +170,27 @@ def contamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokens(c),
         lambda tk: F.array_distinct(_ngrams_n(tk, CONTAM_N)),
     )
+    # NULL text → ONE NULL gram (the oracle's own degenerate form:
+    # array_to_string over a NULL slice). A NULL gram joins with
+    # nothing on either side, so a NULL doc is counted (n_grams 1) but
+    # can never be contaminated — unpinned, concat_ws flattened it to
+    # the EMPTY-string gram, which matched the empty grams of NULL
+    # bench docs and quarantined every NULL doc (.nulldata sweep).
+    grams_or_null = lambda c: F.when(  # noqa: E731
+        c.isNotNull(), grams_of(c)
+    ).otherwise(F.array(F.lit(None).cast("string")))
     bench_grams = (
         docs.filter(F.col("source") == "src0")
-        .select(F.explode(grams_of(F.col("text"))).alias("gram"))
+        .select(F.explode(grams_or_null(F.col("text"))).alias("gram"))
         .distinct()
         .withColumn("hit", F.lit(1).cast("long"))
     )
     cand = (
         docs.filter(F.col("source") != "src0")
-        .select("doc_id", F.explode(grams_of(F.col("text"))).alias("gram"))
+        .select(
+            "doc_id",
+            F.explode(grams_or_null(F.col("text"))).alias("gram"),
+        )
     )
     per_doc = (
         cand.join(bench_grams, "gram", "left_outer")
@@ -298,8 +310,16 @@ def shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pack_group",
         "n_tokens",
         "shard_seq",
-        F.concat_ws(
-            "-", F.col("lang"), F.col("pack_group"), F.col("shard_seq")
+        # F.concat, not concat_ws: the id must be NULL when any
+        # component is (SQL || semantics, matching the oracle) —
+        # concat_ws silently drops NULL parts and emitted 'en' or '1-0'
+        # ids for NULL-text docs (.nulldata sweep)
+        F.concat(
+            F.col("lang"),
+            F.lit("-"),
+            F.col("pack_group").cast("string"),
+            F.lit("-"),
+            F.col("shard_seq").cast("string"),
         ).alias("shard_id"),
     )
 
@@ -441,7 +461,12 @@ def sample_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy(F.md5("text"), F.asc("doc_id"))
+    # NULLS LAST pinned: md5(NULL text) is NULL, and the engines' ASC
+    # defaults place it at opposite ends of the ranking (.nulldata
+    # sweep) — contentless docs sample only after every hashed doc
+    w = Window.partitionBy("lang").orderBy(
+        F.asc_nulls_last(F.md5("text")), F.asc("doc_id")
+    )
     return (
         docs.select(
             "lang", "doc_id", F.row_number().over(w).alias("rk")
@@ -575,9 +600,15 @@ def dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     weight so the emitted flag is consistent with the emitted weight.
     Columns: doc_id, n_grams, weight, keep.
     """
+    # NULL text is excluded from the corpus AND both distribution
+    # models (oracle pins the same WHERE): unfiltered, Spark hashed the
+    # flattened empty-string gram into a real bucket while the oracle's
+    # NULL gram fell out of the bucket join — and the two engines'
+    # model DENOMINATORS diverged with it (.nulldata sweep). NULL lang
+    # needs no handling: it is simply never equal to the target lang.
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "text"
-    )
+    ).filter(F.col("text").isNotNull())
     # materialize the token array in its own projection before the
     # bigram transform (the winnow_fingerprint lesson): inlined,
     # _seq_bigrams' F.get calls sit outside codegen CSE and re-run the

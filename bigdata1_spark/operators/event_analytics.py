@@ -331,11 +331,18 @@ def user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("c").isNotNull())
     return (
         triples.select(
-            F.concat_ws(">", "a", "b", "c").alias("path")
+            # F.concat null-propagates like SQL ||: a triple containing
+            # a NULL event_type is the NULL path (one group), not a
+            # silently-shortened 2-step path (concat_ws; .nulldata
+            # sweep). NULLS LAST pinned on the tie-break because the
+            # engines' ASC defaults disagree.
+            F.concat(
+                F.col("a"), F.lit(">"), F.col("b"), F.lit(">"), F.col("c")
+            ).alias("path")
         )
         .groupBy("path")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(F.desc("cnt"), F.asc("path"))
+        .orderBy(F.desc("cnt"), F.asc_nulls_last("path"))
         .limit(PATH_TOP_N)
     )
 

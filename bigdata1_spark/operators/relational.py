@@ -1087,8 +1087,15 @@ def ivm_delta_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("decimal(18,4)").alias("price"),
     )
     cutoff = F.lit(IVM_CUTOFF).cast("date")
+    # base = everything that is NOT in the delta window — including
+    # NULL order dates: `date < cutoff` alone is NULL for them, so they
+    # silently fell out of BOTH branches while the oracle's CASE ELSE
+    # counted them into the base (.nulldata sweep). An order with an
+    # unknown date belongs to the stored view, not to the day's delta.
     base = (
-        orders.filter(F.col("o_orderdate") < cutoff)
+        orders.filter(
+            F.coalesce(F.col("o_orderdate") < cutoff, F.lit(True))
+        )
         .groupBy("o_custkey")
         .agg(
             F.count(F.lit(1)).alias("b_n"),

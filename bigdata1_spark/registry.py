@@ -1407,7 +1407,8 @@ register(
     SELECT event_id,
            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_struct,
-           'OBJECT<k: BIGINT>' AS vtype
+           CASE WHEN props IS NOT NULL
+                THEN 'OBJECT<k: BIGINT>' END AS vtype
     FROM events
     """,
 )
@@ -2033,7 +2034,7 @@ register(
     api_surface.udtf_analyze,
     """
     WITH words AS (
-      SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+      SELECT doc_id, list_filter(string_split_regex(coalesce(text, ''), '\\s+'),
                                  x -> len(x) > 0) AS w
       FROM documents
     )
@@ -3060,7 +3061,7 @@ register(
     )
     SELECT a || '>' || b || '>' || c AS path, COUNT(*) AS cnt
     FROM t WHERE c IS NOT NULL GROUP BY 1
-    ORDER BY cnt DESC, path ASC LIMIT 20
+    ORDER BY cnt DESC, path ASC NULLS LAST LIMIT 20
     """,
 )
 
@@ -4260,7 +4261,7 @@ register(
     SELECT lang, doc_id, rk FROM (
       SELECT lang, doc_id,
              CAST(ROW_NUMBER() OVER (
-               PARTITION BY lang ORDER BY md5(text), doc_id
+               PARTITION BY lang ORDER BY md5(text) ASC NULLS LAST, doc_id
              ) AS BIGINT) AS rk
       FROM documents
     ) WHERE rk <= 20
@@ -4879,7 +4880,7 @@ register(
       SELECT doc_id, lang,
              list_filter(string_split_regex(text, '\\s+'),
                          x -> len(x) > 0) AS w
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ), bg AS (
       SELECT doc_id, lang,
              CAST((16 * (strpos('0123456789abcdef',
