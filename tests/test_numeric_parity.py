@@ -258,3 +258,84 @@ def test_anomaly_zscore_degenerate_partitions_yield_no_rows(spark, tmp_path):
     # clear the 1.5 threshold — the contract under test is "no raise,
     # degenerate users dropped"
     assert all(r["user_id"] == 3 for r in out)
+
+
+def test_asof_join_null_value_purchase_stays_paired(spark, tmp_path):
+    """A purchase whose value is legitimately NULL must surface AS the
+    match (ts + sentinel -1.0), never be skipped in favor of an OLDER
+    purchase's value: two separate last(ignorenulls) carries did
+    exactly that until ts+value rode one struct (found by the
+    .nulldata sweep)."""
+    import datetime
+
+    from bigdata1_spark.operators.temporal import (
+        asof_join,
+        asof_join_forward,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def h(n):
+        return t0 + datetime.timedelta(hours=n)
+
+    rows = [
+        # older purchase WITH value, newer purchase with NULL value,
+        # then a click: the click must attribute to the NEWER purchase
+        (1, 7, "purchase", h(0), 5.0),
+        (2, 7, "purchase", h(1), None),
+        (3, 7, "click", h(2), None),
+        # forward direction mirror: click, NULL-value purchase, valued
+        (4, 8, "click", h(0), None),
+        (5, 8, "purchase", h(1), None),
+        (6, 8, "purchase", h(2), 9.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, "
+              "ts timestamp, value double"
+    )
+    path = str(tmp_path)
+    df.write.mode("overwrite").parquet(path + "/events.parquet")
+
+    back = {r["event_id"]: r for r in asof_join(spark, path).collect()}
+    r = back[3]
+    assert r["purchase_ts"].startswith("2024-01-01 01:")  # the newer one
+    assert r["purchase_value"] == -1.0  # its (NULL) value, sentineled
+
+    fwd = {
+        r["event_id"]: r
+        for r in asof_join_forward(spark, path).collect()
+    }
+    r = fwd[4]
+    assert r["purchase_ts"].startswith("2024-01-01 01:")  # the earlier one
+    assert r["purchase_value"] == -1.0
+
+
+def test_ewma_all_null_frame_yields_null_not_crash(spark, tmp_path):
+    """An all-NULL value frame made slice(arr, 2, size-1) raise under
+    ANSI (length -1); the fold must short-circuit to NULL instead, and
+    NULL values must be skipped from the series on both engines (found
+    by the .nulldata sweep)."""
+    import datetime
+    import math
+
+    from bigdata1_spark.operators.temporal import ewma
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, "click", t0, None),  # user 1: nothing but NULLs
+        (2, 1, "click", t0 + datetime.timedelta(hours=1), None),
+        (3, 2, "click", t0, 10.0),  # user 2: NULL inside the series
+        (4, 2, "click", t0 + datetime.timedelta(hours=1), None),
+        (5, 2, "click", t0 + datetime.timedelta(hours=2), 20.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, "
+              "ts timestamp, value double"
+    )
+    path = str(tmp_path)
+    df.write.mode("overwrite").parquet(path + "/events.parquet")
+    out = {r["event_id"]: r["ewma"] for r in ewma(spark, path).collect()}
+    assert out[1] is None and (out[2] is None or math.isnan(out[2]))
+    assert out[3] == 10.0
+    assert out[4] == 10.0  # NULL skipped, series unchanged
+    assert abs(out[5] - (0.9 * 10.0 + 0.1 * 20.0)) < 1e-9
