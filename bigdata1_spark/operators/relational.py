@@ -1118,12 +1118,20 @@ def ivm_delta_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("s") * F.col("price")).alias("d_sum"),
         )
     )
+    # The coalesces exist ONLY for the full-outer join's missing side
+    # (no base/delta rows → contribute 0). A group whose EVERY price is
+    # NULL must stay NULL — SQL SUM semantics, pinned by the 30%-rate
+    # null stress twin: "n orders totaling unknown" is not "totaling
+    # 0.00".
     merged = base.join(delta, "o_custkey", "full_outer").select(
         "o_custkey",
         (
             F.coalesce("b_n", F.lit(0)) + F.coalesce("d_n", F.lit(0))
         ).alias("n_orders"),
-        (
+        F.when(
+            F.col("b_sum").isNull() & F.col("d_sum").isNull(),
+            F.lit(None).cast("decimal(18,4)"),
+        ).otherwise(
             F.coalesce(F.col("b_sum"), F.lit(0).cast("decimal(18,4)"))
             + F.coalesce(F.col("d_sum"), F.lit(0).cast("decimal(18,4)"))
         ).alias("total_spent_dec"),

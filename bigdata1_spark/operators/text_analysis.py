@@ -441,13 +441,24 @@ def ngram_freq(spark: SparkSession, sf_dir: str, top_n: int = 50) -> DataFrame:
     from bigdata1_spark.functions.textfns import tokens, word_shingles
 
     docs = load_table(spark, sf_dir, "documents")
+    # NULL text → ONE NULL bigram (the oracle's degenerate form): the
+    # whole-doc-shingle convention otherwise flattens it to the
+    # empty-string bigram via concat_ws, splitting one group into two
+    # across the engines (caught by the 30%-rate null stress twin).
+    # NULLS LAST pinned on the tie-break for the same reason as
+    # user_paths.
     grams = docs.select(
-        F.explode(word_shingles(tokens(F.col("text")), 2)).alias("bigram")
+        F.explode(
+            F.when(
+                F.col("text").isNotNull(),
+                word_shingles(tokens(F.col("text")), 2),
+            ).otherwise(F.array(F.lit(None).cast("string")))
+        ).alias("bigram")
     )
     return (
         grams.groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("freq"))
-        .orderBy(F.desc("freq"), F.asc("bigram"))
+        .orderBy(F.desc("freq"), F.asc_nulls_last("bigram"))
         .limit(top_n)
     )
 

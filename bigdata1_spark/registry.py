@@ -2286,7 +2286,7 @@ register(
     )
     SELECT bigram, COUNT(*) AS freq
     FROM d GROUP BY 1
-    ORDER BY freq DESC, bigram ASC
+    ORDER BY freq DESC, bigram ASC NULLS LAST
     LIMIT 50
     """,
 )

@@ -34,7 +34,10 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SEED = 20260815
-NULL_RATE = 0.03  # ~3% of values per injected column
+# ~3% of values per injected column; NULL_RATE env overrides (the 30%
+# stress twin drives whole groups/frames to all-NULL, which the 3%
+# rate only grazes)
+NULL_RATE = float(os.environ.get("NULL_RATE", "0.03"))
 
 # table -> (pk column used to derive the mask, [columns to inject])
 INJECT = {
