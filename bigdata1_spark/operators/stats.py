@@ -1,0 +1,197 @@
+"""Statistical-profiling operators: Pearson correlation matrix over the
+fact table's measures, and mutual-information / chi-square association
+between two categorical document columns.
+
+No reference analog; this is the feature-statistics layer a training-data
+pipeline runs to pick mixture weights and spot leaky/redundant columns
+(e.g. "is quality_score just length in disguise?").
+
+Numeric discipline (registry header rules): every sufficient statistic is
+an EXACT integer — the measures are fixed-point at ≤2 decimals, so each
+value is scaled to an integer with one ``round(x*100)`` (no ties: inputs
+sit within 1e-9 of the grid), and all sums/products accumulate in
+DECIMAL/HUGEINT with zero rounding. Only the final statistic per output
+row is a single fixed-order IEEE chain on those exact integers, then
+floor-rounded at 1e-6 — so the DuckDB oracles pin values bit-for-bit.
+Pearson r is invariant under the affine scaling, so the scaled-integer
+computation yields exactly the correlation of the original columns.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdata1_spark.sources.tables import load_table
+
+# (output name, source column, fixed-point scale). Scale 100 turns the
+# 2-decimal TPC-H measures into exact integers; quantity is integral.
+CORR_COLS = (
+    ("quantity", "l_quantity", 1),
+    ("price", "l_extendedprice", 100),
+    ("discount", "l_discount", 100),
+    ("tax", "l_tax", 100),
+)
+
+
+def _round6(col: F.Column) -> F.Column:
+    """The repo-wide float pin: floor(x*1e6 + 0.5)/1e6 (round-half-up
+    toward +inf, identical in Spark and DuckDB)."""
+    return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+
+def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation of the four lineitem measures in ONE
+    aggregate pass (no per-pair rescans, no ML-lib driver collect).
+
+    Rows are listwise-complete (all four measures non-NULL) so every
+    pair shares the same n — the contract a downstream covariance
+    consumer expects. The single scan computes 4 sums + 10 product sums
+    + a count with map-side combine; the 6 upper-triangle pairs are then
+    stacked from that ONE 1-row frame, so the plan is one shuffle of 15
+    numbers regardless of table size (100 TB posture: nothing here
+    grows with rows).
+
+    Each sum is exact: values → scaled BIGINT (one unambiguous round),
+    products in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB), then
+
+        r = (n·Sxy − Sx·Sy) / sqrt((n·Sxx − Sx²) · (n·Syy − Sy²))
+
+    evaluated once in double (identical op order in the oracle) and
+    floor-rounded at 1e-6. Zero-variance columns yield NULL rather than
+    an engine-dependent inf/NaN. Columns: col_x, col_y, n_rows, corr.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = [
+        F.round(F.col(src) * F.lit(scale)).cast("long").alias(name)
+        for name, src, scale in CORR_COLS
+    ]
+    complete = li.select(*cols).na.drop("any")
+
+    aggs = [F.count(F.lit(1)).alias("n")]
+    names = [name for name, _, _ in CORR_COLS]
+    for name in names:
+        aggs.append(
+            F.sum(F.col(name).cast("decimal(38,0)")).alias(f"s_{name}")
+        )
+    for a, b in combinations(names, 2):
+        aggs.append(
+            F.sum(
+                F.col(a).cast("decimal(19,0)") * F.col(b).cast("decimal(19,0)")
+            ).alias(f"s_{a}_{b}")
+        )
+    for name in names:
+        aggs.append(
+            F.sum(
+                F.col(name).cast("decimal(19,0)")
+                * F.col(name).cast("decimal(19,0)")
+            ).alias(f"s_{name}_{name}")
+        )
+    stats = complete.agg(*aggs)
+
+    pair_rows = []
+    for a, b in combinations(names, 2):
+        n = F.col("n").cast("double")
+        sx = F.col(f"s_{a}").cast("double")
+        sy = F.col(f"s_{b}").cast("double")
+        sxy = F.col(f"s_{a}_{b}").cast("double")
+        sxx = F.col(f"s_{a}_{a}").cast("double")
+        syy = F.col(f"s_{b}_{b}").cast("double")
+        num = n * sxy - sx * sy
+        den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        pair_rows.append(
+            F.struct(
+                F.lit(a).alias("col_x"),
+                F.lit(b).alias("col_y"),
+                F.col("n").alias("n_rows"),
+                F.when(den > 0, _round6(num / den)).alias("corr"),
+            )
+        )
+    return stats.select(
+        F.explode(F.array(*pair_rows)).alias("p")
+    ).select("p.col_x", "p.col_y", "p.n_rows", "p.corr")
+
+
+def _contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lang × source contingency cells of ``documents`` with marginals.
+
+    ONE scan + ONE groupBy shuffle; the marginals (n_lang, n_source,
+    n_total) come from windows over the aggregated cell table (≤
+    |langs|·|sources| rows — tiny at any corpus size), NOT from
+    rescanning documents (the dsir_sample multi-consumer-lineage
+    lesson). NULL categories group like any other value in both
+    engines, so the NULL-twin sweep exercises them as real cells.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("lang", "source")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_xy")
+    )
+    return (
+        cells.withColumn(
+            "n_lang", F.sum("n_xy").over(Window.partitionBy("lang"))
+        )
+        .withColumn(
+            "n_source", F.sum("n_xy").over(Window.partitionBy("source"))
+        )
+        .withColumn(
+            "n_total",
+            F.sum("n_xy").over(Window.partitionBy()),
+        )
+    )
+
+
+def mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell mutual-information terms between documents.lang and
+    documents.source: ``(n_xy/N) · ln(n_xy·N / (n_x·n_y))``.
+
+    Emitted per cell (the consumer sums ≤ |langs|·|sources| rows) so a
+    final reduction's fold order never enters the contract — the
+    psi_drift convention. Counts are exact integers from one scan; each
+    term is one fixed-order IEEE chain, floor-rounded 1e-6. Cells only
+    exist where n_xy ≥ 1, so the log argument is always positive.
+    Columns: lang, source, n_xy, n_lang, n_source, n_total, mi_term.
+    """
+    cells = _contingency(spark, sf_dir)
+    n_xy = F.col("n_xy").cast("double")
+    n_x = F.col("n_lang").cast("double")
+    n_y = F.col("n_source").cast("double")
+    n = F.col("n_total").cast("double")
+    term = (n_xy / n) * F.log((n_xy * n) / (n_x * n_y))
+    return cells.select(
+        "lang",
+        "source",
+        "n_xy",
+        "n_lang",
+        "n_source",
+        "n_total",
+        _round6(term).alias("mi_term"),
+    )
+
+
+def chi_square_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell chi-square association terms for the same lang × source
+    contingency table: ``(obs − exp)² / exp`` with
+    ``exp = n_x·n_y / N``.
+
+    Same shape and discipline as :func:`mutual_info` (one scan, exact
+    counts, one fixed-order float chain per row, per-cell emission).
+    exp > 0 whenever a cell exists, so the division is always defined.
+    Columns: lang, source, n_xy, expected, chi2_term.
+    """
+    cells = _contingency(spark, sf_dir)
+    n_xy = F.col("n_xy").cast("double")
+    exp = (
+        F.col("n_lang").cast("double")
+        * F.col("n_source").cast("double")
+        / F.col("n_total").cast("double")
+    )
+    diff = n_xy - exp
+    return cells.select(
+        "lang",
+        "source",
+        "n_xy",
+        _round6(exp).alias("expected"),
+        _round6(diff * diff / exp).alias("chi2_term"),
+    )

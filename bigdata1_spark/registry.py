@@ -5103,3 +5103,128 @@ register(
     FROM sel
     """,
 )
+
+
+# ---------------------------------------------------------------------------
+# Statistical profiling (feature statistics for mixture/leakage analysis)
+# ---------------------------------------------------------------------------
+
+from bigdata1_spark.operators import stats as stats_ops  # noqa: E402
+
+# Pearson correlation matrix in ONE aggregate pass: exact scaled-integer
+# sufficient statistics (HUGEINT sums in DuckDB, DECIMAL(38,0) in Spark),
+# one fixed-order IEEE chain per pair, floor-rounded 1e-6. r is invariant
+# under the fixed-point scaling, so scaled == original correlation.
+register(
+    "corr_matrix",
+    stats_ops.corr_matrix,
+    """
+    WITH complete AS (
+      SELECT CAST(ROUND(l_quantity * 1) AS BIGINT) AS quantity,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price,
+             CAST(ROUND(l_discount * 100) AS BIGINT) AS discount,
+             CAST(ROUND(l_tax * 100) AS BIGINT) AS tax
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        AND l_discount IS NOT NULL AND l_tax IS NOT NULL
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(quantity) AS s_q, SUM(price) AS s_p,
+             SUM(discount) AS s_d, SUM(tax) AS s_t,
+             SUM(quantity * price) AS s_qp,
+             SUM(quantity * discount) AS s_qd,
+             SUM(quantity * tax) AS s_qt,
+             SUM(price * discount) AS s_pd,
+             SUM(price * tax) AS s_pt,
+             SUM(discount * tax) AS s_dt,
+             SUM(quantity * quantity) AS s_qq,
+             SUM(price * price) AS s_pp,
+             SUM(discount * discount) AS s_dd,
+             SUM(tax * tax) AS s_tt
+      FROM complete
+    ), pairs AS (
+      SELECT 'quantity' AS col_x, 'price' AS col_y, n,
+             CAST(s_q AS DOUBLE) AS sx, CAST(s_p AS DOUBLE) AS sy,
+             CAST(s_qp AS DOUBLE) AS sxy,
+             CAST(s_qq AS DOUBLE) AS sxx, CAST(s_pp AS DOUBLE) AS syy
+      FROM m
+      UNION ALL SELECT 'quantity', 'discount', n,
+             CAST(s_q AS DOUBLE), CAST(s_d AS DOUBLE), CAST(s_qd AS DOUBLE),
+             CAST(s_qq AS DOUBLE), CAST(s_dd AS DOUBLE) FROM m
+      UNION ALL SELECT 'quantity', 'tax', n,
+             CAST(s_q AS DOUBLE), CAST(s_t AS DOUBLE), CAST(s_qt AS DOUBLE),
+             CAST(s_qq AS DOUBLE), CAST(s_tt AS DOUBLE) FROM m
+      UNION ALL SELECT 'price', 'discount', n,
+             CAST(s_p AS DOUBLE), CAST(s_d AS DOUBLE), CAST(s_pd AS DOUBLE),
+             CAST(s_pp AS DOUBLE), CAST(s_dd AS DOUBLE) FROM m
+      UNION ALL SELECT 'price', 'tax', n,
+             CAST(s_p AS DOUBLE), CAST(s_t AS DOUBLE), CAST(s_pt AS DOUBLE),
+             CAST(s_pp AS DOUBLE), CAST(s_tt AS DOUBLE) FROM m
+      UNION ALL SELECT 'discount', 'tax', n,
+             CAST(s_d AS DOUBLE), CAST(s_t AS DOUBLE), CAST(s_dt AS DOUBLE),
+             CAST(s_dd AS DOUBLE), CAST(s_tt AS DOUBLE) FROM m
+    )
+    SELECT col_x, col_y, n AS n_rows,
+           CASE WHEN sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                          * (CAST(n AS DOUBLE) * syy - sy * sy)) > 0
+                THEN FLOOR(((CAST(n AS DOUBLE) * sxy - sx * sy)
+                            / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                                   * (CAST(n AS DOUBLE) * syy - sy * sy)))
+                           * 1e6 + 0.5) / 1e6
+           END AS corr
+    FROM pairs
+    """,
+)
+
+# lang x source contingency shared by mutual_info / chi_square_assoc:
+# one documents scan, marginals from windows over the tiny cell table
+# (never a rescan — the dsir_sample multi-consumer-lineage lesson).
+_CONTINGENCY_SQL = """
+    WITH cells AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_xy
+      FROM documents GROUP BY 1, 2
+    ), marg AS (
+      SELECT lang, source, n_xy,
+             CAST(SUM(n_xy) OVER (PARTITION BY lang) AS BIGINT) AS n_lang,
+             CAST(SUM(n_xy) OVER (PARTITION BY source) AS BIGINT)
+               AS n_source,
+             CAST(SUM(n_xy) OVER () AS BIGINT) AS n_total
+      FROM cells
+    )
+"""
+
+register(
+    "mutual_info",
+    stats_ops.mutual_info,
+    _CONTINGENCY_SQL
+    + """
+    SELECT lang, source, n_xy, n_lang, n_source, n_total,
+           FLOOR(((CAST(n_xy AS DOUBLE) / CAST(n_total AS DOUBLE))
+                  * ln((CAST(n_xy AS DOUBLE) * CAST(n_total AS DOUBLE))
+                       / (CAST(n_lang AS DOUBLE)
+                          * CAST(n_source AS DOUBLE))))
+                 * 1e6 + 0.5) / 1e6 AS mi_term
+    FROM marg
+    """,
+)
+
+register(
+    "chi_square_assoc",
+    stats_ops.chi_square_assoc,
+    _CONTINGENCY_SQL
+    + """
+    SELECT lang, source, n_xy,
+           FLOOR((CAST(n_lang AS DOUBLE) * CAST(n_source AS DOUBLE)
+                  / CAST(n_total AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS expected,
+           FLOOR(((CAST(n_xy AS DOUBLE)
+                   - (CAST(n_lang AS DOUBLE) * CAST(n_source AS DOUBLE)
+                      / CAST(n_total AS DOUBLE)))
+                  * (CAST(n_xy AS DOUBLE)
+                     - (CAST(n_lang AS DOUBLE) * CAST(n_source AS DOUBLE)
+                        / CAST(n_total AS DOUBLE)))
+                  / (CAST(n_lang AS DOUBLE) * CAST(n_source AS DOUBLE)
+                     / CAST(n_total AS DOUBLE)))
+                 * 1e6 + 0.5) / 1e6 AS chi2_term
+    FROM marg
+    """,
+)

@@ -951,7 +951,9 @@ SCAN_BUDGETS = {
     "column_profile": 2,  # deliberate plain-stats + distinct split: one agg forced a 5x Expand over all 24 aggregates (2.6x slower measured)
     "concurrency": 1,
     "contamination_ngrams": 2,
+    "chi_square_assoc": 1,
     "cooccur_pmi": 2,
+    "corr_matrix": 1,
     "cumulative_distinct": 1,
     "decontaminate_apply": 3,  # source-pruned test/train splits of one table
     "dedup_apply": 2,
@@ -1029,6 +1031,7 @@ SCAN_BUDGETS = {
     "map_ops": 1,
     "mixture_sample": 1,
     "multimodal_join": 2,
+    "mutual_info": 1,
     "multimodal_pipeline": 0,
     "ngram_freq": 1,
     "ntile_stats": 1,
