@@ -354,16 +354,31 @@ def transpose_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Transpose requires the frame being flipped to be SMALL (its row
     count becomes the column count); here it is the 3-row per-flag
     aggregate, never raw data. Metric values go through decimal-exact
-    sums first. Columns: key, A, N, R.
+    sums first.
+
+    The flag DOMAIN is pinned by a static 3-row frame the aggregate is
+    right-joined onto (a 3x3 broadcast join): transpose derives the
+    output SCHEMA from the data, so without the pin a zero-row input
+    collapses the relation to a single ``key`` column (caught by the
+    zero-row twin) and an unexpected/NULL flag would mint a surprise
+    column. With it the schema is static — the same reason
+    pivot_revenue passes explicit pivot values. Columns: key, A, N, R.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    per_flag = li.groupBy("l_returnflag").agg(
-        F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
-        .cast("double")
-        .alias("revenue"),
-        F.sum(F.col("l_quantity").cast("decimal(18,4)"))
-        .cast("double")
-        .alias("qty"),
+    flags = spark.createDataFrame(
+        [("A",), ("N",), ("R",)], "l_returnflag string"
+    )
+    per_flag = flags.join(
+        li.groupBy("l_returnflag").agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("revenue"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("qty"),
+        ),
+        "l_returnflag",
+        "left",
     )
     return per_flag.transpose().withColumnRenamed("key", "key")
 

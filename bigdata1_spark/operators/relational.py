@@ -118,7 +118,17 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def groupby_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP over (returnflag, linestatus): subtotals + grand total in
-    one pass (Catalyst expands to grouping sets, single shuffle)."""
+    one pass (Catalyst expands to grouping sets, single shuffle).
+
+    Empty-input adjudication (shared by groupby_cube /
+    groupby_grouping_sets, caught by the zero-row twin): ANSI says the
+    ``()`` grouping set yields one grand-total row even over an empty
+    relation; Spark's Expand-based implementation yields zero rows.
+    Producing the ANSI row would cost a second full scan (a global agg
+    unioned in) on EVERY call to fix a zero-row edge — wrong trade at
+    100 TB, so the engines are pinned to Spark's behavior: the oracles
+    carry ``HAVING COUNT(*) > 0``, which only ever drops the
+    empty-input grand-total row (every real group has >= 1 row)."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.rollup("l_returnflag", "l_linestatus")
@@ -161,7 +171,8 @@ def pivot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def groupby_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (returnflag, linestatus): all grouping-set combinations
-    in one pass."""
+    in one pass. Empty-input contract: see groupby_rollup (no
+    grand-total row over an empty relation, pinned on both engines)."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.cube("l_returnflag", "l_linestatus")
@@ -338,8 +349,10 @@ def column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain = []
     for c in cols:
         plain += [
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
-            .cast("long").alias(f"{c}__nulls"),
+            # COUNT-style (not SUM-of-flags): COUNT is 0 over an empty
+            # relation where SUM is NULL — the oracle's COUNT(CASE...)
+            # shape, pinned by the zero-row twin.
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nulls"),
             F.min(c).alias(f"{c}__min"),
             F.max(c).alias(f"{c}__max"),
             F.sum(F.col(c).cast("decimal(18,4)")).alias(f"{c}__sum"),
@@ -593,7 +606,8 @@ def groupby_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL grouping keys from the subtotal rows are coalesced to 'ALL'
     on BOTH engines — the driver hash treats NULL/NaN asymmetrically,
     and the data columns themselves are non-null so the sentinel is
-    unambiguous."""
+    unambiguous. Empty-input contract: see groupby_rollup (no
+    grand-total row over an empty relation, pinned on both engines)."""
     li = load_table(spark, sf_dir, "lineitem")
     gs = li.groupingSets(
         [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],

@@ -1253,6 +1253,7 @@ register(
            CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
              AS revenue
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    HAVING COUNT(*) > 0
     """,
 )
 
@@ -1316,6 +1317,7 @@ register(
            COALESCE(l_linestatus, 'ALL') AS linestatus,
            COUNT(*) AS n
     FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    HAVING COUNT(*) > 0
     """,
 )
 
@@ -2544,6 +2546,7 @@ register(
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
                             (l_returnflag), ())
+    HAVING COUNT(*) > 0
     """,
 )
 
