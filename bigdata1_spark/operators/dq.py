@@ -156,3 +156,53 @@ def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "psi_term"
         ),
     )
+
+
+# Privacy-profiling thresholds: a quasi-identifier equivalence class is
+# re-identifiable when it has fewer than K members or fewer than L
+# distinct sensitive values (k-anonymity / l-diversity, Sweeney 2002 /
+# Machanavajjhala 2007). Fixed literals so a row's flag never depends
+# on a statistics pass.
+KANON_K = 5
+LDIV_L = 3
+
+
+def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity profile of the customer table under
+    the quasi-identifier pair (c_nationkey, c_mktsegment), with
+    ``floor(c_acctbal / 1000)`` as the sensitive attribute — the
+    privacy audit a dataset runs before releasing user-derived rows
+    into a training corpus.
+
+    ONE scan, ONE groupBy shuffle: class size and distinct-sensitive
+    count fold into a single aggregate per equivalence class (the
+    distinct agg plans as Expand+two-phase HashAggregate — still one
+    pass over the data, and the class table it shuffles is
+    |nations|x|segments|-bounded at any corpus size). NULL
+    quasi-identifier values form their own class in both engines;
+    COUNT(DISTINCT sensitive) ignores NULL sensitive values in both.
+    All outputs are exact integers — no floats anywhere.
+    Columns: c_nationkey, c_mktsegment, class_size, l_diversity,
+    at_risk (1 when class_size < K or l_diversity < L).
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).alias("sens"),
+    )
+    classes = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("class_size"),
+        F.count_distinct(F.col("sens")).alias("l_diversity"),
+    )
+    return classes.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "class_size",
+        "l_diversity",
+        (
+            (F.col("class_size") < KANON_K)
+            | (F.col("l_diversity") < LDIV_L)
+        )
+        .cast("long")
+        .alias("at_risk"),
+    )

@@ -239,3 +239,65 @@ def cooccur_pmi(spark: SparkSession, sf_dir: str, top_n: int = 50,
             _fixed6(F.log("ratio")).alias("pmi"),
         )
     )
+
+
+# Reciprocal-rank-fusion constant (Cormack/Clarke/Buettcher 2009): the
+# standard smoothing that keeps one retriever's #1 from drowning the
+# other list. Literal 60.0 so both engines divide by the same double.
+RRF_C = 60.0
+RRF_TOP_K = 10
+
+
+def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: fuse the lexical BM25 top-10 and the dense
+    cosine top-20 (query = vec_id 0's embedding; embeddings.vec_id IS
+    documents.doc_id, the multimodal_join contract) with reciprocal
+    rank fusion ``score(d) = Σ_lists 1/(RRF_C + rank_list(d))`` — the
+    RAG-stack primitive that beats either retriever alone without
+    score calibration.
+
+    Both inputs are the already-hash-pinned retrievers, reused as
+    composition (their caches and plan shapes are audited under their
+    own keys); each list is top-k-bounded, so the fusion itself is
+    constant-sized at ANY corpus scale — a full outer join of ≤10 and
+    ≤20 rows and one constant-bounded window. Ranks are exact
+    integers; the fused score is one fixed-order chain of two
+    correctly-rounded IEEE divisions+addition on integer-derived
+    doubles (identical in DuckDB), floor-rounded 1e-6 for OUTPUT only
+    — the final ordering uses the raw sum with doc_id tie-break.
+    Columns: doc_id, lex_rnk, dense_rnk (NULL when absent from that
+    list), rrf, rnk.
+    """
+    from bigdata1_spark.operators.similarity import sim_topk
+
+    lex = bm25_search(spark, sf_dir).select(
+        "doc_id", F.col("rnk").alias("lex_rnk")
+    )
+    dw = Window.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    dense = sim_topk(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(dw).cast("long").alias("dense_rnk"),
+    )
+    fused = lex.join(dense, "doc_id", "full")
+    lex_term = F.when(
+        F.col("lex_rnk").isNotNull(),
+        F.lit(1.0) / (F.lit(RRF_C) + F.col("lex_rnk").cast("double")),
+    ).otherwise(F.lit(0.0))
+    dense_term = F.when(
+        F.col("dense_rnk").isNotNull(),
+        F.lit(1.0) / (F.lit(RRF_C) + F.col("dense_rnk").cast("double")),
+    ).otherwise(F.lit(0.0))
+    scored = fused.select(
+        "doc_id", "lex_rnk", "dense_rnk", (lex_term + dense_term).alias("s")
+    )
+    fw = Window.orderBy(F.desc("s"), F.asc("doc_id"))
+    return (
+        scored.select(
+            "doc_id",
+            "lex_rnk",
+            "dense_rnk",
+            _fixed6(F.col("s")).alias("rrf"),
+            F.row_number().over(fw).cast("long").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= RRF_TOP_K)
+    )

@@ -195,3 +195,103 @@ def chi_square_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
         _round6(exp).alias("expected"),
         _round6(diff * diff / exp).alias("chi2_term"),
     )
+
+
+# Spearman uses the three small-domain measures (quantity 1..50,
+# discount/tax at 2 decimals ~11/9 values): their joint contingency
+# table is constant-bounded (< 5,000 cells) at ANY table size, so rank
+# statistics never need a global row sort.
+SPEARMAN_COLS = (
+    ("quantity", "l_quantity", 1),
+    ("discount", "l_discount", 100),
+    ("tax", "l_tax", 100),
+)
+
+
+def spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Spearman rank correlation of three lineitem measures
+    WITHOUT ranking any row: rows collapse into ONE joint contingency
+    table (one scan + one groupBy of < 5,000 cells at any scale), and
+    every rank statistic is derived from the cells.
+
+    With ties, Spearman is Pearson over average ranks; the average
+    rank of value v is ``cum_before(v) + (freq(v)+1)/2`` — a function
+    of the marginal frequency table alone. To stay integer-exact the
+    code uses DOUBLED ranks ``dr(v) = 2*cum(v) − freq(v) + 1`` (an
+    affine map, under which Pearson r is invariant). Each marginal
+    rank map is a window over its ≤51-value marginal (single-partition
+    is fine: the partition is constant-bounded, not data-bounded) and
+    is broadcast back onto the cells; the 3 pairwise sufficient
+    statistics then fold in one aggregate over the cells with exact
+    DECIMAL sums (freq·dr·dr ≤ 4n³ < 10³⁸ far beyond sf100).
+
+    Rows are listwise-complete across the three measures (the
+    corr_matrix contract). The only float math is the final Pearson
+    chain per pair, identical op order in the oracle, floor-rounded
+    1e-6; zero-variance marginals yield NULL. Columns: col_x, col_y,
+    n_rows, rho.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = [
+        F.round(F.col(src) * F.lit(scale)).cast("long").alias(name)
+        for name, src, scale in SPEARMAN_COLS
+    ]
+    names = [name for name, _, _ in SPEARMAN_COLS]
+    # cells fans out into 3 marginal derivations + the rank join —
+    # without a cache the scan+groupBy would re-run per consumer (the
+    # dsir_sample multi-consumer-lineage lesson). Constant-bounded
+    # rows, so the cache is always tiny.
+    cells = (
+        li.select(*cols)
+        .na.drop("any")
+        .groupBy(*names)
+        .agg(F.count(F.lit(1)).alias("f"))
+        .cache()
+    )
+    ranked = cells
+    for name in names:
+        marg = cells.groupBy(name).agg(F.sum("f").alias("mf"))
+        w = Window.orderBy(name).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        dr_map = marg.select(
+            name,
+            (
+                F.lit(2) * F.sum("mf").over(w) - F.col("mf") + F.lit(1)
+            ).alias(f"dr_{name}"),
+        )
+        ranked = ranked.join(F.broadcast(dr_map), name)
+
+    fd = F.col("f").cast("decimal(19,0)")
+    aggs = [F.sum(F.col("f")).alias("n")]
+    for name in names:
+        d = F.col(f"dr_{name}").cast("decimal(12,0)")
+        aggs.append(F.sum(fd * d).alias(f"s_{name}"))
+        aggs.append(F.sum(fd * d * d).alias(f"s_{name}_{name}"))
+    for a, b in combinations(names, 2):
+        da = F.col(f"dr_{a}").cast("decimal(12,0)")
+        db = F.col(f"dr_{b}").cast("decimal(12,0)")
+        aggs.append(F.sum(fd * da * db).alias(f"s_{a}_{b}"))
+    stats = ranked.agg(*aggs)
+
+    pair_rows = []
+    for a, b in combinations(names, 2):
+        n = F.col("n").cast("double")
+        sx = F.col(f"s_{a}").cast("double")
+        sy = F.col(f"s_{b}").cast("double")
+        sxy = F.col(f"s_{a}_{b}").cast("double")
+        sxx = F.col(f"s_{a}_{a}").cast("double")
+        syy = F.col(f"s_{b}_{b}").cast("double")
+        num = n * sxy - sx * sy
+        den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        pair_rows.append(
+            F.struct(
+                F.lit(a).alias("col_x"),
+                F.lit(b).alias("col_y"),
+                F.col("n").cast("long").alias("n_rows"),
+                F.when(den > 0, _round6(num / den)).alias("rho"),
+            )
+        )
+    return stats.select(
+        F.explode(F.array(*pair_rows)).alias("p")
+    ).select("p.col_x", "p.col_y", "p.n_rows", "p.rho")

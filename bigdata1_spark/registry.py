@@ -3205,6 +3205,44 @@ register(
     """,
 )
 
+# Reciprocal-rank fusion of the two hash-pinned retrievers: the oracle
+# composes their registered oracles verbatim as CTEs, so the retriever
+# contracts can't drift from what the fusion consumes. Ranks are exact
+# integers; the fused score is one fixed-order IEEE chain.
+register(
+    "rrf_fusion",
+    ir.rrf_fusion,
+    f"""
+    WITH lex AS ({{bm25}}),
+    dense0 AS ({{sim}}),
+    dense AS (
+      SELECT vec_id AS doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id ASC)
+                  AS BIGINT) AS dense_rnk
+      FROM dense0
+    ), f AS (
+      SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+             l.rnk AS lex_rnk, d.dense_rnk
+      FROM lex l FULL JOIN dense d ON l.doc_id = d.doc_id
+    ), s AS (
+      SELECT doc_id, lex_rnk, dense_rnk,
+             (CASE WHEN lex_rnk IS NOT NULL
+                   THEN 1.0 / (60.0 + CAST(lex_rnk AS DOUBLE))
+                   ELSE 0.0 END)
+             + (CASE WHEN dense_rnk IS NOT NULL
+                     THEN 1.0 / (60.0 + CAST(dense_rnk AS DOUBLE))
+                     ELSE 0.0 END) AS s
+      FROM f
+    )
+    SELECT doc_id, lex_rnk, dense_rnk,
+           FLOOR(s * 1e6 + 0.5) / 1e6 AS rrf,
+           CAST(ROW_NUMBER() OVER (ORDER BY s DESC, doc_id ASC)
+                AS BIGINT) AS rnk
+    FROM s
+    QUALIFY rnk <= 10
+    """.format(bm25=ORACLES["bm25_search"], sim=ORACLES["sim_topk"]),
+)
+
 # ---------------------------------------------------------------------------
 # TPC-H completion (round 5): the six remaining classic shapes, adapted to
 # the partsupp-less testdata schema exactly as documented on each operator
@@ -4227,6 +4265,26 @@ register(
     """,
 )
 
+# k-anonymity / l-diversity privacy profile: one scan, one groupBy,
+# exact integers only. NULL quasi-identifiers form their own class in
+# both engines; COUNT(DISTINCT) ignores NULL sensitive values in both.
+register(
+    "k_anonymity",
+    dq.k_anonymity,
+    """
+    SELECT c_nationkey, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS class_size,
+           CAST(COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT))
+                AS BIGINT) AS l_diversity,
+           CAST(CASE WHEN COUNT(*) < 5
+                       OR COUNT(DISTINCT
+                            CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT)) < 3
+                     THEN 1 ELSE 0 END AS BIGINT) AS at_risk
+    FROM customer
+    GROUP BY 1, 2
+    """,
+)
+
 # Chunk-level dedup stats (boilerplate detector) — oracle wraps the
 # doc_chunking oracle so the chunker contract can't drift.
 register(
@@ -5175,6 +5233,85 @@ register(
                                    * (CAST(n AS DOUBLE) * syy - sy * sy)))
                            * 1e6 + 0.5) / 1e6
            END AS corr
+    FROM pairs
+    """,
+)
+
+# Spearman rank correlation from ONE joint contingency table: doubled
+# average ranks dr(v) = 2*cum(v) - freq(v) + 1 are derived from the
+# constant-bounded marginals (never a global row sort), sufficient
+# statistics fold in HUGEINT (DuckDB) / DECIMAL (Spark), final Pearson
+# chain identical op order, floor-rounded 1e-6.
+register(
+    "spearman_corr",
+    stats_ops.spearman_corr,
+    """
+    WITH complete AS (
+      SELECT CAST(ROUND(l_quantity * 1) AS BIGINT) AS quantity,
+             CAST(ROUND(l_discount * 100) AS BIGINT) AS discount,
+             CAST(ROUND(l_tax * 100) AS BIGINT) AS tax
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+        AND l_tax IS NOT NULL
+    ), cells AS (
+      SELECT quantity, discount, tax, CAST(COUNT(*) AS BIGINT) AS f
+      FROM complete GROUP BY 1, 2, 3
+    ), rq AS (
+      SELECT quantity,
+             2 * SUM(mf) OVER (ORDER BY quantity
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) - mf + 1 AS dr_q
+      FROM (SELECT quantity, SUM(f) AS mf FROM cells GROUP BY 1)
+    ), rd AS (
+      SELECT discount,
+             2 * SUM(mf) OVER (ORDER BY discount
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) - mf + 1 AS dr_d
+      FROM (SELECT discount, SUM(f) AS mf FROM cells GROUP BY 1)
+    ), rt AS (
+      SELECT tax,
+             2 * SUM(mf) OVER (ORDER BY tax
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) - mf + 1 AS dr_t
+      FROM (SELECT tax, SUM(f) AS mf FROM cells GROUP BY 1)
+    ), j AS (
+      SELECT CAST(c.f AS HUGEINT) AS f,
+             CAST(rq.dr_q AS HUGEINT) AS dq,
+             CAST(rd.dr_d AS HUGEINT) AS dd,
+             CAST(rt.dr_t AS HUGEINT) AS dt
+      FROM cells c
+      JOIN rq USING (quantity)
+      JOIN rd USING (discount)
+      JOIN rt USING (tax)
+    ), m AS (
+      SELECT SUM(f) AS n,
+             SUM(f * dq) AS s_q, SUM(f * dd) AS s_d, SUM(f * dt) AS s_t,
+             SUM(f * dq * dq) AS s_qq, SUM(f * dd * dd) AS s_dd,
+             SUM(f * dt * dt) AS s_tt,
+             SUM(f * dq * dd) AS s_qd, SUM(f * dq * dt) AS s_qt,
+             SUM(f * dd * dt) AS s_dt
+      FROM j
+    ), pairs AS (
+      SELECT 'quantity' AS col_x, 'discount' AS col_y, n,
+             CAST(s_q AS DOUBLE) AS sx, CAST(s_d AS DOUBLE) AS sy,
+             CAST(s_qd AS DOUBLE) AS sxy,
+             CAST(s_qq AS DOUBLE) AS sxx, CAST(s_dd AS DOUBLE) AS syy
+      FROM m
+      UNION ALL SELECT 'quantity', 'tax', n,
+             CAST(s_q AS DOUBLE), CAST(s_t AS DOUBLE), CAST(s_qt AS DOUBLE),
+             CAST(s_qq AS DOUBLE), CAST(s_tt AS DOUBLE) FROM m
+      UNION ALL SELECT 'discount', 'tax', n,
+             CAST(s_d AS DOUBLE), CAST(s_t AS DOUBLE), CAST(s_dt AS DOUBLE),
+             CAST(s_dd AS DOUBLE), CAST(s_tt AS DOUBLE) FROM m
+    )
+    SELECT col_x, col_y, CAST(n AS BIGINT) AS n_rows,
+           CASE WHEN sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                          * (CAST(n AS DOUBLE) * syy - sy * sy)) > 0
+                THEN FLOOR(((CAST(n AS DOUBLE) * sxy - sx * sy)
+                            / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                                   * (CAST(n AS DOUBLE) * syy - sy * sy)))
+                           * 1e6 + 0.5) / 1e6
+           END AS rho
     FROM pairs
     """,
 )

@@ -409,6 +409,24 @@ def test_psi_drift_no_real_drift(spark, sf_dir):
     assert all(abs(r["psi_term"]) < 0.01 for r in rows), rows
 
 
+def test_k_anonymity_flags_match_thresholds(spark, sf_dir):
+    """Every class's at_risk flag must be exactly the threshold
+    predicate re-evaluated on its own emitted counts, the class sizes
+    must sum to the table row count (partition completeness), and
+    l_diversity can never exceed class_size."""
+    from bigdata1_spark.operators.dq import KANON_K, LDIV_L, k_anonymity
+    from bigdata1_spark.sources.tables import load_table
+
+    rows = k_anonymity(spark, sf_dir).collect()
+    assert rows
+    n_cust = load_table(spark, sf_dir, "customer").count()
+    assert sum(r["class_size"] for r in rows) == n_cust
+    for r in rows:
+        assert 1 <= r["l_diversity"] <= r["class_size"]
+        want = int(r["class_size"] < KANON_K or r["l_diversity"] < LDIV_L)
+        assert r["at_risk"] == want, r
+
+
 def test_asof_directions_bracket_clicks(spark, sf_dir):
     """Backward and forward as-of must bracket every click:
     prev_purchase_ts ≤ click_ts ≤ next_purchase_ts wherever both

@@ -1022,6 +1022,7 @@ SCAN_BUDGETS = {
     "join_range": 1,
     "join_self_pairs": 1,
     "join_semi": 2,
+    "k_anonymity": 1,
     "kcore": 0,
     "knn_classify": 2,
     "knn_join": 2,
@@ -1049,6 +1050,7 @@ SCAN_BUDGETS = {
     "project_month": 1,
     "project_split": 1,
     "psi_drift": 2,
+    "spearman_corr": 1,
     "python_datasource": 0,
     "python_datasink": 0,  # eager checkpoint after the sink round-trip
     "python_stream_source": 0,
@@ -1058,6 +1060,7 @@ SCAN_BUDGETS = {
     "resample_interpolate": 2,
     "retention_cohorts": 2,
     "rollup_multires": 1,
+    "rrf_fusion": 4,  # composition: bm25_search (2 documents scans) + sim_topk (2 embeddings scans)
     "runtime_filter_join": 0,
     "sample_exact_k": 1,
     "sample_split": 1,

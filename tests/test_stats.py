@@ -87,3 +87,60 @@ def test_stats_scan_budgets(spark, sf_dir):
     assert _unique_scan_count(
         stats_ops.chi_square_assoc(spark, sf_dir)
     ) == 1
+
+
+def test_spearman_matches_pandas(spark, duck, sf_dir):
+    """Our contingency-table Spearman (doubled average ranks, never a
+    row-level rank) vs pandas' corr(method='spearman') over per-row
+    ranks of the raw doubles — a fully independent algorithm; ranks are
+    invariant under the fixed-point scaling, so values must agree."""
+    pdf = duck.execute(
+        """
+        SELECT l_quantity AS quantity, l_discount AS discount,
+               l_tax AS tax
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+          AND l_tax IS NOT NULL
+        """
+    ).df()
+    ref = pdf.corr(method="spearman")
+    rows = {(r.col_x, r.col_y): r for r in
+            stats_ops.spearman_corr(spark, sf_dir).collect()}
+    assert len(rows) == 3
+    n = len(pdf)
+    for (cx, cy), r in rows.items():
+        assert r.n_rows == n
+        assert r.rho is not None and abs(r.rho - ref.loc[cx, cy]) < 1e-6
+        assert -1.0 <= r.rho <= 1.0
+
+
+def test_spearman_scan_budget(spark, sf_dir):
+    """One lineitem scan: marginals and rank maps all derive from the
+    cached cell table, never a rescan."""
+    from tests.test_plans import _unique_scan_count
+
+    # <= because a prior test's materialized cells cache planes the
+    # whole subtree as InMemoryTableScan (0 parquet scans).
+    assert _unique_scan_count(stats_ops.spearman_corr(spark, sf_dir)) <= 1
+
+
+def test_rrf_fusion_recomputes_from_member_lists(spark, sf_dir):
+    """Every fused row's rrf must equal the formula re-applied to the
+    ranks it reports, every doc must come from at least one retriever
+    list, and the emitted rnk must be consistent with rrf ordering."""
+    from bigdata1_spark.operators.ir import RRF_C, RRF_TOP_K, rrf_fusion
+
+    rows = sorted(rrf_fusion(spark, sf_dir).collect(), key=lambda r: r.rnk)
+    assert 0 < len(rows) <= RRF_TOP_K
+    prev = None
+    for r in rows:
+        assert r.lex_rnk is not None or r.dense_rnk is not None
+        want = 0.0
+        if r.lex_rnk is not None:
+            want += 1.0 / (RRF_C + r.lex_rnk)
+        if r.dense_rnk is not None:
+            want += 1.0 / (RRF_C + r.dense_rnk)
+        assert abs(r.rrf - want) < 2e-6, r
+        if prev is not None:
+            assert prev >= r.rrf - 2e-6  # non-increasing in rank order
+        prev = r.rrf
