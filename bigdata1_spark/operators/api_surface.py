@@ -423,7 +423,17 @@ def udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
         def eval(self, text, n):
-            words = [w for w in (text or "").split() if w]
+            import re
+
+            # ASCII \s+ ONLY (re.ASCII), matching the engines' repo-wide
+            # tokens() contract: bare str.split() breaks on UNICODE
+            # whitespace (NBSP, U+3000) that Java/RE2 \s does not —
+            # found by the .unicodedata sweep
+            words = [
+                w
+                for w in re.split(r"\s+", text or "", flags=re.ASCII)
+                if w
+            ]
             head = [
                 words[i] if i < len(words) else None for i in range(n)
             ]

@@ -417,3 +417,54 @@ def kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("core_degree"))
     )
+
+
+# BFS: fixed frontier-expansion rounds from a literal source supplier.
+# The literal seed (not a min() over data) keeps the oracle a pure
+# unroll and the result well-defined even on empty inputs.
+BFS_SOURCE = 1
+BFS_ROUNDS = 3
+
+
+def bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-hop distances from supplier ``BFS_SOURCE`` over the
+    co-supplier graph, ``BFS_ROUNDS`` synchronous frontier expansions —
+    the Pregel BFS shape (each round: frontier ⋈ edges, then a min-hop
+    merge), the primitive under reachability / ego-network / influence
+    queries.
+
+    Per round: ONE keyed join of the current frontier (nodes first
+    discovered last round — never the whole distance table) against
+    the bidirectional edge list, ONE min-hop aggregation; the edge
+    list is localCheckpoint-ed once and the distance table per round
+    (the pagerank/kcore lineage discipline), so the plan stays
+    round-sized at any graph size. A fixpoint loop is the same body
+    under an empty-frontier check; the fixed round count is what lets
+    the oracle unroll bit-for-bit into chained CTEs. Exact integers
+    end-to-end. Columns: node, hop (0 for the source itself; nodes
+    farther than BFS_ROUNDS are absent).
+    """
+    edges = _co_supplier_edges(spark, sf_dir).localCheckpoint(eager=True)
+    bidir = edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(
+        edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    dist = spark.range(1).select(
+        F.lit(BFS_SOURCE).cast("long").alias("node"),
+        F.lit(0).cast("long").alias("hop"),
+    )
+    for r in range(1, BFS_ROUNDS + 1):
+        frontier = dist.filter(F.col("hop") == r - 1).select("node")
+        nbrs = frontier.join(
+            bidir, frontier["node"] == bidir["src"]
+        ).select(
+            F.col("dst").alias("node"), F.lit(r).cast("long").alias("hop")
+        )
+        dist = (
+            dist.unionAll(nbrs)
+            .groupBy("node")
+            .agg(F.min("hop").alias("hop"))
+            .localCheckpoint(eager=True)
+        )
+    return dist

@@ -1059,3 +1059,161 @@ def vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ids_csv"),
         F.size("ps").cast("long").alias("n_ids"),
     )
+
+
+# Sentinel class label for NULL lang: joins on the class column must
+# never carry SQL-NULL keys (NULL = NULL is false in both engines, so a
+# NULL class would silently lose its word counts in the model join).
+NB_NULL_CLASS = "<null>"
+
+
+def _nb_fixed6(col: Column) -> Column:
+    """ln-value grid snap (floor(x*1e6+0.5)/1e6) applied BEFORE the
+    score fold — ranking inputs must never be raw ln outputs."""
+    return F.floor(col * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+
+def naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive-Bayes language classifier, trained and applied
+    in one declarative plan: fit ``P(lang)`` and Laplace-smoothed
+    ``P(word | lang)`` on the whole corpus, score every document
+    against every class, argmax, and emit the confusion matrix — the
+    classic self-consistency probe for a corpus's lang labels (cells
+    off the diagonal are mislabeled-language candidates, the
+    CCNet/cld3 audit shape).
+
+    Spark-first layout: the (doc, lang, word) count table is ONE
+    scan+groupBy and is cached (it fans out into the class-word model,
+    the per-class token totals, the vocabulary, and the scoring join —
+    the dsir_sample multi-consumer-lineage lesson); the doc→lang base
+    is a second, text-column-free scan (cheaper than caching the token
+    stream just to avoid it — parquet column pruning does the work).
+    The smoothing grid is |vocab| × |classes| (vocabulary-scale, never
+    corpus-scale); the scoring join shuffles on word; per-(doc, class)
+    log-scores fold ``cnt·ln p`` in explicit word order from 0.0 (the
+    unigram_logprob ln-parity discipline), prior added once at the
+    end; argmax is a per-doc window with class-name tie-break. Every
+    count is an exact integer; ln inputs are identical exact-integer
+    ratios in both engines AND every ln output is snapped to the 1e-6
+    grid before the fold (ln itself is only ulp-accurate and the
+    argmax RANKS by these sums — the ir.py ranking rule). Zero-token
+    docs score on priors alone.
+    Columns: actual_cls, predicted_cls, n_docs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cls = F.coalesce(F.col("lang"), F.lit(NB_NULL_CLASS))
+    base = (
+        docs.select("doc_id", cls.alias("actual_cls")).cache()
+    )
+    dwc = (
+        docs.select("doc_id", cls.alias("cls"), F.explode(_toks()).alias("word"))
+        .groupBy("doc_id", "cls", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .cache()
+    )
+    cw = dwc.groupBy("cls", "word").agg(F.sum("cnt").alias("c"))
+    ntok = dwc.groupBy("cls").agg(F.sum("cnt").alias("ntok"))
+    vocab = dwc.select("word").distinct()
+    vsize = vocab.agg(F.count(F.lit(1)).alias("v"))
+    classes = base.select(
+        F.col("actual_cls").alias("cls")
+    ).distinct()
+    prior = base.groupBy(F.col("actual_cls").alias("cls")).agg(
+        F.count(F.lit(1)).alias("nl")
+    )
+    ndocs = base.agg(F.count(F.lit(1)).alias("n"))
+
+    grid = (
+        classes.crossJoin(vocab)
+        .join(cw, ["cls", "word"], "left")
+        .join(ntok, "cls", "left")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "cls",
+            "word",
+            # ln is NOT correctly rounded (java.lang.Math vs libm
+            # disagree in the last ulp on ~5% of inputs — module
+            # header of operators/ir.py), and the argmax below RANKS
+            # by sums of these values, so each ln is snapped to the
+            # 1e-6 grid first: the folded scores are then identical
+            # doubles in both engines by construction.
+            _nb_fixed6(
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+                    / (
+                        F.coalesce(F.col("ntok"), F.lit(0)) + F.col("v")
+                    ).cast("double")
+                )
+            ).alias("lnp"),
+        )
+    )
+    terms = dwc.select("doc_id", "word", "cnt").join(
+        grid.withColumnRenamed("cls", "cand_cls"), "word"
+    )
+    s_words = (
+        terms.groupBy("doc_id", "cand_cls")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "word",
+                        (F.col("cnt").cast("double") * F.col("lnp")).alias(
+                            "term"
+                        ),
+                    )
+                )
+            ).alias("ts")
+        )
+        .select(
+            "doc_id",
+            "cand_cls",
+            F.aggregate(
+                F.transform(F.col("ts"), lambda x: x["term"]),
+                F.lit(0.0),
+                lambda a, t: a + t,
+            ).alias("s"),
+        )
+    )
+    scored = (
+        base.crossJoin(
+            F.broadcast(
+                classes.select(F.col("cls").alias("cand_cls"))
+                .join(
+                    prior.select(
+                        F.col("cls").alias("cand_cls"), "nl"
+                    ),
+                    "cand_cls",
+                )
+                .crossJoin(F.broadcast(ndocs))
+                .select(
+                    "cand_cls",
+                    _nb_fixed6(
+                        F.log(
+                            F.col("nl").cast("double")
+                            / F.col("n").cast("double")
+                        )
+                    ).alias("lnprior"),
+                )
+            )
+        )
+        .join(s_words, ["doc_id", "cand_cls"], "left")
+        .select(
+            "doc_id",
+            "actual_cls",
+            "cand_cls",
+            (
+                F.col("lnprior") + F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("cand_cls")
+    )
+    pred = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return pred.groupBy(
+        "actual_cls", F.col("cand_cls").alias("predicted_cls")
+    ).agg(F.count(F.lit(1)).alias("n_docs"))

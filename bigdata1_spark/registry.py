@@ -4933,6 +4933,76 @@ register(
     """,
 )
 
+# Multinomial naive-Bayes language classifier (train + score + argmax
+# + confusion matrix in one plan). NULL lang rides the '<null>'
+# sentinel class so model joins never carry SQL-NULL keys; per-(doc,
+# class) scores fold cnt*ln p in word order from 0.0 (the
+# unigram_logprob ln-parity discipline), prior added once at the end.
+register(
+    "naive_bayes_lang",
+    text_analysis.naive_bayes_lang,
+    """
+    WITH base AS MATERIALIZED (
+      SELECT doc_id, COALESCE(lang, '<null>') AS actual_cls FROM documents
+    ), dwc AS MATERIALIZED (
+      SELECT doc_id, cls, word, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (
+        SELECT doc_id, COALESCE(lang, '<null>') AS cls,
+               unnest(list_filter(string_split_regex(text, '\\s+'),
+                                  x -> len(x) > 0)) AS word
+        FROM documents
+      ) GROUP BY 1, 2, 3
+    ), cw AS (
+      SELECT cls, word, SUM(cnt) AS c FROM dwc GROUP BY 1, 2
+    ), ntok AS (
+      SELECT cls, SUM(cnt) AS ntok FROM dwc GROUP BY 1
+    ), vocab AS (SELECT DISTINCT word FROM dwc),
+    vsize AS (SELECT COUNT(*) AS v FROM vocab),
+    classes AS (SELECT DISTINCT actual_cls AS cls FROM base),
+    prior AS (
+      SELECT actual_cls AS cls, COUNT(*) AS nl FROM base GROUP BY 1
+    ), ndocs AS (SELECT COUNT(*) AS n FROM base),
+    grid AS MATERIALIZED (
+      SELECT cl.cls, w.word,
+             FLOOR(ln(CAST(COALESCE(cw.c, 0) + 1 AS DOUBLE)
+                      / CAST(COALESCE(nt.ntok, 0) + vs.v AS DOUBLE))
+                   * 1e6 + 0.5) / 1e6 AS lnp
+      FROM classes cl
+      CROSS JOIN vocab w
+      LEFT JOIN cw ON cw.cls = cl.cls AND cw.word = w.word
+      LEFT JOIN ntok nt ON nt.cls = cl.cls
+      CROSS JOIN vsize vs
+    ), s_words AS (
+      SELECT d.doc_id, g.cls AS cand_cls,
+             list(CAST(d.cnt AS DOUBLE) * g.lnp ORDER BY d.word) AS ts
+      FROM dwc d JOIN grid g ON d.word = g.word
+      GROUP BY 1, 2
+    ), pri AS (
+      SELECT p.cls AS cand_cls,
+             FLOOR(ln(CAST(p.nl AS DOUBLE) / CAST(nd.n AS DOUBLE))
+                   * 1e6 + 0.5) / 1e6 AS lnprior
+      FROM prior p CROSS JOIN ndocs nd
+    ), scored AS (
+      SELECT b.doc_id, b.actual_cls, pr.cand_cls,
+             pr.lnprior
+             + COALESCE(list_reduce(list_prepend(0.0, sw.ts),
+                                    (a, t) -> a + t), 0.0) AS score
+      FROM base b
+      CROSS JOIN pri pr
+      LEFT JOIN s_words sw
+        ON sw.doc_id = b.doc_id AND sw.cand_cls = pr.cand_cls
+    ), pred AS (
+      SELECT doc_id, actual_cls, cand_cls,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, cand_cls ASC) AS rn
+      FROM scored
+    )
+    SELECT actual_cls, cand_cls AS predicted_cls,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred WHERE rn = 1 GROUP BY 1, 2
+    """,
+)
+
 register(
     "dsir_sample",
     corpus.dsir_sample,
@@ -5059,6 +5129,51 @@ def _kcore_unrolled_sql(rounds: int = 3, k: int = 3) -> str:
 
 
 register("kcore", graph.kcore, _kcore_unrolled_sql())
+
+
+def _bfs_unrolled_sql(rounds: int = 3, source: int = 1) -> str:
+    """Chained-CTE unroll of the fixed-round frontier BFS (the
+    _kcore_unrolled_sql pattern). Each round joins ONLY the frontier
+    (nodes whose hop equals the previous round number) to the
+    bidirectional edge list, then min-merges — the exact Spark body."""
+    parts = [
+        """e0 AS MATERIALIZED (
+      SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+      FROM lineitem x JOIN lineitem y
+        ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+    )""",
+        """bidir AS MATERIALIZED (
+      SELECT a AS src, b AS dst FROM e0
+      UNION ALL SELECT b AS src, a AS dst FROM e0
+    )""",
+        f"""d0 AS (SELECT CAST({source} AS BIGINT) AS node,
+                      CAST(0 AS BIGINT) AS hop)""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""n{r} AS (
+      SELECT e.dst AS node, CAST({r} AS BIGINT) AS hop
+      FROM d{r - 1} d JOIN bidir e ON d.node = e.src
+      WHERE d.hop = {r - 1}
+    )"""
+        )
+        parts.append(
+            f"""d{r} AS MATERIALIZED (
+      SELECT node, MIN(hop) AS hop
+      FROM (SELECT * FROM d{r - 1} UNION ALL SELECT * FROM n{r})
+      GROUP BY node
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT node, hop FROM d{rounds}"
+    )
+
+
+# Fixed-round Pregel BFS over the co-supplier graph; literal source so
+# the oracle is a pure unroll and the empty twin still emits the seed.
+register("bfs_hops", graph.bfs_hops, _bfs_unrolled_sql())
 
 
 # Span-level exact-substring dedup (Lee et al. 2022): duplicated word

@@ -64,3 +64,33 @@ def test_pagerank_deterministic_across_runs(spark, sf_dir):
     b = graph.pagerank(spark, sf_dir)
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+def test_bfs_hops_frontier_invariants(spark, sf_dir):
+    """BFS contract checked structurally against the edge list itself:
+    the source is at hop 0; every hop-r node (r >= 1) has at least one
+    neighbor at hop r-1 and NO neighbor at hop < r-1 (else its own hop
+    would be smaller); hops never exceed BFS_ROUNDS; each node appears
+    once."""
+    from bigdata1_spark.operators.graph import (
+        BFS_ROUNDS,
+        BFS_SOURCE,
+        _co_supplier_edges,
+        bfs_hops,
+    )
+
+    dist = {r["node"]: r["hop"] for r in bfs_hops(spark, sf_dir).collect()}
+    rows = bfs_hops(spark, sf_dir).collect()
+    assert len(rows) == len(dist)  # no duplicate nodes
+    assert dist[BFS_SOURCE] == 0
+    adj: dict = {}
+    for e in _co_supplier_edges(spark, sf_dir).collect():
+        adj.setdefault(e["a"], set()).add(e["b"])
+        adj.setdefault(e["b"], set()).add(e["a"])
+    for node, hop in dist.items():
+        assert 0 <= hop <= BFS_ROUNDS
+        if hop == 0:
+            continue
+        nbr_hops = {dist[n] for n in adj[node] if n in dist}
+        assert hop - 1 in nbr_hops, (node, hop)
+        assert not any(h < hop - 1 for h in nbr_hops), (node, hop)

@@ -1022,6 +1022,7 @@ SCAN_BUDGETS = {
     "join_range": 1,
     "join_self_pairs": 1,
     "join_semi": 2,
+    "bfs_hops": 0,  # final plan reads the round-3 localCheckpoint (the kcore/pagerank lineage discipline)
     "k_anonymity": 1,
     "kcore": 0,
     "knn_classify": 2,
@@ -1032,6 +1033,7 @@ SCAN_BUDGETS = {
     "map_ops": 1,
     "mixture_sample": 1,
     "multimodal_join": 2,
+    "naive_bayes_lang": 2,  # token-count cache fill + the text-free doc->lang base scan (column-pruned)
     "mutual_info": 1,
     "multimodal_pipeline": 0,
     "ngram_freq": 1,

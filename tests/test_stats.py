@@ -144,3 +144,73 @@ def test_rrf_fusion_recomputes_from_member_lists(spark, sf_dir):
         if prev is not None:
             assert prev >= r.rrf - 2e-6  # non-increasing in rank order
         prev = r.rrf
+
+
+def test_naive_bayes_matches_pure_python(spark, duck, sf_dir):
+    """Full independent reimplementation of the classifier in plain
+    Python dicts (no DataFrames, no SQL): same tokenizer contract, same
+    Laplace smoothing, same 1e-6 ln-grid snap, same word-order fold and
+    (score desc, class asc) argmax — the confusion matrices must be
+    identical cell-for-cell."""
+    import math
+    import re as _re
+
+    from bigdata1_spark.operators.text_analysis import (
+        NB_NULL_CLASS,
+        naive_bayes_lang,
+    )
+
+    docs = duck.execute(
+        "SELECT doc_id, lang, text FROM documents"
+    ).fetchall()
+    snap = lambda x: math.floor(x * 1e6 + 0.5) / 1e6
+    base, dwc = {}, {}
+    for doc_id, lang, text in docs:
+        cls = NB_NULL_CLASS if lang is None else lang
+        base[doc_id] = cls
+        words = [w for w in _re.split(r"\s+", text) if w] if text else []
+        for w in words:
+            dwc[(doc_id, w)] = dwc.get((doc_id, w), 0) + 1
+    cw, ntok, vocab = {}, {}, set()
+    for (doc_id, w), cnt in dwc.items():
+        cls = base[doc_id]
+        cw[(cls, w)] = cw.get((cls, w), 0) + cnt
+        ntok[cls] = ntok.get(cls, 0) + cnt
+        vocab.add(w)
+    classes = sorted(set(base.values()))
+    prior = {c: 0 for c in classes}
+    for c in base.values():
+        prior[c] += 1
+    n, v = len(base), len(vocab)
+    lnp = {
+        (c, w): snap(
+            math.log((cw.get((c, w), 0) + 1) / (ntok.get(c, 0) + v))
+        )
+        for c in classes
+        for w in vocab
+    }
+    lnprior = {c: snap(math.log(prior[c] / n)) for c in classes}
+    confusion: dict = {}
+    by_doc: dict = {}
+    for (doc_id, w), cnt in dwc.items():
+        by_doc.setdefault(doc_id, []).append((w, cnt))
+    for doc_id, actual in base.items():
+        best = None
+        for c in classes:
+            s = 0.0
+            for w, cnt in sorted(by_doc.get(doc_id, [])):
+                s = s + cnt * lnp[(c, w)]
+            score = lnprior[c] + s
+            # argmax with (score desc, class asc) tie-break
+            if best is None or score > best[0] or (
+                score == best[0] and c < best[1]
+            ):
+                best = (score, c)
+        confusion[(actual, best[1])] = confusion.get(
+            (actual, best[1]), 0
+        ) + 1
+    got = {
+        (r.actual_cls, r.predicted_cls): r.n_docs
+        for r in naive_bayes_lang(spark, sf_dir).collect()
+    }
+    assert got == confusion
