@@ -468,3 +468,45 @@ def bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return dist
+
+
+LABEL_PROP_ROUNDS = 3
+
+
+def label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous min-label propagation over the co-supplier graph,
+    ``LABEL_PROP_ROUNDS`` rounds: every node starts labeled with its
+    own id and each round adopts the minimum of its own and its
+    neighbors' current labels — the deterministic LPA variant
+    (classic LPA's random tie-breaks can't be oracle-pinned; min-label
+    converges to connected components, so intermediate rounds expose
+    r-hop community structure while the fixpoint is checkable against
+    ``dedup_clusters``-style components).
+
+    Per round: ONE join of the current labels against the
+    bidirectional edge list + ONE min aggregation — the same keyed
+    round shape as bfs_hops, localCheckpoint-bounded. Degree-0 nodes
+    don't exist in an edge-derived graph; isolated-in-round nodes keep
+    their label via the self-union. Exact integers. Columns: node,
+    label.
+    """
+    edges = _co_supplier_edges(spark, sf_dir).localCheckpoint(eager=True)
+    bidir = edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(
+        edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = bidir.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(LABEL_PROP_ROUNDS):
+        nbr = labels.join(
+            bidir, labels["node"] == bidir["src"]
+        ).select(F.col("dst").alias("node"), "label")
+        labels = (
+            labels.unionAll(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels

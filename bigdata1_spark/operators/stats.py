@@ -295,3 +295,104 @@ def spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.select(
         F.explode(F.array(*pair_rows)).alias("p")
     ).select("p.col_x", "p.col_y", "p.n_rows", "p.rho")
+
+
+# Two-sample comparison: lineitem quantities of returned ('R') vs
+# accepted ('A') lines — did the return pipeline see a different
+# quantity distribution? Literal group labels (never data-derived).
+MW_GROUP_A = "R"
+MW_GROUP_B = "A"
+
+
+def mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test between the ``R`` and
+    ``A`` return-flag populations of ``l_quantity`` — the
+    nonparametric two-sample location test, computed like
+    :func:`spearman_corr`: rows collapse into a constant-bounded
+    (group, value) contingency table in ONE scan + ONE groupBy, and
+    every rank statistic derives from the combined marginal as exact
+    integer doubled-ranks (``dr(v) = 2·cum(v) − freq(v) + 1``).
+
+    Doubled rank-sums keep tie-averaged ranks integral: ``2·R_g =
+    Σ f_{g,v}·dr(v)`` and ``2·U_g = 2·R_g − n_g(n_g+1)``. The
+    tie-corrected normal approximation is one fixed-order IEEE chain
+    on exact integers (tie term ``Σ(t³−t)`` accumulates in
+    DECIMAL/HUGEINT — t³ overflows BIGINT past ~2M rows per value),
+    floor-rounded 1e-6; degenerate variance (a group empty, or every
+    value tied) yields NULL. Columns: grp_a, grp_b, n_a, n_b, u2_a,
+    u2_b (doubled U statistics — exact integers), z.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.round(F.col("l_quantity")).cast("long").alias("qv"),
+    ).filter(
+        F.col("grp").isin(MW_GROUP_A, MW_GROUP_B)
+        & F.col("qv").isNotNull()
+    )
+    # cells fans out into the marginal and the rank join (the
+    # spearman_corr multi-consumer shape); ≤ 2·|quantity domain| rows.
+    cells = (
+        rows.groupBy("grp", "qv")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .cache()
+    )
+    marg = cells.groupBy("qv").agg(F.sum("f").alias("mf"))
+    w = Window.orderBy("qv").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    md = F.col("mf").cast("decimal(12,0)")
+    dr = marg.select(
+        "qv",
+        (F.lit(2) * F.sum("mf").over(w) - F.col("mf") + F.lit(1)).alias(
+            "dr"
+        ),
+        (md * md * md - md).alias("t3t"),
+    )
+    j = cells.join(F.broadcast(dr), "qv")
+    per = j.groupBy("grp").agg(
+        F.sum("f").alias("n"),
+        F.sum(
+            F.col("f").cast("decimal(12,0)")
+            * F.col("dr").cast("decimal(12,0)")
+        ).alias("two_r"),
+    )
+    ties = dr.agg(F.sum("t3t").alias("ties"))
+    wide = per.agg(
+        F.sum(F.when(F.col("grp") == MW_GROUP_A, F.col("n"))).alias("n_a"),
+        F.sum(F.when(F.col("grp") == MW_GROUP_B, F.col("n"))).alias("n_b"),
+        F.sum(
+            F.when(F.col("grp") == MW_GROUP_A, F.col("two_r"))
+        ).alias("two_r_a"),
+        F.sum(
+            F.when(F.col("grp") == MW_GROUP_B, F.col("two_r"))
+        ).alias("two_r_b"),
+    ).crossJoin(F.broadcast(ties))
+    n_a = F.col("n_a").cast("double")
+    n_b = F.col("n_b").cast("double")
+    n = n_a + n_b
+    u2_a = F.col("two_r_a") - (
+        F.col("n_a").cast("decimal(19,0)")
+        * (F.col("n_a") + 1).cast("decimal(19,0)")
+    )
+    u2_b = F.col("two_r_b") - (
+        F.col("n_b").cast("decimal(19,0)")
+        * (F.col("n_b") + 1).cast("decimal(19,0)")
+    )
+    num = u2_a.cast("double") - n_a * n_b
+    den = F.lit(2.0) * F.sqrt(
+        (n_a * n_b / F.lit(12.0))
+        * (
+            (n + F.lit(1.0))
+            - F.col("ties").cast("double") / (n * (n - F.lit(1.0)))
+        )
+    )
+    return wide.select(
+        F.lit(MW_GROUP_A).alias("grp_a"),
+        F.lit(MW_GROUP_B).alias("grp_b"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        u2_a.cast("long").alias("u2_a"),
+        u2_b.cast("long").alias("u2_b"),
+        F.when(den > 0, _round6(num / den)).alias("z"),
+    )

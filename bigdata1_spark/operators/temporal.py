@@ -728,3 +728,60 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_intervals"),
         F.sum(overlap).alias("total_overlap_us"),
     )
+
+
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM level-shift detector over daily event counts,
+    per event_type — the streaming-monitoring primitive for "did this
+    event's volume drift?", computed EXACTLY (no floats anywhere).
+
+    The textbook recursion S⁺_t = max(0, S⁺_{t-1} + y_t) is not a
+    prefix sum, but it has a closed windowable form: with
+    P_t = Σ_{j≤t} y_j, S⁺_t = P_t − min_{j≤t} P_j and
+    S⁻_t = max_{j≤t} P_j − P_t — one running SUM plus a running
+    MIN/MAX over the same keyed window. Deviations are kept integral
+    by scaling: y'_t = n_days·x_t − Σx (per type), so every emitted
+    statistic is an exact integer (consumers threshold on
+    S±/(n_days·σ̂); the scale rides the n_days column).
+
+    ONE events scan → daily (type, day) counts; every window runs over
+    that constant-bounded-per-type daily table (days are calendar-
+    bounded — the per-type partition never grows with row count, only
+    with time span), so there is no global sort and no rescan. NULL
+    event_type forms its own series in both engines.
+    Columns: event_type, day, n_events, n_days, s_pos, s_neg.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+
+    per_type = Window.partitionBy("event_type")
+    ordered = per_type.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    scaled = daily.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.count(F.lit(1)).over(per_type).alias("n_days"),
+        (
+            F.count(F.lit(1)).over(per_type) * F.col("n_events")
+            - F.sum("n_events").over(per_type)
+        ).alias("y"),
+    )
+    with_p = scaled.withColumn("p", F.sum("y").over(ordered))
+    # the running extrema must include the EMPTY prefix P_0 = 0 (the
+    # recursion starts at S=0), hence the least/greatest against 0
+    return with_p.select(
+        "event_type",
+        "day",
+        "n_events",
+        "n_days",
+        (
+            F.col("p") - F.least(F.lit(0), F.min("p").over(ordered))
+        ).alias("s_pos"),
+        (
+            F.greatest(F.lit(0), F.max("p").over(ordered)) - F.col("p")
+        ).alias("s_neg"),
+    )

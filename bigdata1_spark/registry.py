@@ -2849,6 +2849,46 @@ register(
     """,
 )
 
+# Two-sided CUSUM over daily per-type event counts via the closed
+# windowable form S+ = P - runmin(P), S- = runmax(P) - P on integer-
+# scaled deviations y = n_days*x - sum(x): exact integers end-to-end.
+register(
+    "cusum_changepoint",
+    temporal.cusum_changepoint,
+    """
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2
+    ), scaled AS (
+      SELECT event_type, day, n_events,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+               AS n_days,
+             COUNT(*) OVER (PARTITION BY event_type) * n_events
+               - SUM(n_events) OVER (PARTITION BY event_type) AS y
+      FROM daily
+    ), wp AS (
+      SELECT event_type, day, n_events, n_days,
+             SUM(y) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS p
+      FROM scaled
+    )
+    SELECT event_type, day, n_events, n_days,
+           CAST(p - LEAST(0, MIN(p) OVER (PARTITION BY event_type
+                                          ORDER BY day
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW))
+                AS BIGINT) AS s_pos,
+           CAST(GREATEST(0, MAX(p) OVER (PARTITION BY event_type
+                                         ORDER BY day
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW)) - p
+                AS BIGINT) AS s_neg
+    FROM wp
+    """,
+)
+
 # Seasonal-naive baseline: hourly means self-joined at a 168-hour lag.
 register(
     "seasonal_naive",
@@ -5176,6 +5216,48 @@ def _bfs_unrolled_sql(rounds: int = 3, source: int = 1) -> str:
 register("bfs_hops", graph.bfs_hops, _bfs_unrolled_sql())
 
 
+def _label_prop_unrolled_sql(rounds: int = 3) -> str:
+    """Chained-CTE unroll of synchronous min-label propagation (the
+    _bfs_unrolled_sql pattern: join labels to the bidirectional edges,
+    min-merge with the previous labels, per fixed round)."""
+    parts = [
+        """e0 AS MATERIALIZED (
+      SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+      FROM lineitem x JOIN lineitem y
+        ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+    )""",
+        """bidir AS MATERIALIZED (
+      SELECT a AS src, b AS dst FROM e0
+      UNION ALL SELECT b AS src, a AS dst FROM e0
+    )""",
+        """l0 AS MATERIALIZED (
+      SELECT DISTINCT src AS node, src AS label FROM bidir
+    )""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""l{r} AS MATERIALIZED (
+      SELECT node, MIN(label) AS label
+      FROM (SELECT * FROM l{r - 1}
+            UNION ALL
+            SELECT e.dst AS node, d.label
+            FROM l{r - 1} d JOIN bidir e ON d.node = e.src)
+      GROUP BY node
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT node, label FROM l{rounds}"
+    )
+
+
+# Deterministic (min-label) label propagation — the community-seed
+# primitive next to components (dedup_clusters), cores (kcore), and
+# ranks (pagerank); random-tie LPA is not oracle-pinnable, min-label is.
+register("label_prop", graph.label_prop, _label_prop_unrolled_sql())
+
+
 # Span-level exact-substring dedup (Lee et al. 2022): duplicated word
 # 10-grams (>=2 occurrences corpus-wide, within-doc repeats included)
 # mark covered token positions; survivors re-join. The oracle mirrors
@@ -5428,6 +5510,66 @@ register(
                            * 1e6 + 0.5) / 1e6
            END AS rho
     FROM pairs
+    """,
+)
+
+# Mann-Whitney U from the same doubled-rank contingency machinery as
+# spearman_corr: exact integer rank sums, HUGEINT tie term (t^3
+# overflows BIGINT past ~2M rows per value), one fixed-order IEEE
+# chain for the tie-corrected z, floor-rounded 1e-6.
+register(
+    "mann_whitney",
+    stats_ops.mann_whitney,
+    """
+    WITH rows_f AS (
+      SELECT l_returnflag AS grp, CAST(ROUND(l_quantity) AS BIGINT) AS qv
+      FROM lineitem
+      WHERE l_returnflag IN ('R', 'A') AND l_quantity IS NOT NULL
+    ), cells AS (
+      SELECT grp, qv, CAST(COUNT(*) AS BIGINT) AS f
+      FROM rows_f GROUP BY 1, 2
+    ), marg AS (
+      SELECT qv, SUM(f) AS mf FROM cells GROUP BY 1
+    ), dr AS (
+      SELECT qv,
+             2 * SUM(mf) OVER (ORDER BY qv
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) - mf + 1 AS dr,
+             CAST(mf AS HUGEINT) * CAST(mf AS HUGEINT)
+               * CAST(mf AS HUGEINT) - CAST(mf AS HUGEINT) AS t3t
+      FROM marg
+    ), per AS (
+      SELECT grp, SUM(f) AS n,
+             SUM(CAST(f AS HUGEINT) * CAST(dr AS HUGEINT)) AS two_r
+      FROM cells JOIN dr USING (qv) GROUP BY 1
+    ), ties AS (SELECT SUM(t3t) AS ties FROM dr),
+    wide AS (
+      SELECT SUM(CASE WHEN grp = 'R' THEN n END) AS n_a,
+             SUM(CASE WHEN grp = 'A' THEN n END) AS n_b,
+             SUM(CASE WHEN grp = 'R' THEN two_r END) AS two_r_a,
+             SUM(CASE WHEN grp = 'A' THEN two_r END) AS two_r_b
+      FROM per
+    ), calc AS (
+      SELECT n_a, n_b,
+             two_r_a - n_a * (n_a + 1) AS u2_a,
+             two_r_b - n_b * (n_b + 1) AS u2_b,
+             CAST(two_r_a - n_a * (n_a + 1) AS DOUBLE)
+               - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) AS num,
+             2.0 * sqrt(
+               (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0)
+               * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1.0)
+                  - CAST(ties AS DOUBLE)
+                    / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                       * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)
+                          - 1.0)))) AS den
+      FROM wide, ties
+    )
+    SELECT 'R' AS grp_a, 'A' AS grp_b,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(u2_a AS BIGINT) AS u2_a, CAST(u2_b AS BIGINT) AS u2_b,
+           CASE WHEN den > 0
+                THEN FLOOR(num / den * 1e6 + 0.5) / 1e6 END AS z
+    FROM calc
     """,
 )
 

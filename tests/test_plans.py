@@ -1025,6 +1025,7 @@ SCAN_BUDGETS = {
     "bfs_hops": 0,  # final plan reads the round-3 localCheckpoint (the kcore/pagerank lineage discipline)
     "k_anonymity": 1,
     "kcore": 0,
+    "label_prop": 0,  # all-localCheckpoint rounds (the bfs_hops/kcore lineage discipline)
     "knn_classify": 2,
     "knn_join": 2,
     "lang_id": 2,
@@ -1032,6 +1033,8 @@ SCAN_BUDGETS = {
     "locf_fill": 2,
     "map_ops": 1,
     "mixture_sample": 1,
+    "cusum_changepoint": 1,
+    "mann_whitney": 1,
     "multimodal_join": 2,
     "naive_bayes_lang": 2,  # token-count cache fill + the text-free doc->lang base scan (column-pruned)
     "mutual_info": 1,

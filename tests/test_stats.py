@@ -214,3 +214,69 @@ def test_naive_bayes_matches_pure_python(spark, duck, sf_dir):
         for r in naive_bayes_lang(spark, sf_dir).collect()
     }
     assert got == confusion
+
+
+def test_mann_whitney_matches_bruteforce_ranks(spark, duck, sf_dir):
+    """Doubled-rank contingency U/z vs a brute-force per-row
+    average-rank computation in plain Python (sorting every row, not
+    the value table) — a fully independent algorithm."""
+    from bigdata1_spark.operators.stats import (
+        MW_GROUP_A,
+        MW_GROUP_B,
+        mann_whitney,
+    )
+
+    rows = duck.execute(
+        """
+        SELECT l_returnflag, CAST(ROUND(l_quantity) AS BIGINT)
+        FROM lineitem
+        WHERE l_returnflag IN ('R', 'A') AND l_quantity IS NOT NULL
+        """
+    ).fetchall()
+    vals = sorted(v for _, v in rows)
+    # average rank per value
+    first, avg_rank, counts = {}, {}, {}
+    for i, v in enumerate(vals, 1):
+        first.setdefault(v, i)
+        counts[v] = counts.get(v, 0) + 1
+    for v, f in counts.items():
+        avg_rank[v] = first[v] + (f - 1) / 2.0
+    n_a = sum(1 for g, _ in rows if g == MW_GROUP_A)
+    n_b = sum(1 for g, _ in rows if g == MW_GROUP_B)
+    r_a = sum(avg_rank[v] for g, v in rows if g == MW_GROUP_A)
+    u_a = r_a - n_a * (n_a + 1) / 2.0
+    got = mann_whitney(spark, sf_dir).collect()[0]
+    assert (got.n_a, got.n_b) == (n_a, n_b)
+    assert got.u2_a == int(2 * u_a)
+    import math
+
+    n = n_a + n_b
+    ties = sum(f**3 - f for f in counts.values())
+    den = 2.0 * math.sqrt(
+        (n_a * n_b / 12.0) * ((n + 1.0) - ties / (n * (n - 1.0)))
+    )
+    assert abs(got.z - (2 * u_a - n_a * n_b) / den) < 2e-6
+
+
+def test_cusum_matches_direct_recursion(spark, sf_dir):
+    """The windowable closed form S+ = P - runmin(P), S- = runmax(P)-P
+    vs the textbook recursion S_t = max(0, S_{t-1} + y_t) replayed in
+    Python per event_type — must agree exactly (all integers)."""
+    from bigdata1_spark.operators.temporal import cusum_changepoint
+
+    out = cusum_changepoint(spark, sf_dir).collect()
+    assert out
+    by_type: dict = {}
+    for r in out:
+        by_type.setdefault(r.event_type, []).append(r)
+    for et, rs in by_type.items():
+        rs.sort(key=lambda r: r.day)
+        n_days = len(rs)
+        total = sum(r.n_events for r in rs)
+        assert all(r.n_days == n_days for r in rs)
+        sp = sn = 0
+        for r in rs:
+            y = n_days * r.n_events - total
+            sp = max(0, sp + y)
+            sn = max(0, sn - y)
+            assert (r.s_pos, r.s_neg) == (sp, sn), (et, r.day)
