@@ -899,3 +899,64 @@ def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("pos"),
         F.expr(f"CAST(wmin DIV {_POS_ENC} AS BIGINT)").alias("fp"),
     )
+
+
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY score: the fraction of a doc's
+    distinct word-3-grams whose corpus-wide FIRST occurrence (minimum
+    doc_id — the synthetic table's doc_id is ingest order) is the doc
+    itself — the curation signal that separates "adds new content"
+    from "restates the corpus" (≈ inverse of Lee et al. 2022's
+    duplicate-text fraction, aggregated doc-level).
+
+    ONE documents scan → distinct (doc_id, gram-hash) pairs, CACHED
+    across their two consumers (the per-gram MIN(doc_id) model and
+    the join-back — the dsir_sample multi-consumer-lineage lesson);
+    the first-seen model shuffles on gram hash (map-side combinable
+    MIN), and the verdict join is gram-hash-partitioned on both
+    sides, so nothing here is ever doc×doc. Grams are xxhash64 of
+    the shingle string (the dedup_jaccard convention — 2⁻⁶⁴-per-pair
+    collision risk, string-level oracle cross-checks at test scale).
+    NULL text yields no grams → the doc is absent from the output
+    (documented; the degenerate short-doc whole-text shingle keeps
+    tiny docs present). novelty = n_novel/n_grams is the single
+    IEEE division. Columns: doc_id, n_grams, n_novel, novelty.
+    """
+    from bigdata1_spark.functions.textfns import word_shingles
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    grams = (
+        docs.filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        word_shingles(tokens(F.col("text")), 3),
+                        lambda s: F.xxhash64(s),
+                    )
+                )
+            ).alias("g"),
+        )
+        .cache()
+    )
+    first_seen = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(first_seen, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            (
+                F.col("n_novel").cast("double")
+                / F.col("n_grams").cast("double")
+            ).alias("novelty"),
+        )
+    )

@@ -814,3 +814,83 @@ def semdedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     drop = pairs.select(F.col("id2").alias("vec_id")).distinct()
     emb = load_table(spark, sf_dir, "embeddings")
     return emb.join(drop, "vec_id", "left_anti").select("vec_id", "label")
+
+
+def dedup_containment(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.75,
+) -> DataFrame:
+    """Asymmetric shingle-CONTAINMENT near-dup pairs: ordered (id1, id2)
+    where C(A→B) = |A∩B| / |A| ≥ 0.75 — the quote/subset detector
+    Jaccard structurally misses (a 100-word doc pasted into a 10,000-
+    word doc has J ≈ 0.01 but containment 1.0; CC-style pipelines
+    dedup exactly this case).
+
+    Candidate generation is the asymmetric PPJoin prefix variant,
+    exact and bounded: if C(A→B) ≥ t then A misses at most
+    ⌊(1−t)·|A|⌋ of its own shingles in B, so under ANY global order
+    A's first ⌊(1−t)·|A|⌋+1 shingles must hit A∩B — only the PROBE
+    side is prefix-sliced; the index side posts all its shingles.
+    Rarest-first ordering (the dedup_jaccard lesson) keeps probe
+    prefixes on LOW-df shingles, so each inverted bucket is
+    (prefix-holders × df) with df small by construction — never the
+    hot-shingle d² blowup. The size filter |B| ≥ t·|A| prunes the
+    rest. t = 0.75 is deliberately dyadic: (1−t)·n and t·n are then
+    EXACT in IEEE doubles for any integer n, so the prefix length
+    never rounds a pair away (0.8 would: 5·(1−0.8) = 0.9999…98).
+
+    Verification is one array_intersect per candidate on the shared
+    cached shingle-hash table (session-cache lifecycle, the
+    dedup_jaccard convention — the executed plan reads documents
+    once into the cache). NULL text contributes no shingles and pairs
+    with nothing. Columns: id1 (contained doc), id2 (container),
+    n1, n_common, containment.
+    """
+    t = float(threshold)
+    ordered = _doc_shingle_hashes(spark, sf_dir).cache()
+    ex = ordered.select(
+        "doc_id", F.size("hs").alias("n"), F.explode("hs").alias("h")
+    )
+    df_tbl = ex.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    ranked = ex.join(df_tbl, "h").groupBy("doc_id", "n").agg(
+        F.array_sort(F.collect_list(F.struct("df", "h"))).alias("rk")
+    )
+    prefix_len = F.floor(F.col("n") * (1.0 - t)).cast("int") + 1
+    probe = ranked.select(
+        F.col("doc_id").alias("id1"),
+        F.col("n").alias("n1"),
+        F.explode(
+            F.transform(F.slice(F.col("rk"), 1, prefix_len), lambda s: s["h"])
+        ).alias("h"),
+    )
+    index = ex.select(
+        F.col("doc_id").alias("id2"), F.col("n").alias("n2"), "h"
+    )
+    cand = (
+        probe.join(
+            index,
+            (probe["h"] == index["h"])
+            & (F.col("id1") != F.col("id2"))
+            & (F.col("n2") >= F.col("n1") * t),
+        )
+        .select("id1", "id2")
+        .distinct()
+    )
+    a = ordered.select(F.col("doc_id").alias("id1"), F.col("hs").alias("hs1"))
+    b = ordered.select(F.col("doc_id").alias("id2"), F.col("hs").alias("hs2"))
+    inter = F.size(F.array_intersect("hs1", "hs2"))
+    return (
+        cand.join(a, "id1")
+        .join(b, "id2")
+        .select(
+            "id1",
+            "id2",
+            F.size("hs1").cast("long").alias("n1"),
+            inter.cast("long").alias("n_common"),
+            (inter.cast("double") / F.size("hs1").cast("double")).alias(
+                "containment"
+            ),
+        )
+        .filter(F.col("containment") >= t)
+    )

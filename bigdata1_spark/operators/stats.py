@@ -396,3 +396,521 @@ def mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         u2_b.cast("long").alias("u2_b"),
         F.when(den > 0, _round6(num / den)).alias("z"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-13 continuation: regression / hypothesis-test / drift completions.
+# Same discipline as the rest of the module: rows collapse into
+# constant-bounded sufficient statistics or contingency cells in ONE scan,
+# every accumulation is exact DECIMAL/HUGEINT integer arithmetic, and the
+# only float math is one fixed-order IEEE chain per output row, pinned at
+# 1e-6 by _round6 so the DuckDB oracles match bit-for-bit.
+# --------------------------------------------------------------------------
+
+_EPOCH = "1970-01-01"
+
+
+def _day_num(ts_col: str) -> F.Column:
+    """Exact integer day index (days since 1970-01-01) — matches
+    DuckDB's ``CAST(ts AS DATE) - DATE '1970-01-01'`` (BIGINT)."""
+    return F.datediff(F.to_date(ts_col), F.to_date(F.lit(_EPOCH))).cast(
+        "long"
+    )
+
+
+def linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend of DAILY event volume: slope / intercept
+    / r² of count-per-day regressed on the integer day index — the
+    "is this event growing?" monitor, computed from sufficient
+    statistics only.
+
+    ONE events scan → (type, day) counts; the per-type regression then
+    folds the calendar-bounded daily table (never row-bounded — at
+    100 TB the per-type series is still #days long) into six exact
+    sufficient statistics: n, Σx, Σy, Σxy, Σx², Σy². x is the epoch
+    day (≤ ~2·10⁴ today), y a daily count (≤ ~10¹² at 100 TB/day), so
+    products stay within DECIMAL(38,0) with orders of magnitude of
+    headroom. NULL timestamps carry no day coordinate and are
+    excluded (documented contract); NULL event_type is a real series.
+
+    The closed forms — slope = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²), intercept =
+    (Σy − slope·Σx)/n, r² = (nΣxy−ΣxΣy)²/((nΣx²−(Σx)²)(nΣy²−(Σy)²))
+    — are each ONE double chain over those exact integers, identical
+    op order in the oracle, floor-rounded 1e-6. Degenerate variance
+    (single day, or constant y) yields NULL slope/r² rather than an
+    engine-dependent inf/NaN.
+    Columns: event_type, n_days, slope, intercept, r2.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy("event_type", _day_num("ts").alias("x"))
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    xd = F.col("x").cast("decimal(19,0)")
+    yd = F.col("y").cast("decimal(19,0)")
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).alias("sx"),
+        F.sum(yd).alias("sy"),
+        F.sum(xd * yd).alias("sxy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    num = n * sxy - sx * sy
+    denx = n * sxx - sx * sx
+    deny = n * syy - sy * sy
+    slope = num / denx
+    return stats.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.when(denx > 0, _round6(slope)).alias("slope"),
+        F.when(denx > 0, _round6((sy - slope * sx) / n)).alias(
+            "intercept"
+        ),
+        F.when(
+            (denx > 0) & (deny > 0), _round6(num * num / (denx * deny))
+        ).alias("r2"),
+    )
+
+
+# ANOVA groups are the three literal return flags (never data-derived —
+# the mann_whitney convention); a NULL or unexpected flag is excluded.
+ANOVA_FLAGS = ("A", "N", "R")
+
+
+def anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic of ``l_quantity`` across the three
+    return-flag populations, in ONE scan and ONE global aggregate (no
+    groupBy shuffle at all: the pivot over the 3 literal flags folds
+    map-side into 9 exact sums + 3 counts).
+
+    SSB = Σ_g s_g²/n_g − S²/N and SSW = Σ_g ss_g − Σ_g s_g²/n_g are
+    evaluated as one double chain over the exact DECIMAL sufficient
+    statistics, with the per-group terms written in the fixed literal
+    flag order (A, N, R) so both engines fold identically — group
+    count is a constant 3, never data-dependent, which is what makes
+    the fixed-order chain possible. F = (SSB/2)/(SSW/(N−3)),
+    floor-rounded 1e-6; any empty group or zero within-variance
+    yields NULL F. Columns: n_a, n_n, n_r, ssb, ssw, f_stat.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.round(F.col("l_quantity")).cast("long").alias("qv"),
+    ).filter(F.col("g").isin(*ANOVA_FLAGS) & F.col("qv").isNotNull())
+    qd = F.col("qv").cast("decimal(19,0)")
+    aggs = []
+    for flag in ANOVA_FLAGS:
+        m = F.col("g") == flag
+        tag = flag.lower()
+        aggs.append(F.sum(F.when(m, F.lit(1))).alias(f"n_{tag}"))
+        aggs.append(F.sum(F.when(m, qd)).alias(f"s_{tag}"))
+        aggs.append(F.sum(F.when(m, qd * qd)).alias(f"ss_{tag}"))
+    wide = rows.agg(*aggs)
+
+    nn = [F.col(f"n_{f.lower()}").cast("double") for f in ANOVA_FLAGS]
+    ss = [F.col(f"s_{f.lower()}").cast("double") for f in ANOVA_FLAGS]
+    qq = [F.col(f"ss_{f.lower()}").cast("double") for f in ANOVA_FLAGS]
+    big_n = nn[0] + nn[1] + nn[2]
+    big_s = ss[0] + ss[1] + ss[2]
+    a_term = (
+        ss[0] * ss[0] / nn[0]
+        + ss[1] * ss[1] / nn[1]
+        + ss[2] * ss[2] / nn[2]
+    )
+    ssb = a_term - big_s * big_s / big_n
+    ssw = (qq[0] + qq[1] + qq[2]) - a_term
+    ok = (
+        F.col("n_a").isNotNull()
+        & F.col("n_n").isNotNull()
+        & F.col("n_r").isNotNull()
+    )
+    f_stat = (ssb / F.lit(2.0)) / (ssw / (big_n - F.lit(3.0)))
+    return wide.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_n").cast("long").alias("n_n"),
+        F.col("n_r").cast("long").alias("n_r"),
+        F.when(ok, _round6(ssb)).alias("ssb"),
+        F.when(ok, _round6(ssw)).alias("ssw"),
+        F.when(ok & (ssw > 0), _round6(f_stat)).alias("f_stat"),
+    )
+
+
+def kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall τ-b between ``l_quantity`` and ``l_discount`` WITHOUT
+    enumerating row pairs: rows collapse into the joint contingency
+    table (≤ 50·11 cells at ANY scale), and the concordant/discordant
+    pair counts come from ONE broadcast nested-loop self-join of that
+    constant-bounded cell table — cell×cell work is bounded by the
+    value domains, never by row count (the row-pair formulation would
+    be O(n²) ≈ 10¹⁹ pairs at 100 TB).
+
+    nc = Σ f·f' over cell pairs with x'<x, y'<y; nd likewise with
+    y'>y (strict inequalities count each unordered row pair exactly
+    once). Tie terms use doubled counts to stay integral: d1 =
+    n(n−1) − Σ tx(tx−1), d2 likewise for y. All products accumulate
+    in DECIMAL(38,0) (f·f' ≤ n² ≈ 4·10¹⁹ at 100 TB — 19 digits of
+    headroom); τ = 2·(nc−nd)/√(d1·d2) is the single double chain,
+    floor-rounded 1e-6. nc/nd are emitted as BIGINT (exact up to
+    n ≈ 6·10⁹ rows per the u2 precedent; accumulation itself never
+    overflows). Columns: col_x, col_y, n_rows, nc, nd, tau.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = (
+        li.select(
+            F.round(F.col("l_quantity")).cast("long").alias("x"),
+            F.round(F.col("l_discount") * 100).cast("long").alias("y"),
+        )
+        .na.drop("any")
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .cache()
+    )
+    fd = F.col("f").cast("decimal(19,0)")
+
+    a = cells.select(
+        F.col("x").alias("ax"), F.col("y").alias("ay"),
+        F.col("f").cast("decimal(19,0)").alias("af"),
+    )
+    b = cells.select(
+        F.col("x").alias("bx"), F.col("y").alias("by"),
+        F.col("f").cast("decimal(19,0)").alias("bf"),
+    )
+    pairs = a.join(
+        F.broadcast(b),
+        (F.col("bx") < F.col("ax")) & (F.col("by") != F.col("ay")),
+    )
+    cd = pairs.agg(
+        F.sum(
+            F.when(F.col("by") < F.col("ay"), F.col("af") * F.col("bf"))
+        ).alias("nc"),
+        F.sum(
+            F.when(F.col("by") > F.col("ay"), F.col("af") * F.col("bf"))
+        ).alias("nd"),
+    )
+
+    n_tot = cells.agg(F.sum(fd).alias("n"))
+    tcast = F.col("t").cast("decimal(19,0)")
+    tx = (
+        cells.groupBy("x")
+        .agg(F.sum(fd).alias("t"))
+        .agg(F.sum(tcast * (tcast - 1)).alias("tx2"))
+    )
+    ty = (
+        cells.groupBy("y")
+        .agg(F.sum(fd).alias("t"))
+        .agg(F.sum(tcast * (tcast - 1)).alias("ty2"))
+    )
+    wide = (
+        cd.crossJoin(F.broadcast(n_tot))
+        .crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+    )
+    nd_ = F.col("n").cast("decimal(38,0)")
+    n02 = nd_ * (nd_ - 1)
+    d1 = (n02 - F.col("tx2")).cast("double")
+    d2 = (n02 - F.col("ty2")).cast("double")
+    nc = F.coalesce(F.col("nc"), F.lit(0)).cast("double")
+    ndis = F.coalesce(F.col("nd"), F.lit(0)).cast("double")
+    tau = F.lit(2.0) * (nc - ndis) / F.sqrt(d1 * d2)
+    return wide.select(
+        F.lit("quantity").alias("col_x"),
+        F.lit("discount").alias("col_y"),
+        F.col("n").cast("long").alias("n_rows"),
+        F.coalesce(F.col("nc"), F.lit(0)).cast("long").alias("nc"),
+        F.coalesce(F.col("nd"), F.lit(0)).cast("long").alias("nd"),
+        F.when((d1 > 0) & (d2 > 0), _round6(tau)).alias("tau"),
+    )
+
+
+def ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test between the ``R`` and ``A``
+    return-flag populations of ``l_quantity`` — the distribution-drift
+    companion to :func:`mann_whitney` (location), from the same
+    constant-bounded (group, value) contingency table in ONE scan.
+
+    The ECDF gap is kept EXACT by cross-multiplication: at each value
+    v, ``gap(v) = |cum_a(v)·n_b − cum_b(v)·n_a|`` is an exact
+    DECIMAL integer (≤ n_a·n_b ≈ 10²⁴ at 100 TB — inside 38 digits),
+    and D = max gap / (n_a·n_b) divides only at the very end. The
+    cumulative windows run over the ≤|value domain| pivoted cell
+    table, never over rows. ks_stat = D·√(n_a·n_b/(n_a+n_b)) is the
+    one double chain, floor-rounded 1e-6; an empty side yields NULL
+    stats. Columns: grp_a, grp_b, n_a, n_b, d_stat, ks_stat.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rows = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.round(F.col("l_quantity")).cast("long").alias("qv"),
+    ).filter(
+        F.col("grp").isin(MW_GROUP_A, MW_GROUP_B)
+        & F.col("qv").isNotNull()
+    )
+    piv = rows.groupBy("qv").agg(
+        F.sum(F.when(F.col("grp") == MW_GROUP_A, F.lit(1)).otherwise(0))
+        .alias("fa"),
+        F.sum(F.when(F.col("grp") == MW_GROUP_B, F.lit(1)).otherwise(0))
+        .alias("fb"),
+    )
+    w = Window.orderBy("qv").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    cum = piv.select(
+        F.sum("fa").over(w).cast("decimal(38,0)").alias("ca"),
+        F.sum("fb").over(w).cast("decimal(38,0)").alias("cb"),
+        F.sum("fa").over(wall).cast("decimal(38,0)").alias("n_a"),
+        F.sum("fb").over(wall).cast("decimal(38,0)").alias("n_b"),
+    )
+    gap = F.abs(
+        F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a")
+    )
+    top = cum.agg(
+        F.max(gap).alias("d_num"),
+        F.max("n_a").alias("n_a"),
+        F.max("n_b").alias("n_b"),
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    d = F.col("d_num").cast("double") / (na * nb)
+    ks = d * F.sqrt(na * nb / (na + nb))
+    ok = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    return top.select(
+        F.lit(MW_GROUP_A).alias("grp_a"),
+        F.lit(MW_GROUP_B).alias("grp_b"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.when(ok, _round6(d)).alias("d_stat"),
+        F.when(ok, _round6(ks)).alias("ks_stat"),
+    )
+
+
+ACF_MAX_LAG = 7
+
+
+def acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the DAILY total event volume at lags 1..7 —
+    the seasonality probe behind ``seasonal_naive``'s period choice.
+
+    ONE events scan → the calendar-bounded daily series (day → count,
+    exact integers); lag pairing is by DAY ARITHMETIC (t, t+L), not
+    row offset, so calendar gaps produce no pair rather than a wrong
+    pair (documented contract; NULL timestamps are excluded). One
+    lags×series broadcast expansion + one self-join on the computed
+    day key yields every (y_t, y_{t+L}) pair; per-lag Pearson r then
+    folds the pairs into six exact DECIMAL sufficient statistics
+    (the corr_matrix chain, floor-rounded 1e-6). The series is cached
+    across its two join consumers (multi-consumer-lineage lesson).
+    Degenerate lags (<2 pairs or zero variance) yield NULL.
+    Columns: lag, n_pairs, acf.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    series = (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy(_day_num("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("y"))
+        .cache()
+    )
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = series.crossJoin(F.broadcast(lags)).select(
+        "lag",
+        (F.col("day") + F.col("lag")).alias("jday"),
+        F.col("y").alias("y0"),
+    )
+    b = series.select(F.col("day").alias("jday"), F.col("y").alias("y1"))
+    pairs = a.join(b, "jday")
+    y0 = F.col("y0").cast("decimal(19,0)")
+    y1 = F.col("y1").cast("decimal(19,0)")
+    stats = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(y0).alias("sx"),
+        F.sum(y1).alias("sy"),
+        F.sum(y0 * y1).alias("sxy"),
+        F.sum(y0 * y0).alias("sxx"),
+        F.sum(y1 * y1).alias("syy"),
+    )
+    m = F.col("m").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    num = m * sxy - sx * sy
+    den = F.sqrt((m * sxx - sx * sx) * (m * syy - sy * sy))
+    return stats.select(
+        "lag",
+        F.col("m").alias("n_pairs"),
+        F.when((F.col("m") > 1) & (den > 0), _round6(num / den)).alias(
+            "acf"
+        ),
+    )
+
+
+# log10(1 + 1/d) for d = 1..9, written as 17-significant-digit literals
+# INJECTED VERBATIM into both the Spark plan and the DuckDB oracle —
+# the only way a transcendental constant is bit-identical across
+# engines (the naive_bayes_lang lesson: libm ulp drift is real).
+BENFORD_EXPECTED = {
+    d: f"{__import__('math').log10(1.0 + 1.0 / d):.17g}" for d in range(1, 10)
+}
+
+
+def benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law conformance profile of ``l_extendedprice``: the
+    observed first-significant-digit distribution vs log10(1+1/d),
+    with per-digit chi-square terms — the classic synthetic-data /
+    fraud data-quality probe.
+
+    The first digit is extracted EXACTLY: price → integer cents (one
+    unambiguous round; prices are 2-decimal fixed-point) → leading
+    character of the decimal string. No log10 of data ever runs —
+    float logs near power-of-10 boundaries misclassify digits, and
+    the 9 expected shares are compile-time literals shared verbatim
+    with the oracle. ONE scan + ONE ≤9-cell groupBy; marginal total
+    via a window over the cells. Non-positive/NULL prices are
+    excluded. Per-digit emission (the mutual_info convention) keeps
+    any final fold out of the contract.
+    Columns: digit, n_obs, n_total, expected_n, chi2_term.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    digits = (
+        li.select(cents.alias("cents"))
+        .filter(F.col("cents") > 0)
+        .select(
+            F.substring(F.col("cents").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+    )
+    cells = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    expected = F.lit(None).cast("double")
+    for d in range(9, 0, -1):
+        expected = F.when(
+            F.col("digit") == d, F.lit(float(BENFORD_EXPECTED[d]))
+        ).otherwise(expected)
+    wall = Window.partitionBy()
+    out = cells.withColumn("n_total", F.sum("n_obs").over(wall))
+    exp_n = F.col("n_total").cast("double") * expected
+    diff = F.col("n_obs").cast("double") - exp_n
+    return out.select(
+        "digit",
+        "n_obs",
+        "n_total",
+        _round6(exp_n).alias("expected_n"),
+        _round6(diff * diff / exp_n).alias("chi2_term"),
+    )
+
+
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of daily event volume per event_type:
+    slope = median of all pairwise day-slopes, intercept = median of
+    the residuals under that slope — the outlier-proof companion to
+    :func:`linreg_trend` (one spiked day drags OLS, not the median).
+
+    The pair set is CALENDAR-bounded: C(#days, 2) per type regardless
+    of row count, so the self-join and the per-type rank windows never
+    grow with data volume (30 days → 435 pairs; 10 years → ~6.7M,
+    still constant w.r.t. rows). The daily series is cached across
+    its three consumers (pair join ×2 sides, residual join). Medians
+    avoid any engine quantile builtin (implementations differ):
+    row_number over the per-type partition picks the two middle
+    ranks, median = (s_lo + s_hi)/2 — identical arithmetic in both
+    engines; each pair slope is a single IEEE division, identical op
+    order. NULL event_type is a real series (null-safe join keys);
+    types with a single day have no pairs and are absent. Outputs
+    floor-rounded 1e-6.
+    Columns: event_type, n_days, n_pairs, slope, intercept.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.to_date("ts"), F.to_date(F.lit("1970-01-01"))
+            ).cast("long").alias("x"),
+        )
+        .agg(F.count(F.lit(1)).alias("y"))
+        .cache()
+    )
+    a = daily.select(
+        F.col("event_type").alias("et"),
+        F.col("x").alias("x1"),
+        F.col("y").alias("y1"),
+    )
+    b = daily.select(
+        F.col("event_type").alias("et2"),
+        F.col("x").alias("x2"),
+        F.col("y").alias("y2"),
+    )
+    pairs = a.join(
+        b,
+        F.col("et").eqNullSafe(F.col("et2")) & (F.col("x1") < F.col("x2")),
+    ).select(
+        "et",
+        (
+            (F.col("y2").cast("double") - F.col("y1").cast("double"))
+            / (F.col("x2").cast("double") - F.col("x1").cast("double"))
+        ).alias("sl"),
+    )
+
+    def _median(df: DataFrame, part: str, val: str, out: str) -> DataFrame:
+        w = Window.partitionBy(part).orderBy(val)
+        wp = Window.partitionBy(part)
+        ranked = df.select(
+            part,
+            F.col(val),
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wp).alias("m"),
+        )
+        lo = F.floor((F.col("m") + 1) / F.lit(2.0)).cast("long")
+        hi = F.floor(F.col("m") / F.lit(2.0)).cast("long") + 1
+        return ranked.groupBy(part).agg(
+            F.max("m").alias(f"{out}_n"),
+            (
+                (
+                    F.sum(F.when(F.col("rn") == lo, F.col(val)))
+                    + F.sum(F.when(F.col("rn") == hi, F.col(val)))
+                )
+                / F.lit(2.0)
+            ).alias(out),
+        )
+
+    med = _median(pairs, "et", "sl", "med")
+    res = (
+        daily.join(
+            F.broadcast(med), F.col("event_type").eqNullSafe(F.col("et"))
+        )
+        .select(
+            F.col("et").alias("ret"),
+            (
+                F.col("y").cast("double")
+                - F.col("med") * F.col("x").cast("double")
+            ).alias("r"),
+        )
+    )
+    interc = _median(res, "ret", "r", "imed")
+    n_days = daily.groupBy(
+        F.col("event_type").alias("det")
+    ).agg(F.count(F.lit(1)).alias("n_days"))
+    return (
+        med.join(F.broadcast(interc), F.col("et").eqNullSafe(F.col("ret")))
+        .join(F.broadcast(n_days), F.col("et").eqNullSafe(F.col("det")))
+        .select(
+            F.col("et").alias("event_type"),
+            "n_days",
+            F.col("med_n").alias("n_pairs"),
+            _round6(F.col("med")).alias("slope"),
+            _round6(F.col("imed")).alias("intercept"),
+        )
+    )

@@ -5625,3 +5625,426 @@ register(
     FROM marg
     """,
 )
+
+# ---------------------------------------------------------------------------
+# Round-13 continuation: regression / hypothesis-test / drift completions.
+# All six follow the contingency/sufficient-statistics discipline: exact
+# HUGEINT/DECIMAL accumulation, one fixed-order double chain per output
+# row (op order mirrored verbatim from the Spark expressions), floor-
+# rounded 1e-6.
+# ---------------------------------------------------------------------------
+
+# Per-type OLS of daily event volume from six exact sufficient
+# statistics; day index = CAST(ts AS DATE) - epoch (integer in both
+# engines); NULL ts excluded (no day coordinate), NULL type is a series.
+register(
+    "linreg_trend",
+    stats_ops.linreg_trend,
+    """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    ), s AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(x AS HUGEINT)) AS sx,
+             SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+             SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+             SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+      FROM daily GROUP BY 1
+    ), d AS (
+      SELECT event_type, n,
+             CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+             CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+             CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd
+      FROM s
+    )
+    SELECT event_type, n AS n_days,
+           CASE WHEN nd * sxxd - sxd * sxd > 0
+                THEN FLOOR((nd * sxyd - sxd * syd)
+                           / (nd * sxxd - sxd * sxd) * 1e6 + 0.5) / 1e6
+           END AS slope,
+           CASE WHEN nd * sxxd - sxd * sxd > 0
+                THEN FLOOR((syd - (nd * sxyd - sxd * syd)
+                                  / (nd * sxxd - sxd * sxd) * sxd) / nd
+                           * 1e6 + 0.5) / 1e6
+           END AS intercept,
+           CASE WHEN nd * sxxd - sxd * sxd > 0
+                 AND nd * syyd - syd * syd > 0
+                THEN FLOOR((nd * sxyd - sxd * syd)
+                           * (nd * sxyd - sxd * syd)
+                           / ((nd * sxxd - sxd * sxd)
+                              * (nd * syyd - syd * syd))
+                           * 1e6 + 0.5) / 1e6
+           END AS r2
+    FROM d
+    """,
+)
+
+# One-way ANOVA over the three LITERAL return flags, pivoted in one
+# global aggregate (no groupBy); per-group terms written in fixed
+# A, N, R order so both engines fold the double chain identically.
+register(
+    "anova_f",
+    stats_ops.anova_f,
+    """
+    WITH rows_f AS (
+      SELECT l_returnflag AS g, CAST(ROUND(l_quantity) AS BIGINT) AS qv
+      FROM lineitem
+      WHERE l_returnflag IN ('A', 'N', 'R') AND l_quantity IS NOT NULL
+    ), wide AS (
+      SELECT
+        SUM(CASE WHEN g = 'A' THEN 1 END) AS n_a,
+        SUM(CASE WHEN g = 'A' THEN CAST(qv AS HUGEINT) END) AS s_a,
+        SUM(CASE WHEN g = 'A' THEN CAST(qv AS HUGEINT)
+                                   * CAST(qv AS HUGEINT) END) AS ss_a,
+        SUM(CASE WHEN g = 'N' THEN 1 END) AS n_n,
+        SUM(CASE WHEN g = 'N' THEN CAST(qv AS HUGEINT) END) AS s_n,
+        SUM(CASE WHEN g = 'N' THEN CAST(qv AS HUGEINT)
+                                   * CAST(qv AS HUGEINT) END) AS ss_n,
+        SUM(CASE WHEN g = 'R' THEN 1 END) AS n_r,
+        SUM(CASE WHEN g = 'R' THEN CAST(qv AS HUGEINT) END) AS s_r,
+        SUM(CASE WHEN g = 'R' THEN CAST(qv AS HUGEINT)
+                                   * CAST(qv AS HUGEINT) END) AS ss_r
+      FROM rows_f
+    ), d AS (
+      SELECT n_a, n_n, n_r,
+             CAST(n_a AS DOUBLE) AS na, CAST(n_n AS DOUBLE) AS nn,
+             CAST(n_r AS DOUBLE) AS nr,
+             CAST(s_a AS DOUBLE) AS sa, CAST(s_n AS DOUBLE) AS sn,
+             CAST(s_r AS DOUBLE) AS sr,
+             CAST(ss_a AS DOUBLE) AS qa, CAST(ss_n AS DOUBLE) AS qn,
+             CAST(ss_r AS DOUBLE) AS qr
+      FROM wide
+    ), c AS (
+      SELECT n_a, n_n, n_r, na, nn, nr, qa, qn, qr,
+             na + nn + nr AS big_n, sa + sn + sr AS big_s,
+             sa * sa / na + sn * sn / nn + sr * sr / nr AS a_term,
+             n_a IS NOT NULL AND n_n IS NOT NULL AND n_r IS NOT NULL
+               AS ok
+      FROM d
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_n AS BIGINT) AS n_n,
+           CAST(n_r AS BIGINT) AS n_r,
+           CASE WHEN ok THEN FLOOR((a_term - big_s * big_s / big_n)
+                                   * 1e6 + 0.5) / 1e6 END AS ssb,
+           CASE WHEN ok THEN FLOOR(((qa + qn + qr) - a_term)
+                                   * 1e6 + 0.5) / 1e6 END AS ssw,
+           CASE WHEN ok AND (qa + qn + qr) - a_term > 0
+                THEN FLOOR(((a_term - big_s * big_s / big_n) / 2.0)
+                           / (((qa + qn + qr) - a_term)
+                              / (big_n - 3.0)) * 1e6 + 0.5) / 1e6
+           END AS f_stat
+    FROM c
+    """,
+)
+
+# Kendall tau-b from the constant-bounded joint contingency table: one
+# cell x cell self-join (domain-bounded, never row-bounded) for the
+# concordant/discordant sums, doubled tie terms, single double chain.
+register(
+    "kendall_tau",
+    stats_ops.kendall_tau,
+    """
+    WITH cells AS (
+      SELECT CAST(ROUND(l_quantity) AS BIGINT) AS x,
+             CAST(ROUND(l_discount * 100) AS BIGINT) AS y,
+             CAST(COUNT(*) AS BIGINT) AS f
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+      GROUP BY 1, 2
+    ), cd AS (
+      SELECT SUM(CASE WHEN b.y < a.y
+                      THEN CAST(a.f AS HUGEINT) * CAST(b.f AS HUGEINT)
+                 END) AS nc,
+             SUM(CASE WHEN b.y > a.y
+                      THEN CAST(a.f AS HUGEINT) * CAST(b.f AS HUGEINT)
+                 END) AS nd
+      FROM cells a JOIN cells b ON b.x < a.x AND b.y <> a.y
+    ), nt AS (
+      SELECT SUM(CAST(f AS HUGEINT)) AS n FROM cells
+    ), tx AS (
+      SELECT SUM(t * (t - 1)) AS tx2
+      FROM (SELECT SUM(CAST(f AS HUGEINT)) AS t FROM cells GROUP BY x)
+    ), ty AS (
+      SELECT SUM(t * (t - 1)) AS ty2
+      FROM (SELECT SUM(CAST(f AS HUGEINT)) AS t FROM cells GROUP BY y)
+    ), c AS (
+      SELECT nc, nd, n,
+             CAST(n * (n - 1) - tx2 AS DOUBLE) AS d1,
+             CAST(n * (n - 1) - ty2 AS DOUBLE) AS d2
+      FROM cd, nt, tx, ty
+    )
+    SELECT 'quantity' AS col_x, 'discount' AS col_y,
+           CAST(n AS BIGINT) AS n_rows,
+           CAST(COALESCE(nc, 0) AS BIGINT) AS nc,
+           CAST(COALESCE(nd, 0) AS BIGINT) AS nd,
+           CASE WHEN d1 > 0 AND d2 > 0
+                THEN FLOOR(2.0 * (CAST(COALESCE(nc, 0) AS DOUBLE)
+                                  - CAST(COALESCE(nd, 0) AS DOUBLE))
+                           / sqrt(d1 * d2) * 1e6 + 0.5) / 1e6
+           END AS tau
+    FROM c
+    """,
+)
+
+# Two-sample KS: exact cross-multiplied ECDF gap (integer DECIMAL) maxed
+# over the value-domain cell table; division happens once at the end.
+register(
+    "ks_test",
+    stats_ops.ks_test,
+    """
+    WITH rows_f AS (
+      SELECT l_returnflag AS grp, CAST(ROUND(l_quantity) AS BIGINT) AS qv
+      FROM lineitem
+      WHERE l_returnflag IN ('R', 'A') AND l_quantity IS NOT NULL
+    ), piv AS (
+      SELECT qv,
+             SUM(CASE WHEN grp = 'R' THEN 1 ELSE 0 END) AS fa,
+             SUM(CASE WHEN grp = 'A' THEN 1 ELSE 0 END) AS fb
+      FROM rows_f GROUP BY 1
+    ), cum AS (
+      SELECT CAST(SUM(fa) OVER w AS HUGEINT) AS ca,
+             CAST(SUM(fb) OVER w AS HUGEINT) AS cb,
+             CAST(SUM(fa) OVER () AS HUGEINT) AS n_a,
+             CAST(SUM(fb) OVER () AS HUGEINT) AS n_b
+      FROM piv
+      WINDOW w AS (ORDER BY qv
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), top AS (
+      SELECT MAX(ABS(ca * n_b - cb * n_a)) AS d_num,
+             MAX(n_a) AS n_a, MAX(n_b) AS n_b
+      FROM cum
+    )
+    SELECT 'R' AS grp_a, 'A' AS grp_b,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CASE WHEN n_a > 0 AND n_b > 0
+                THEN FLOOR(CAST(d_num AS DOUBLE)
+                           / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+                           * 1e6 + 0.5) / 1e6 END AS d_stat,
+           CASE WHEN n_a > 0 AND n_b > 0
+                THEN FLOOR(CAST(d_num AS DOUBLE)
+                           / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+                           * sqrt(CAST(n_a AS DOUBLE)
+                                  * CAST(n_b AS DOUBLE)
+                                  / (CAST(n_a AS DOUBLE)
+                                     + CAST(n_b AS DOUBLE)))
+                           * 1e6 + 0.5) / 1e6 END AS ks_stat
+    FROM top
+    """,
+)
+
+# Daily-volume autocorrelation at lags 1..7, paired by DAY ARITHMETIC
+# (calendar gaps produce no pair); per-lag Pearson over exact sums.
+register(
+    "acf_lags",
+    stats_ops.acf_lags,
+    """
+    WITH series AS (
+      SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ), lags AS (
+      SELECT CAST(r.range AS INTEGER) AS lag FROM range(1, 8) r
+    ), pairs AS (
+      SELECT l.lag, a.y AS y0, b.y AS y1
+      FROM series a CROSS JOIN lags l
+      JOIN series b ON b.day = a.day + l.lag
+    ), s AS (
+      SELECT lag, CAST(COUNT(*) AS BIGINT) AS m,
+             SUM(CAST(y0 AS HUGEINT)) AS sx,
+             SUM(CAST(y1 AS HUGEINT)) AS sy,
+             SUM(CAST(y0 AS HUGEINT) * CAST(y1 AS HUGEINT)) AS sxy,
+             SUM(CAST(y0 AS HUGEINT) * CAST(y0 AS HUGEINT)) AS sxx,
+             SUM(CAST(y1 AS HUGEINT) * CAST(y1 AS HUGEINT)) AS syy
+      FROM pairs GROUP BY 1
+    ), d AS (
+      SELECT lag, m, CAST(m AS DOUBLE) AS md,
+             CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+             CAST(sxy AS DOUBLE) AS sxyd, CAST(sxx AS DOUBLE) AS sxxd,
+             CAST(syy AS DOUBLE) AS syyd
+      FROM s
+    )
+    SELECT lag, m AS n_pairs,
+           CASE WHEN m > 1
+                 AND sqrt((md * sxxd - sxd * sxd)
+                          * (md * syyd - syd * syd)) > 0
+                THEN FLOOR((md * sxyd - sxd * syd)
+                           / sqrt((md * sxxd - sxd * sxd)
+                                  * (md * syyd - syd * syd))
+                           * 1e6 + 0.5) / 1e6
+           END AS acf
+    FROM d
+    """,
+)
+
+# Benford first-digit profile: digit extracted from the exact integer
+# cents STRING (no float logs near power-of-10 boundaries); the nine
+# expected shares are the same 17-digit literals as the Spark plan.
+_BENFORD_CASE = (
+    "CASE digit "
+    + " ".join(
+        f"WHEN {d} THEN {lit}"
+        for d, lit in stats_ops.BENFORD_EXPECTED.items()
+    )
+    + " END"
+)
+
+register(
+    "benford_digits",
+    stats_ops.benford_digits,
+    f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER)
+               AS digit
+      FROM (SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+            FROM lineitem)
+      WHERE cents > 0
+    ), cells AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+      FROM digits GROUP BY 1
+    ), tot AS (
+      SELECT digit, n_obs,
+             CAST(SUM(n_obs) OVER () AS BIGINT) AS n_total
+      FROM cells
+    )
+    SELECT digit, n_obs, n_total,
+           FLOOR(CAST(n_total AS DOUBLE) * {_BENFORD_CASE}
+                 * 1e6 + 0.5) / 1e6 AS expected_n,
+           FLOOR((CAST(n_obs AS DOUBLE)
+                  - CAST(n_total AS DOUBLE) * {_BENFORD_CASE})
+                 * (CAST(n_obs AS DOUBLE)
+                    - CAST(n_total AS DOUBLE) * {_BENFORD_CASE})
+                 / (CAST(n_total AS DOUBLE) * {_BENFORD_CASE})
+                 * 1e6 + 0.5) / 1e6 AS chi2_term
+    FROM tot
+    """,
+)
+
+# Asymmetric containment near-dup (the quote/subset case Jaccard
+# misses): quadratic string-shingle oracle, both orientations, same
+# shingle conventions as dedup_jaccard; the Spark side is prefix-
+# filtered (probe side only) with a dyadic t=0.75 so the prefix-length
+# arithmetic is FP-exact.
+register(
+    "dedup_containment",
+    dedup.dedup_containment,
+    f"""
+    WITH words AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents
+    ), sh AS (
+      SELECT doc_id, array_to_string(w[i:i+2], ' ') AS s
+      FROM words,
+           (SELECT unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i)
+    ), d AS (
+      SELECT DISTINCT doc_id, s FROM sh
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM d GROUP BY 1
+    ), common AS (
+      SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS c
+      FROM d a JOIN d b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), both_dir AS (
+      SELECT ida AS id1, idb AS id2, c FROM common
+      UNION ALL
+      SELECT idb AS id1, ida AS id2, c FROM common
+    )
+    SELECT id1, id2, CAST(s1.n AS BIGINT) AS n1,
+           CAST(c AS BIGINT) AS n_common,
+           CAST(c AS DOUBLE) / CAST(s1.n AS DOUBLE) AS containment
+    FROM both_dir JOIN sizes s1 ON id1 = s1.doc_id
+    WHERE CAST(c AS DOUBLE) / CAST(s1.n AS DOUBLE) >= 0.75
+    """,
+)
+
+# Per-doc n-gram novelty: first-seen = MIN(doc_id) per distinct gram;
+# string-level oracle cross-checks the xxhash64 gram identity (the
+# dedup_jaccard convention).
+register(
+    "ngram_novelty",
+    corpus.ngram_novelty,
+    f"""
+    WITH words AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents
+      WHERE text IS NOT NULL
+    ), sh AS (
+      SELECT doc_id, array_to_string(w[i:i+2], ' ') AS s
+      FROM words,
+           (SELECT unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i)
+    ), d AS (
+      SELECT DISTINCT doc_id, s FROM sh
+    ), fs AS (
+      SELECT s, MIN(doc_id) AS first_doc FROM d GROUP BY 1
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS novelty
+    FROM d JOIN fs USING (s) GROUP BY 1
+    """,
+)
+
+# Theil-Sen robust trend: medians picked by explicit middle-rank
+# arithmetic (never an engine quantile builtin); pair slopes are one
+# IEEE division each, identical op order; calendar-bounded pair set.
+register(
+    "theil_sen_trend",
+    stats_ops.theil_sen_trend,
+    """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    ), pairs AS (
+      SELECT a.event_type AS et,
+             (CAST(b.y AS DOUBLE) - CAST(a.y AS DOUBLE))
+               / (CAST(b.x AS DOUBLE) - CAST(a.x AS DOUBLE)) AS sl
+      FROM daily a
+      JOIN daily b ON a.event_type IS NOT DISTINCT FROM b.event_type
+                  AND a.x < b.x
+    ), ranked AS (
+      SELECT et, sl,
+             ROW_NUMBER() OVER (PARTITION BY et ORDER BY sl) AS rn,
+             COUNT(*) OVER (PARTITION BY et) AS m
+      FROM pairs
+    ), med AS (
+      SELECT et, MAX(m) AS n_pairs,
+             (SUM(CASE WHEN rn = CAST(FLOOR((m + 1) / 2.0) AS BIGINT)
+                       THEN sl END)
+              + SUM(CASE WHEN rn = CAST(FLOOR(m / 2.0) AS BIGINT) + 1
+                         THEN sl END)) / 2.0 AS med
+      FROM ranked GROUP BY 1
+    ), res AS (
+      SELECT d.event_type AS ret,
+             CAST(d.y AS DOUBLE) - med.med * CAST(d.x AS DOUBLE) AS r
+      FROM daily d
+      JOIN med ON d.event_type IS NOT DISTINCT FROM med.et
+    ), rranked AS (
+      SELECT ret, r,
+             ROW_NUMBER() OVER (PARTITION BY ret ORDER BY r) AS rn,
+             COUNT(*) OVER (PARTITION BY ret) AS m
+      FROM res
+    ), interc AS (
+      SELECT ret,
+             (SUM(CASE WHEN rn = CAST(FLOOR((m + 1) / 2.0) AS BIGINT)
+                       THEN r END)
+              + SUM(CASE WHEN rn = CAST(FLOOR(m / 2.0) AS BIGINT) + 1
+                         THEN r END)) / 2.0 AS imed
+      FROM rranked GROUP BY 1
+    ), nd AS (
+      SELECT event_type AS det, CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM daily GROUP BY 1
+    )
+    SELECT med.et AS event_type, nd.n_days,
+           CAST(med.n_pairs AS BIGINT) AS n_pairs,
+           FLOOR(med.med * 1e6 + 0.5) / 1e6 AS slope,
+           FLOOR(interc.imed * 1e6 + 0.5) / 1e6 AS intercept
+    FROM med
+    JOIN interc ON med.et IS NOT DISTINCT FROM interc.ret
+    JOIN nd ON med.et IS NOT DISTINCT FROM nd.det
+    """,
+)

@@ -236,3 +236,34 @@ def test_winnow_pack_pos_overflow_guard(spark):
 
     with pytest.raises(SparkRuntimeException, match="overflows the 20-bit"):
         bad.first()
+
+
+def test_ngram_novelty_matches_pure_python(spark, duck, sf_dir):
+    """Novelty vs a from-scratch Python dict walk over the raw texts
+    (ASCII \\s+ split, 3-gram windows, first-seen by min doc_id)."""
+    import re as _re
+
+    from bigdata1_spark.operators.corpus import ngram_novelty
+
+    rows = {r.doc_id: r for r in ngram_novelty(spark, sf_dir).collect()}
+    texts = duck.execute(
+        "SELECT doc_id, text FROM documents WHERE text IS NOT NULL "
+        "ORDER BY doc_id"
+    ).fetchall()
+    doc_grams: dict = {}
+    first: dict = {}
+    for doc_id, text in texts:
+        w = [t for t in _re.split(r"\s+", text) if t]
+        if len(w) < 3:
+            grams = {" ".join(w)}
+        else:
+            grams = {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+        doc_grams[doc_id] = grams
+        for g in grams:
+            first.setdefault(g, doc_id)
+    assert set(rows) == set(doc_grams)
+    for doc_id, grams in doc_grams.items():
+        r = rows[doc_id]
+        novel = sum(1 for g in grams if first[g] == doc_id)
+        assert (r.n_grams, r.n_novel) == (len(grams), novel), doc_id
+        assert abs(r.novelty - novel / len(grams)) < 1e-12

@@ -775,3 +775,24 @@ def test_winnow_fingerprint_guarantee_and_density(spark, sf_dir):
         for i in range(1, max(n_grams - WINNOW_W + 1, 1) + 1):
             win = set(range(i, min(i + WINNOW_W - 1, n_grams) + 1))
             assert win & positions, (r["doc_id"], i)
+
+
+def test_containment_dominates_jaccard(spark, sf_dir):
+    """C(A→B) ≥ J(A,B) always, so every Jaccard-0.75 pair must appear
+    in dedup_containment's output (both orientations), and containment
+    values must dominate the pair's Jaccard."""
+    jac = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in dedup.dedup_jaccard(spark, sf_dir, threshold=0.75).collect()
+    }
+    cont = {
+        (r["id1"], r["id2"]): r["containment"]
+        for r in dedup.dedup_containment(spark, sf_dir).collect()
+    }
+    for (i1, i2), j in jac.items():
+        assert (i1, i2) in cont and (i2, i1) in cont, (i1, i2)
+        assert cont[(i1, i2)] >= j - 1e-12
+        assert cont[(i2, i1)] >= j - 1e-12
+    for (i1, i2), c in cont.items():
+        assert i1 != i2
+        assert 0.75 <= c <= 1.0

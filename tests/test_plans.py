@@ -929,15 +929,18 @@ def test_unigram_logprob_single_corpus_scan(spark, sf_dir):
 # inline adjudication. Streaming/generator keys read no parquet (0).
 # A NEW key must be added here deliberately — unknown keys fail.
 SCAN_BUDGETS = {
+    "acf_lags": 1,
     "agg_distinct": 1,
     "agg_stats": 1,
     "anomaly_zscore": 1,
+    "anova_f": 1,
     "approx_sketch": 2,
     "array_ops": 1,
     "arrow_map": 1,
     "asof_join": 2,
     "asof_join_forward": 2,
     "assoc_rules": 1,
+    "benford_digits": 1,
     "billing_total_b": 2,
     "bm25_search": 2,
     "bpe_merge_round": 0,
@@ -959,6 +962,7 @@ SCAN_BUDGETS = {
     "dedup_apply": 2,
     "dedup_chunks": 1,
     "dedup_clusters": 0,
+    "dedup_containment": 0,
     "dedup_embedding": 1,
     "dedup_embedding_multiprobe": 3,  # one linear pass per LSH table seed (documented recall dial)
     "dedup_exact": 1,
@@ -1025,11 +1029,14 @@ SCAN_BUDGETS = {
     "bfs_hops": 0,  # final plan reads the round-3 localCheckpoint (the kcore/pagerank lineage discipline)
     "k_anonymity": 1,
     "kcore": 0,
+    "kendall_tau": 1,
+    "ks_test": 1,
     "label_prop": 0,  # all-localCheckpoint rounds (the bfs_hops/kcore lineage discipline)
     "knn_classify": 2,
     "knn_join": 2,
     "lang_id": 2,
     "limit_n": 1,
+    "linreg_trend": 1,
     "locf_fill": 2,
     "map_ops": 1,
     "mixture_sample": 1,
@@ -1040,6 +1047,7 @@ SCAN_BUDGETS = {
     "mutual_info": 1,
     "multimodal_pipeline": 0,
     "ngram_freq": 1,
+    "ngram_novelty": 1,
     "ntile_stats": 1,
     "observed_metrics": 0,
     "ohlc_bars": 1,
@@ -1115,6 +1123,7 @@ SCAN_BUDGETS = {
     "text_normalize": 1,
     "text_stats": 1,
     "tfidf_topterms": 2,
+    "theil_sen_trend": 1,
     "token_count": 1,
     "topk_window": 2,
     "tpch_q1": 1,

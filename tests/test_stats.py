@@ -280,3 +280,206 @@ def test_cusum_matches_direct_recursion(spark, sf_dir):
             sp = max(0, sp + y)
             sn = max(0, sn - y)
             assert (r.s_pos, r.s_neg) == (sp, sn), (et, r.day)
+
+
+# ---------------------------------------------------------------------------
+# Round-13 continuation keys: independent math checks (different
+# algorithm and/or different engine path than both the Spark plan and
+# its mirrored oracle).
+# ---------------------------------------------------------------------------
+
+
+def test_linreg_trend_matches_duckdb_regr_builtins(spark, duck, sf_dir):
+    """Our sufficient-statistics OLS vs DuckDB's builtin regr_slope /
+    regr_intercept / regr_r2 over the same daily table — a completely
+    different implementation of the same closed form."""
+    rows = {r.event_type: r for r in
+            stats_ops.linreg_trend(spark, sf_dir).collect()}
+    assert rows
+    ref = duck.execute("""
+        WITH daily AS (
+          SELECT event_type,
+                 CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS x,
+                 COUNT(*) AS y
+          FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+        )
+        SELECT event_type, COUNT(*) AS n,
+               regr_slope(y, x), regr_intercept(y, x), regr_r2(y, x)
+        FROM daily GROUP BY 1
+    """).fetchall()
+    assert len(ref) == len(rows)
+    for et, n, slope, intercept, r2 in ref:
+        r = rows[et]
+        assert r.n_days == n
+        if slope is None or n < 2:
+            continue
+        assert abs(r.slope - slope) < 1e-5, et
+        assert abs(r.intercept - intercept) < 1e-4, et
+        if r.r2 is not None and r2 is not None:
+            assert abs(r.r2 - r2) < 1e-5, et
+
+
+def test_anova_f_matches_pure_python(spark, duck, sf_dir):
+    """F statistic vs a from-scratch Python computation over the raw
+    (flag, quantity) rows — group means and squared deviations, not
+    the sum-of-squares shortcut the operator uses."""
+    r = stats_ops.anova_f(spark, sf_dir).collect()[0]
+    raw = duck.execute(
+        "SELECT l_returnflag, CAST(ROUND(l_quantity) AS BIGINT) "
+        "FROM lineitem WHERE l_returnflag IN ('A','N','R') "
+        "AND l_quantity IS NOT NULL"
+    ).fetchall()
+    groups: dict = {}
+    for g, q in raw:
+        groups.setdefault(g, []).append(q)
+    assert {r.n_a, r.n_n, r.n_r} == {
+        len(groups.get("A", [])), len(groups.get("N", [])),
+        len(groups.get("R", []))}
+    if len(groups) == 3:
+        all_v = [v for vs in groups.values() for v in vs]
+        grand = sum(all_v) / len(all_v)
+        ssb = sum(len(vs) * (sum(vs) / len(vs) - grand) ** 2
+                  for vs in groups.values())
+        ssw = sum((v - sum(vs) / len(vs)) ** 2
+                  for vs in groups.values() for v in vs)
+        f_ref = (ssb / 2) / (ssw / (len(all_v) - 3))
+        assert abs(r.ssb - ssb) < max(1e-6 * abs(ssb), 1e-3)
+        assert abs(r.ssw - ssw) < max(1e-6 * abs(ssw), 1e-3)
+        assert abs(r.f_stat - f_ref) < max(1e-6 * abs(f_ref), 1e-5)
+
+
+def test_kendall_tau_matches_cell_bruteforce(spark, duck, sf_dir):
+    """nc/nd/tau vs a pure-Python brute force over the contingency
+    cells (cell-pair enumeration in Python, float tie algebra) —
+    independent of the Spark join and DECIMAL machinery."""
+    r = stats_ops.kendall_tau(spark, sf_dir).collect()[0]
+    cells = duck.execute(
+        "SELECT CAST(ROUND(l_quantity) AS BIGINT), "
+        "CAST(ROUND(l_discount*100) AS BIGINT), COUNT(*) "
+        "FROM lineitem WHERE l_quantity IS NOT NULL "
+        "AND l_discount IS NOT NULL GROUP BY 1, 2"
+    ).fetchall()
+    nc = nd = 0
+    for x1, y1, f1 in cells:
+        for x2, y2, f2 in cells:
+            if x2 < x1 and y2 < y1:
+                nc += f1 * f2
+            elif x2 < x1 and y2 > y1:
+                nd += f1 * f2
+    n = sum(f for _, _, f in cells)
+    assert (r.n_rows, r.nc, r.nd) == (n, nc, nd)
+    tx: dict = {}
+    ty: dict = {}
+    for x, y, f in cells:
+        tx[x] = tx.get(x, 0) + f
+        ty[y] = ty.get(y, 0) + f
+    n0 = n * (n - 1) / 2
+    n1 = sum(t * (t - 1) / 2 for t in tx.values())
+    n2 = sum(t * (t - 1) / 2 for t in ty.values())
+    tau_ref = (nc - nd) / math.sqrt((n0 - n1) * (n2 and (n0 - n2)))
+    assert abs(r.tau - tau_ref) < 1e-6
+    assert -1.0 <= r.tau <= 1.0
+
+
+def test_ks_test_matches_pure_python_ecdf(spark, duck, sf_dir):
+    """D statistic vs a float ECDF walk in Python over the raw
+    per-group counts."""
+    r = stats_ops.ks_test(spark, sf_dir).collect()[0]
+    raw = duck.execute(
+        "SELECT l_returnflag, CAST(ROUND(l_quantity) AS BIGINT), COUNT(*) "
+        "FROM lineitem WHERE l_returnflag IN ('R','A') "
+        "AND l_quantity IS NOT NULL GROUP BY 1, 2"
+    ).fetchall()
+    fa: dict = {}
+    fb: dict = {}
+    for g, v, f in raw:
+        (fa if g == "R" else fb)[v] = f
+    n_a, n_b = sum(fa.values()), sum(fb.values())
+    assert (r.n_a, r.n_b) == (n_a, n_b)
+    ca = cb = 0
+    d = 0.0
+    for v in sorted(set(fa) | set(fb)):
+        ca += fa.get(v, 0)
+        cb += fb.get(v, 0)
+        d = max(d, abs(ca / n_a - cb / n_b))
+    assert abs(r.d_stat - d) < 1e-6
+    ks_ref = d * math.sqrt(n_a * n_b / (n_a + n_b))
+    assert abs(r.ks_stat - ks_ref) < max(1e-6 * ks_ref, 1e-6)
+
+
+def test_acf_lags_matches_duckdb_corr(spark, duck, sf_dir):
+    """Per-lag autocorrelation vs DuckDB's builtin corr() over the
+    day-arithmetic-joined series (Welford path, raw doubles)."""
+    rows = {r.lag: r for r in stats_ops.acf_lags(spark, sf_dir).collect()}
+    ref = duck.execute("""
+        WITH series AS (
+          SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+                   AS day, COUNT(*) AS y
+          FROM events WHERE ts IS NOT NULL GROUP BY 1
+        )
+        SELECT l.lag, COUNT(*), corr(a.y, b.y)
+        FROM series a
+        CROSS JOIN (SELECT CAST(r.range AS INTEGER) AS lag
+                    FROM range(1, 8) r) l
+        JOIN series b ON b.day = a.day + l.lag
+        GROUP BY 1
+    """).fetchall()
+    assert {lag for lag, _, _ in ref} == set(rows)
+    for lag, m, c in ref:
+        r = rows[lag]
+        assert r.n_pairs == m
+        if c is not None and r.acf is not None:
+            assert abs(r.acf - c) < 1e-6, lag
+
+
+def test_benford_digits_matches_pure_python(spark, duck, sf_dir):
+    """Digit histogram vs Python string extraction over raw prices;
+    chi2 terms vs math.log10 (independent of the injected literals)."""
+    rows = {r.digit: r for r in
+            stats_ops.benford_digits(spark, sf_dir).collect()}
+    prices = duck.execute(
+        "SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) "
+        "FROM lineitem WHERE l_extendedprice IS NOT NULL"
+    ).fetchall()
+    counts: dict = {}
+    for (c,) in prices:
+        if c and c > 0:
+            d = int(str(c)[0])
+            counts[d] = counts.get(d, 0) + 1
+    assert {d: r.n_obs for d, r in rows.items()} == counts
+    n = sum(counts.values())
+    for d, r in rows.items():
+        assert r.n_total == n
+        e = n * math.log10(1.0 + 1.0 / d)
+        assert abs(r.expected_n - e) < max(1e-9 * e, 1e-5)
+        chi = (counts[d] - e) ** 2 / e
+        assert abs(r.chi2_term - chi) < max(1e-6 * chi, 1e-4)
+
+
+def test_theil_sen_matches_pure_python(spark, duck, sf_dir):
+    """Slope/intercept vs a from-scratch Python median-of-slopes over
+    the daily series (statistics.median, different median algorithm)."""
+    import statistics
+
+    rows = {r.event_type: r for r in
+            stats_ops.theil_sen_trend(spark, sf_dir).collect()}
+    daily = duck.execute("""
+        SELECT event_type,
+               CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT), COUNT(*)
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    """).fetchall()
+    series: dict = {}
+    for et, x, y in daily:
+        series.setdefault(et, []).append((x, y))
+    for et, pts in series.items():
+        if len(pts) < 2:
+            assert et not in rows
+            continue
+        slopes = [(y2 - y1) / (x2 - x1)
+                  for (x1, y1) in pts for (x2, y2) in pts if x1 < x2]
+        med = statistics.median(slopes)
+        interc = statistics.median(y - med * x for x, y in pts)
+        r = rows[et]
+        assert r.n_days == len(pts) and r.n_pairs == len(slopes)
+        assert abs(r.slope - med) < 1e-6, et
+        assert abs(r.intercept - interc) < max(1e-6 * abs(interc), 1e-5)
