@@ -914,3 +914,175 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             _round6(F.col("imed")).alias("intercept"),
         )
     )
+
+
+# Dyadic trim fraction: 1/16 per side. Deliberately a power of two so
+# k = floor(n/16) is FP-exact for every n (the dedup_containment
+# threshold lesson applied to quantile arithmetic).
+TRIM_FRAC = 0.0625
+
+
+def trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-return-flag TRIMMED mean of ``l_quantity`` (1/16 clipped
+    from each tail) computed entirely from the constant-bounded
+    (group, value) contingency marginal — no row ever sorts: the
+    kept-count of each value cell is derived from the running
+    cumulative by interval clipping,
+
+        kept(v) = max(0, min(cum(v), n−k) − max(cum(v)−f(v), k)),
+
+    an exact integer per cell, so Σ kept·v and n−2k are exact and the
+    mean is ONE double division (the engine-quantile builtins never
+    enter — they disagree on interpolation across engines). The
+    row-sort formulation would be a global sort at 100 TB; this is
+    one scan + one ≤|groups|·|values| groupBy. NULL quantities are
+    excluded; NULL flags form a real group. k uses the dyadic 1/16 so
+    floor(n·frac) never rounds across an integer boundary.
+    Columns: grp, n, k_trim, n_kept, mean_all, mean_trimmed.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = (
+        li.select(
+            F.col("l_returnflag").alias("grp"),
+            F.round(F.col("l_quantity")).cast("long").alias("qv"),
+        )
+        .filter(F.col("qv").isNotNull())
+        .groupBy("grp", "qv")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    wg = Window.partitionBy("grp")
+    wcum = wg.orderBy("qv").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    with_cum = cells.select(
+        "grp",
+        "qv",
+        "f",
+        F.sum("f").over(wcum).alias("cum"),
+        F.sum("f").over(wg).alias("n"),
+        F.sum(
+            F.col("f").cast("decimal(19,0)") * F.col("qv").cast("decimal(19,0)")
+        ).over(wg).alias("s_all"),
+    )
+    k = F.floor(F.col("n") * F.lit(TRIM_FRAC)).cast("long")
+    kept = F.greatest(
+        F.lit(0),
+        F.least(F.col("cum"), F.col("n") - k)
+        - F.greatest(F.col("cum") - F.col("f"), k),
+    )
+    return (
+        with_cum.groupBy("grp")
+        .agg(
+            F.max("n").alias("n"),
+            F.max(k).alias("k_trim"),
+            F.sum(kept).alias("n_kept"),
+            F.max("s_all").alias("s_all"),
+            F.sum(
+                kept.cast("decimal(19,0)") * F.col("qv").cast("decimal(19,0)")
+            ).alias("s_kept"),
+        )
+        .select(
+            "grp",
+            "n",
+            "k_trim",
+            "n_kept",
+            _round6(
+                F.col("s_all").cast("double") / F.col("n").cast("double")
+            ).alias("mean_all"),
+            F.when(
+                F.col("n_kept") > 0,
+                _round6(
+                    F.col("s_kept").cast("double")
+                    / F.col("n_kept").cast("double")
+                ),
+            ).alias("mean_trimmed"),
+        )
+    )
+
+
+# Iglewicz-Hoaglin modified-z constants, injected as identical literals
+# into both engines (the benford_digits convention).
+MODIFIED_Z_SCALE = 0.6745
+MODIFIED_Z_CUTOFF = 3.5
+
+
+def robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD outlier score for daily event volume per event_type —
+    the robust companion to ``anomaly_zscore`` (one spiked day drags a
+    mean+stddev z; the median and MAD ignore it).
+
+    Modified z = 0.6745·(y − median)/MAD (Iglewicz–Hoaglin), flagged
+    at |z| > 3.5. Both medians use the explicit middle-rank
+    arithmetic of :func:`theil_sen_trend` (never an engine quantile
+    builtin) over the CALENDAR-bounded daily table; the daily series
+    and the deviation frame are cached across their two consumers
+    each. A type with MAD = 0 (more than half its days at the median)
+    yields NULL z — never an engine-dependent inf. NULL event_type is
+    a real series; the NULL-day row of docs with NULL ts groups as in
+    cusum_changepoint. Columns: event_type, day, n_events, rz,
+    is_outlier.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y")).cache()
+
+    def _median_of(df: DataFrame, val: str, out: str) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy(val)
+        wp = Window.partitionBy("event_type")
+        ranked = df.select(
+            "event_type",
+            F.col(val),
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wp).alias("m"),
+        )
+        lo = F.floor((F.col("m") + 1) / F.lit(2.0)).cast("long")
+        hi = F.floor(F.col("m") / F.lit(2.0)).cast("long") + 1
+        return ranked.groupBy("event_type").agg(
+            (
+                (
+                    F.sum(F.when(F.col("rn") == lo, F.col(val)))
+                    + F.sum(F.when(F.col("rn") == hi, F.col(val)))
+                )
+                / F.lit(2.0)
+            ).alias(out)
+        )
+
+    med = _median_of(
+        daily.select("event_type", F.col("y").cast("double").alias("yv")),
+        "yv",
+        "med",
+    ).withColumnRenamed("event_type", "met")
+    dev = (
+        daily.join(
+            F.broadcast(med), F.col("event_type").eqNullSafe(F.col("met"))
+        )
+        .select(
+            "event_type",
+            "day",
+            "y",
+            "med",
+            F.abs(F.col("y").cast("double") - F.col("med")).alias("ad"),
+        )
+        .cache()
+    )
+    mad = _median_of(dev, "ad", "mad").withColumnRenamed(
+        "event_type", "mt"
+    )
+    rz = (
+        F.lit(MODIFIED_Z_SCALE)
+        * (F.col("y").cast("double") - F.col("med"))
+        / F.col("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), F.col("event_type").eqNullSafe(F.col("mt")))
+        .select(
+            "event_type",
+            "day",
+            F.col("y").alias("n_events"),
+            F.when(F.col("mad") > 0, _round6(rz)).alias("rz"),
+            F.when(F.col("mad") > 0, F.abs(rz) > MODIFIED_Z_CUTOFF).alias(
+                "is_outlier"
+            ),
+        )
+    )

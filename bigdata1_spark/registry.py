@@ -6048,3 +6048,100 @@ register(
     JOIN nd ON med.et IS NOT DISTINCT FROM nd.det
     """,
 )
+
+# Trimmed mean from contingency-marginal interval clipping — exact
+# integer kept-counts per value cell, no row sort, no engine quantile
+# builtin; dyadic 1/16 trim so floor(n*frac) is FP-exact.
+register(
+    "trimmed_mean",
+    stats_ops.trimmed_mean,
+    """
+    WITH cells AS (
+      SELECT l_returnflag AS grp, CAST(ROUND(l_quantity) AS BIGINT) AS qv,
+             CAST(COUNT(*) AS BIGINT) AS f
+      FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2
+    ), wc AS (
+      SELECT grp, qv, f,
+             SUM(f) OVER (PARTITION BY grp ORDER BY qv
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum,
+             SUM(f) OVER (PARTITION BY grp) AS n,
+             SUM(CAST(f AS HUGEINT) * CAST(qv AS HUGEINT))
+               OVER (PARTITION BY grp) AS s_all
+      FROM cells
+    ), kc AS (
+      SELECT grp, qv, f, cum, n, s_all,
+             CAST(FLOOR(n * 0.0625) AS BIGINT) AS k
+      FROM wc
+    ), agg AS (
+      SELECT grp, MAX(n) AS n, MAX(k) AS k_trim,
+             SUM(GREATEST(0, LEAST(cum, n - k)
+                             - GREATEST(cum - f, k))) AS n_kept,
+             MAX(s_all) AS s_all,
+             SUM(CAST(GREATEST(0, LEAST(cum, n - k)
+                                  - GREATEST(cum - f, k)) AS HUGEINT)
+                 * CAST(qv AS HUGEINT)) AS s_kept
+      FROM kc GROUP BY 1
+    )
+    SELECT grp, CAST(n AS BIGINT) AS n, k_trim,
+           CAST(n_kept AS BIGINT) AS n_kept,
+           FLOOR(CAST(s_all AS DOUBLE) / CAST(n AS DOUBLE) * 1e6 + 0.5)
+             / 1e6 AS mean_all,
+           CASE WHEN n_kept > 0
+                THEN FLOOR(CAST(s_kept AS DOUBLE) / CAST(n_kept AS DOUBLE)
+                           * 1e6 + 0.5) / 1e6 END AS mean_trimmed
+    FROM agg
+    """,
+)
+
+# Median/MAD modified-z outliers: middle-rank medians (no quantile
+# builtin), Iglewicz-Hoaglin constants as identical literals, MAD = 0
+# types yield NULL z.
+register(
+    "robust_zscore",
+    stats_ops.robust_zscore,
+    """
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ), r1 AS (
+      SELECT event_type, CAST(y AS DOUBLE) AS yv,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY yv) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS m
+      FROM daily
+    ), med AS (
+      SELECT event_type AS met,
+             (SUM(CASE WHEN rn = CAST(FLOOR((m + 1) / 2.0) AS BIGINT)
+                       THEN yv END)
+              + SUM(CASE WHEN rn = CAST(FLOOR(m / 2.0) AS BIGINT) + 1
+                         THEN yv END)) / 2.0 AS med
+      FROM r1 GROUP BY 1
+    ), dev AS (
+      SELECT d.event_type, d.day, d.y, med.med,
+             ABS(CAST(d.y AS DOUBLE) - med.med) AS ad
+      FROM daily d
+      JOIN med ON d.event_type IS NOT DISTINCT FROM med.met
+    ), r2 AS (
+      SELECT event_type, ad,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ad) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS m
+      FROM dev
+    ), mad AS (
+      SELECT event_type AS mt,
+             (SUM(CASE WHEN rn = CAST(FLOOR((m + 1) / 2.0) AS BIGINT)
+                       THEN ad END)
+              + SUM(CASE WHEN rn = CAST(FLOOR(m / 2.0) AS BIGINT) + 1
+                         THEN ad END)) / 2.0 AS mad
+      FROM r2 GROUP BY 1
+    )
+    SELECT dev.event_type, dev.day, dev.y AS n_events,
+           CASE WHEN mad.mad > 0
+                THEN FLOOR(0.6745 * (CAST(dev.y AS DOUBLE) - dev.med)
+                           / mad.mad * 1e6 + 0.5) / 1e6 END AS rz,
+           CASE WHEN mad.mad > 0
+                THEN ABS(0.6745 * (CAST(dev.y AS DOUBLE) - dev.med)
+                         / mad.mad) > 3.5 END AS is_outlier
+    FROM dev JOIN mad ON dev.event_type IS NOT DISTINCT FROM mad.mt
+    """,
+)

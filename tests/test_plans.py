@@ -1063,6 +1063,7 @@ SCAN_BUDGETS = {
     "project_month": 1,
     "project_split": 1,
     "psi_drift": 2,
+    "robust_zscore": 1,
     "spearman_corr": 1,
     "python_datasource": 0,
     "python_datasink": 0,  # eager checkpoint after the sink round-trip
@@ -1150,6 +1151,7 @@ SCAN_BUDGETS = {
     "tpch_q9": 5,  # 5 tables + nation
     "transpose_stats": 0,
     "triangle_count": 0,
+    "trimmed_mean": 1,
     "twa": 1,
     "udtf_analyze": 1,
     "udtf_tokens": 1,

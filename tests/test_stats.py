@@ -483,3 +483,58 @@ def test_theil_sen_matches_pure_python(spark, duck, sf_dir):
         assert r.n_days == len(pts) and r.n_pairs == len(slopes)
         assert abs(r.slope - med) < 1e-6, et
         assert abs(r.intercept - interc) < max(1e-6 * abs(interc), 1e-5)
+
+
+def test_trimmed_mean_matches_pure_python(spark, duck, sf_dir):
+    """Interval-clipped cell arithmetic vs a literal Python sort-and-
+    slice of the raw per-group values."""
+    rows = {r.grp: r for r in
+            stats_ops.trimmed_mean(spark, sf_dir).collect()}
+    raw = duck.execute(
+        "SELECT l_returnflag, CAST(ROUND(l_quantity) AS BIGINT) "
+        "FROM lineitem WHERE l_quantity IS NOT NULL"
+    ).fetchall()
+    groups: dict = {}
+    for g, q in raw:
+        groups.setdefault(g, []).append(q)
+    assert set(rows) == set(groups)
+    for g, vals in groups.items():
+        vals.sort()
+        n = len(vals)
+        k = int(n * 0.0625)
+        kept = vals[k:n - k]
+        r = rows[g]
+        assert (r.n, r.k_trim, r.n_kept) == (n, k, len(kept)), g
+        assert abs(r.mean_all - sum(vals) / n) < 1e-6
+        if kept:
+            assert abs(r.mean_trimmed - sum(kept) / len(kept)) < 1e-6
+
+
+def test_robust_zscore_matches_pure_python(spark, duck, sf_dir):
+    """Median/MAD modified z vs statistics.median over the raw daily
+    counts; outlier flag re-derived independently."""
+    import statistics
+
+    out = stats_ops.robust_zscore(spark, sf_dir).collect()
+    daily = duck.execute(
+        "SELECT event_type, date_trunc('day', ts), COUNT(*) "
+        "FROM events GROUP BY 1, 2"
+    ).fetchall()
+    # DuckDB's date_trunc('day') fetches as date, Spark's as midnight
+    # datetime — key both by the ISO date prefix (None stays None)
+    series: dict = {}
+    for et, day, y in daily:
+        series.setdefault(et, {})[str(day)[:10] if day else None] = y
+    assert len(out) == sum(len(v) for v in series.values())
+    for r in out:
+        ys = list(series[r.event_type].values())
+        med = statistics.median(float(y) for y in ys)
+        mad = statistics.median(abs(float(y) - med) for y in ys)
+        y = series[r.event_type][str(r.day)[:10] if r.day else None]
+        assert r.n_events == y
+        if mad > 0:
+            ref = 0.6745 * (y - med) / mad
+            assert abs(r.rz - ref) < 1e-6, (r.event_type, r.day)
+            assert r.is_outlier == (abs(ref) > 3.5)
+        else:
+            assert r.rz is None and r.is_outlier is None
