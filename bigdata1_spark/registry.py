@@ -588,7 +588,7 @@ register(
     WITH words AS (
       SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents
     ), sh AS (
-      SELECT doc_id, array_to_string(w[i:i+2], ' ') AS s
+      SELECT doc_id, CASE WHEN w IS NULL THEN NULL ELSE concat(coalesce(w[i], ''), CASE WHEN len(w) >= i + 1 THEN ' ' || w[i+1] ELSE '' END, CASE WHEN len(w) >= i + 2 THEN ' ' || w[i+2] ELSE '' END) END AS s
       FROM words,
            (SELECT unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i)
     ), d AS (
@@ -627,7 +627,7 @@ register(
                          x -> len(x) > 0) AS w
       FROM documents
     ), sh AS (
-      SELECT doc_id, array_to_string(w[i:i+2], ' ') AS s
+      SELECT doc_id, CASE WHEN w IS NULL THEN NULL ELSE concat(coalesce(w[i], ''), CASE WHEN len(w) >= i + 1 THEN ' ' || w[i+1] ELSE '' END, CASE WHEN len(w) >= i + 2 THEN ' ' || w[i+2] ELSE '' END) END AS s
       FROM words,
            (SELECT unnest(generate_series(1, greatest(len(w) - 2, 1)))
               AS i)
@@ -667,7 +667,7 @@ register(
                          x -> len(x) > 0) AS w
       FROM documents
     ), sh AS (
-      SELECT doc_id, array_to_string(w[i:i+2], ' ') AS s
+      SELECT doc_id, CASE WHEN w IS NULL THEN NULL ELSE concat(coalesce(w[i], ''), CASE WHEN len(w) >= i + 1 THEN ' ' || w[i+1] ELSE '' END, CASE WHEN len(w) >= i + 2 THEN ' ' || w[i+2] ELSE '' END) END AS s
       FROM words,
            (SELECT unnest(generate_series(1, greatest(len(w) - 2, 1)))
               AS i)
@@ -1095,7 +1095,7 @@ register(
                   ELSE 0.0 END AS digit_ratio
       FROM t
     ), bg AS (
-      SELECT doc_id, array_to_string(w[i:i+1], ' ') AS b
+      SELECT doc_id, CASE WHEN w IS NULL THEN NULL ELSE concat(coalesce(w[i], ''), CASE WHEN len(w) >= i + 1 THEN ' ' || w[i+1] ELSE '' END) END AS b
       FROM t,
            (SELECT unnest(generate_series(1, greatest(len(w) - 1, 1))) AS i)
     ), counts AS (
@@ -2163,7 +2163,7 @@ _DUCK_CLUSTER_LABELS = """
                                  x -> len(x) > 0) AS w
       FROM documents
     ), sh AS (
-      SELECT doc_id, array_to_string(w[i:i+2], ' ') AS s
+      SELECT doc_id, CASE WHEN w IS NULL THEN NULL ELSE concat(coalesce(w[i], ''), CASE WHEN len(w) >= i + 1 THEN ' ' || w[i+1] ELSE '' END, CASE WHEN len(w) >= i + 2 THEN ' ' || w[i+2] ELSE '' END) END AS s
       FROM words,
            (SELECT unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i)
     ), d AS (
@@ -2280,7 +2280,7 @@ register(
                                  x -> len(x) > 0) AS w
       FROM documents
     ), sh AS (
-      SELECT doc_id, array_to_string(w[i:i+1], ' ') AS bigram
+      SELECT doc_id, CASE WHEN w IS NULL THEN NULL ELSE concat(coalesce(w[i], ''), CASE WHEN len(w) >= i + 1 THEN ' ' || w[i+1] ELSE '' END) END AS bigram
       FROM words,
            (SELECT unnest(generate_series(1, greatest(len(w) - 1, 1))) AS i)
     ), d AS (
@@ -2411,7 +2411,7 @@ register(
              MAX(cnt) AS top_cnt
       FROM wc GROUP BY 1
     ), bg AS (
-      SELECT doc_id, array_to_string(w[i:i+1], ' ') AS bigram
+      SELECT doc_id, CASE WHEN w IS NULL THEN NULL ELSE concat(coalesce(w[i], ''), CASE WHEN len(w) >= i + 1 THEN ' ' || w[i+1] ELSE '' END) END AS bigram
       FROM words,
            (SELECT unnest(generate_series(1, greatest(len(w) - 1, 1))) AS i)
     ), bs AS (
@@ -2455,7 +2455,7 @@ register(
                          x -> len(x) > 0) AS w
       FROM documents
     ), grams AS (
-      SELECT DISTINCT doc_id, source, array_to_string(w[i:i+4], ' ') AS gram
+      SELECT DISTINCT doc_id, source, CASE WHEN w IS NULL THEN NULL ELSE concat(coalesce(w[i], ''), CASE WHEN len(w) >= i + 1 THEN ' ' || w[i+1] ELSE '' END, CASE WHEN len(w) >= i + 2 THEN ' ' || w[i+2] ELSE '' END, CASE WHEN len(w) >= i + 3 THEN ' ' || w[i+3] ELSE '' END, CASE WHEN len(w) >= i + 4 THEN ' ' || w[i+4] ELSE '' END) END AS gram
       FROM words,
            (SELECT unnest(generate_series(1, greatest(len(w) - 4, 1))) AS i)
     ), bench AS (
@@ -4655,7 +4655,7 @@ register(
              wcnt
       FROM words
     ), pair1 AS (
-      SELECT array_to_string(syms[i:i+1], ' ') AS pair, wcnt
+      SELECT CASE WHEN syms IS NULL THEN NULL ELSE concat(coalesce(syms[i], ''), CASE WHEN len(syms) >= i + 1 THEN ' ' || syms[i+1] ELSE '' END) END AS pair, wcnt
       FROM (SELECT string_split(w, ' ') AS syms, wcnt FROM spaced),
            (SELECT unnest(generate_series(1, len(syms) - 1)) AS i)
     ), best AS (
@@ -4666,7 +4666,7 @@ register(
       SELECT replace(s.w, b.mpair, b.mtok) AS w, s.wcnt, b.mpair
       FROM spaced s CROSS JOIN best b
     ), pair2 AS (
-      SELECT mpair, array_to_string(syms[i:i+1], ' ') AS pair, wcnt
+      SELECT mpair, CASE WHEN syms IS NULL THEN NULL ELSE concat(coalesce(syms[i], ''), CASE WHEN len(syms) >= i + 1 THEN ' ' || syms[i+1] ELSE '' END) END AS pair, wcnt
       FROM (SELECT string_split(w, ' ') AS syms, wcnt, mpair
             FROM merged),
            (SELECT unnest(generate_series(1, len(syms) - 1)) AS i)
@@ -4770,7 +4770,7 @@ register(
              wcnt
       FROM words
     ), pair1 AS (
-      SELECT array_to_string(syms[i:i+1], ' ') AS pair, wcnt
+      SELECT CASE WHEN syms IS NULL THEN NULL ELSE concat(coalesce(syms[i], ''), CASE WHEN len(syms) >= i + 1 THEN ' ' || syms[i+1] ELSE '' END) END AS pair, wcnt
       FROM (SELECT string_split(w, ' ') AS syms, wcnt FROM spaced),
            (SELECT unnest(generate_series(1, len(syms) - 1)) AS i)
     ), best1 AS (
@@ -4790,7 +4790,7 @@ register(
              wcnt, mpair1
       FROM merged1pre
     ), pair2 AS (
-      SELECT array_to_string(syms[i:i+1], ' ') AS pair, wcnt
+      SELECT CASE WHEN syms IS NULL THEN NULL ELSE concat(coalesce(syms[i], ''), CASE WHEN len(syms) >= i + 1 THEN ' ' || syms[i+1] ELSE '' END) END AS pair, wcnt
       FROM (SELECT string_split(w, ' ') AS syms, wcnt FROM merged1),
            (SELECT unnest(generate_series(1, len(syms) - 1)) AS i)
     ), best2 AS (
@@ -4811,7 +4811,7 @@ register(
       FROM merged2pre
     ), pair3 AS (
       SELECT mpair1, mpair2,
-             array_to_string(syms[i:i+1], ' ') AS pair, wcnt
+             CASE WHEN syms IS NULL THEN NULL ELSE concat(coalesce(syms[i], ''), CASE WHEN len(syms) >= i + 1 THEN ' ' || syms[i+1] ELSE '' END) END AS pair, wcnt
       FROM (SELECT string_split(w, ' ') AS syms, wcnt, mpair1, mpair2
             FROM merged2),
            (SELECT unnest(generate_series(1, len(syms) - 1)) AS i)
@@ -5055,10 +5055,10 @@ register(
     ), bg AS (
       SELECT doc_id, lang,
              CAST((16 * (strpos('0123456789abcdef',
-                          substr(md5(array_to_string(w[i:i+1], ' ')), 1, 1))
+                          substr(md5(CASE WHEN w IS NULL THEN NULL ELSE concat(coalesce(w[i], ''), CASE WHEN len(w) >= i + 1 THEN ' ' || w[i+1] ELSE '' END) END), 1, 1))
                          - 1)
                    + (strpos('0123456789abcdef',
-                          substr(md5(array_to_string(w[i:i+1], ' ')), 2, 1))
+                          substr(md5(CASE WHEN w IS NULL THEN NULL ELSE concat(coalesce(w[i], ''), CASE WHEN len(w) >= i + 1 THEN ' ' || w[i+1] ELSE '' END) END), 2, 1))
                       - 1)) % 64 AS BIGINT) AS bucket
       FROM words,
            (SELECT unnest(generate_series(1, greatest(len(w) - 1, 1))) AS i)
@@ -5935,7 +5935,7 @@ register(
     WITH words AS (
       SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents
     ), sh AS (
-      SELECT doc_id, array_to_string(w[i:i+2], ' ') AS s
+      SELECT doc_id, CASE WHEN w IS NULL THEN NULL ELSE concat(coalesce(w[i], ''), CASE WHEN len(w) >= i + 1 THEN ' ' || w[i+1] ELSE '' END, CASE WHEN len(w) >= i + 2 THEN ' ' || w[i+2] ELSE '' END) END AS s
       FROM words,
            (SELECT unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i)
     ), d AS (
@@ -5970,7 +5970,7 @@ register(
       SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents
       WHERE text IS NOT NULL
     ), sh AS (
-      SELECT doc_id, array_to_string(w[i:i+2], ' ') AS s
+      SELECT doc_id, CASE WHEN w IS NULL THEN NULL ELSE concat(coalesce(w[i], ''), CASE WHEN len(w) >= i + 1 THEN ' ' || w[i+1] ELSE '' END, CASE WHEN len(w) >= i + 2 THEN ' ' || w[i+2] ELSE '' END) END AS s
       FROM words,
            (SELECT unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i)
     ), d AS (
