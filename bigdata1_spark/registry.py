@@ -5279,7 +5279,7 @@ register(
       FROM base
     ), grams AS (
       SELECT doc_id, n_toks, start,
-             md5(array_to_string(w[start:start+9], ' ')) AS digest
+             md5(CASE WHEN w IS NULL THEN NULL ELSE concat(coalesce(w[start], ''), CASE WHEN len(w) >= start + 1 THEN ' ' || w[start+1] ELSE '' END, CASE WHEN len(w) >= start + 2 THEN ' ' || w[start+2] ELSE '' END, CASE WHEN len(w) >= start + 3 THEN ' ' || w[start+3] ELSE '' END, CASE WHEN len(w) >= start + 4 THEN ' ' || w[start+4] ELSE '' END, CASE WHEN len(w) >= start + 5 THEN ' ' || w[start+5] ELSE '' END, CASE WHEN len(w) >= start + 6 THEN ' ' || w[start+6] ELSE '' END, CASE WHEN len(w) >= start + 7 THEN ' ' || w[start+7] ELSE '' END, CASE WHEN len(w) >= start + 8 THEN ' ' || w[start+8] ELSE '' END, CASE WHEN len(w) >= start + 9 THEN ' ' || w[start+9] ELSE '' END) END) AS digest
       FROM starts
     ), dup AS (
       SELECT digest FROM grams GROUP BY digest HAVING COUNT(*) >= 2
@@ -5337,7 +5337,7 @@ register(
     ), hashed AS (
       SELECT doc_id, pos,
              CAST('0x' || substr(
-               md5(array_to_string(w[pos:pos+3], ' ')), 1, 8) AS BIGINT)
+               md5(CASE WHEN w IS NULL THEN NULL ELSE concat(coalesce(w[pos], ''), CASE WHEN len(w) >= pos + 1 THEN ' ' || w[pos+1] ELSE '' END, CASE WHEN len(w) >= pos + 2 THEN ' ' || w[pos+2] ELSE '' END, CASE WHEN len(w) >= pos + 3 THEN ' ' || w[pos+3] ELSE '' END) END), 1, 8) AS BIGINT)
                AS h
       FROM starts
     ), v AS (
