@@ -1086,3 +1086,160 @@ def robust_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def gini_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of ``l_quantity`` per return flag via the
+    mean-absolute-difference identity G = Σᵤᵥ fᵤfᵥ|u−v| / (2nS) —
+    computed cell×cell over the constant-bounded (group, value)
+    contingency table (≤ groups·50² products at ANY row count), never
+    by the classic sorted-cumulative formulation (a global row sort
+    at 100 TB). Every term is an exact DECIMAL integer (fᵤfᵥ|u−v| ≤
+    50·n² — inside 38 digits to ~10¹⁷ rows); the single double chain
+    N/(2·n·S) divides at the end. Empty or zero-sum groups yield
+    NULL. NULL quantities are excluded; NULL flags form a real group.
+    Columns: grp, n, sum_qty, gini.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = (
+        li.select(
+            F.col("l_returnflag").alias("grp"),
+            F.round(F.col("l_quantity")).cast("long").alias("v"),
+        )
+        .filter(F.col("v").isNotNull())
+        .groupBy("grp", "v")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .cache()
+    )
+    a = cells.select(
+        F.col("grp").alias("g1"), F.col("v").alias("v1"),
+        F.col("f").cast("decimal(19,0)").alias("f1"),
+    )
+    b = cells.select(
+        F.col("grp").alias("g2"), F.col("v").alias("v2"),
+        F.col("f").cast("decimal(19,0)").alias("f2"),
+    )
+    num = (
+        a.join(F.broadcast(b), F.col("g1").eqNullSafe(F.col("g2")))
+        .groupBy(F.col("g1").alias("grp"))
+        .agg(
+            F.sum(
+                F.col("f1")
+                * F.col("f2")
+                * F.abs(F.col("v1") - F.col("v2")).cast("decimal(19,0)")
+            ).alias("mad_num")
+        )
+    )
+    tot = cells.groupBy("grp").agg(
+        F.sum("f").alias("n"),
+        F.sum(
+            F.col("f").cast("decimal(19,0)") * F.col("v").cast("decimal(19,0)")
+        ).alias("s"),
+    )
+    j = tot.join(
+        F.broadcast(num.withColumnRenamed("grp", "ngrp")),
+        F.col("grp").eqNullSafe(F.col("ngrp")),
+    )
+    gini = F.col("mad_num").cast("double") / (
+        F.lit(2.0) * F.col("n").cast("double") * F.col("s").cast("double")
+    )
+    return j.select(
+        "grp",
+        F.col("n").cast("long").alias("n"),
+        F.col("s").cast("long").alias("sum_qty"),
+        F.when((F.col("n") > 0) & (F.col("s") > 0), _round6(gini)).alias(
+            "gini"
+        ),
+    )
+
+
+def hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman supplier-revenue concentration per supplier
+    nation: HHI = Σᵢ(rᵢ/R)² = Σrᵢ²/R², computed as exact integer-cent
+    sums with ONE double division per nation at the end (never
+    per-supplier float shares, whose fold order would enter the
+    contract). One lineitem scan + a broadcast supplier-dim join +
+    two map-side-combinable aggregations; nothing grows beyond
+    (nation, supplier) cardinality. NULL revenue rows are excluded.
+    Columns: nationkey, n_suppliers, revenue_cents, hhi.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey"), F.col("s_nationkey").alias("nationkey")
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    per_sup = (
+        li.select(F.col("l_suppkey").alias("s_suppkey"), cents.alias("c"))
+        .filter(F.col("c").isNotNull())
+        .join(F.broadcast(sup), "s_suppkey")
+        .groupBy("nationkey", "s_suppkey")
+        .agg(F.sum(F.col("c").cast("decimal(19,0)")).alias("r"))
+    )
+    rd = F.col("r").cast("decimal(19,0)")
+    per_nat = per_sup.groupBy("nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("r").alias("rev"),
+        F.sum(rd * rd).alias("r2"),
+    )
+    hhi = F.col("r2").cast("double") / (
+        F.col("rev").cast("double") * F.col("rev").cast("double")
+    )
+    return per_nat.select(
+        "nationkey",
+        "n_suppliers",
+        F.col("rev").cast("long").alias("revenue_cents"),
+        F.when(F.col("rev") > 0, _round6(hhi)).alias("hhi"),
+    )
+
+
+def pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue share of the top-quartile customers per market segment —
+    the "80/20" concentration probe. Customer spend aggregates first
+    (orders collapse to ≤|customers| rows — the only window input),
+    then a per-segment rank over (spend DESC, custkey ASC — total
+    order) marks the top k = floor(C/4) customers (dyadic quarter:
+    C·0.25 is FP-exact for any C). share = top_cents/total_cents is
+    exact integer cents with ONE division. Segments with C < 4 (k=0)
+    yield share NULL. Customers without orders don't appear in spend
+    (inner semantics documented); NULL segments form a real group.
+    Columns: mktsegment, n_customers, k_top, top_cents, total_cents,
+    share.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment").alias("mktsegment")
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    spend = (
+        orders.select(F.col("o_custkey").alias("c_custkey"), cents.alias("c"))
+        .filter(F.col("c").isNotNull())
+        .groupBy("c_custkey")
+        .agg(F.sum(F.col("c").cast("decimal(19,0)")).alias("spend"))
+        .join(F.broadcast(cust), "c_custkey")
+    )
+    w = Window.partitionBy("mktsegment").orderBy(
+        F.col("spend").desc(), F.col("c_custkey").asc()
+    )
+    wp = Window.partitionBy("mktsegment")
+    ranked = spend.select(
+        "mktsegment",
+        "spend",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("cnt"),
+    )
+    k = F.floor(F.col("cnt") * F.lit(0.25)).cast("long")
+    agg = ranked.groupBy("mktsegment").agg(
+        F.max("cnt").alias("n_customers"),
+        F.max(k).alias("k_top"),
+        F.sum(F.when(F.col("rn") <= k, F.col("spend"))).alias("top"),
+        F.sum("spend").alias("tot"),
+    )
+    share = F.col("top").cast("double") / F.col("tot").cast("double")
+    return agg.select(
+        "mktsegment",
+        "n_customers",
+        "k_top",
+        F.coalesce(F.col("top"), F.lit(0)).cast("long").alias("top_cents"),
+        F.col("tot").cast("long").alias("total_cents"),
+        F.when(F.col("k_top") > 0, _round6(share)).alias("share"),
+    )

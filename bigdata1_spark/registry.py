@@ -6145,3 +6145,99 @@ register(
     FROM dev JOIN mad ON dev.event_type IS NOT DISTINCT FROM mad.mt
     """,
 )
+
+# Gini via the mean-absolute-difference identity over the bounded
+# contingency table (cell x cell, never a sorted-cumulative row scan).
+register(
+    "gini_mad",
+    stats_ops.gini_mad,
+    """
+    WITH cells AS (
+      SELECT l_returnflag AS grp, CAST(ROUND(l_quantity) AS BIGINT) AS v,
+             CAST(COUNT(*) AS BIGINT) AS f
+      FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2
+    ), num AS (
+      SELECT a.grp,
+             SUM(CAST(a.f AS HUGEINT) * CAST(b.f AS HUGEINT)
+                 * CAST(ABS(a.v - b.v) AS HUGEINT)) AS mad_num
+      FROM cells a JOIN cells b ON a.grp IS NOT DISTINCT FROM b.grp
+      GROUP BY 1
+    ), tot AS (
+      SELECT grp, SUM(f) AS n,
+             SUM(CAST(f AS HUGEINT) * CAST(v AS HUGEINT)) AS s
+      FROM cells GROUP BY 1
+    )
+    SELECT t.grp, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS sum_qty,
+           CASE WHEN n > 0 AND s > 0
+                THEN FLOOR(CAST(mad_num AS DOUBLE)
+                           / (2.0 * CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+                           * 1e6 + 0.5) / 1e6 END AS gini
+    FROM tot t JOIN num u ON t.grp IS NOT DISTINCT FROM u.grp
+    """,
+)
+
+# HHI supplier-revenue concentration: exact integer-cent sums, one
+# double division per nation.
+register(
+    "hhi_concentration",
+    stats_ops.hhi_concentration,
+    """
+    WITH per_sup AS (
+      SELECT s.s_nationkey AS nationkey, l.l_suppkey,
+             SUM(CAST(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                      AS HUGEINT)) AS r
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE l.l_extendedprice IS NOT NULL
+      GROUP BY 1, 2
+    ), per_nat AS (
+      SELECT nationkey, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+             SUM(r) AS rev, SUM(r * r) AS r2
+      FROM per_sup GROUP BY 1
+    )
+    SELECT nationkey, n_suppliers, CAST(rev AS BIGINT) AS revenue_cents,
+           CASE WHEN rev > 0
+                THEN FLOOR(CAST(r2 AS DOUBLE)
+                           / (CAST(rev AS DOUBLE) * CAST(rev AS DOUBLE))
+                           * 1e6 + 0.5) / 1e6 END AS hhi
+    FROM per_nat
+    """,
+)
+
+# Top-quartile revenue share per segment: windows run over the
+# aggregated per-customer spend only; dyadic 1/4 keeps floor(C*0.25)
+# FP-exact; (spend DESC, custkey ASC) is a total order.
+register(
+    "pareto_share",
+    stats_ops.pareto_share,
+    """
+    WITH spend AS (
+      SELECT o_custkey AS c_custkey,
+             SUM(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                      AS HUGEINT)) AS spend
+      FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1
+    ), seg AS (
+      SELECT c.c_mktsegment AS mktsegment, s.spend, s.c_custkey
+      FROM spend s JOIN customer c USING (c_custkey)
+    ), ranked AS (
+      SELECT mktsegment, spend,
+             ROW_NUMBER() OVER (PARTITION BY mktsegment
+                                ORDER BY spend DESC, c_custkey ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY mktsegment) AS cnt
+      FROM seg
+    ), agg AS (
+      SELECT mktsegment, MAX(cnt) AS n_customers,
+             MAX(CAST(FLOOR(cnt * 0.25) AS BIGINT)) AS k_top,
+             SUM(CASE WHEN rn <= CAST(FLOOR(cnt * 0.25) AS BIGINT)
+                      THEN spend END) AS top,
+             SUM(spend) AS tot
+      FROM ranked GROUP BY 1
+    )
+    SELECT mktsegment, CAST(n_customers AS BIGINT) AS n_customers, k_top,
+           CAST(COALESCE(top, 0) AS BIGINT) AS top_cents,
+           CAST(tot AS BIGINT) AS total_cents,
+           CASE WHEN k_top > 0
+                THEN FLOOR(CAST(top AS DOUBLE) / CAST(tot AS DOUBLE)
+                           * 1e6 + 0.5) / 1e6 END AS share
+    FROM agg
+    """,
+)

@@ -1001,6 +1001,7 @@ SCAN_BUDGETS = {
     "funnel_conversion": 4,  # 3 event_type-pruned stage scans + users distinct; stage aggs cached
     "fuzzy_join": 4,  # dim-table fuzzy self-join (both sides + blocking branches)
     "gen_billings": 0,
+    "gini_mad": 1,
     "global_count": 1,
     "global_enumerate": 2,
     "graph_degree": 1,
@@ -1013,6 +1014,7 @@ SCAN_BUDGETS = {
     "groupby_sum": 2,
     "grouped_map_normalize": 1,
     "heavy_hitters": 2,
+    "hhi_concentration": 2,
     "histogram": 2,
     "holt_winters": 1,
     "interval_coverage": 1,
@@ -1054,6 +1056,7 @@ SCAN_BUDGETS = {
     "pagerank": 0,
     "pagerank_iter1": 0,
     "pandas_grouped_agg": 1,
+    "pareto_share": 2,
     "pii_scrub": 1,
     "pipeline_pretraining": 0,
     "pivot_agg": 2,

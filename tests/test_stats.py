@@ -538,3 +538,78 @@ def test_robust_zscore_matches_pure_python(spark, duck, sf_dir):
             assert r.is_outlier == (abs(ref) > 3.5)
         else:
             assert r.rz is None and r.is_outlier is None
+
+
+def test_gini_mad_matches_sorted_formula(spark, duck, sf_dir):
+    """MAD-identity Gini vs the classic sorted-cumulative formula
+    G = (2*sum(i*y_i)/(n*sum(y)) - (n+1)/n) in pure Python."""
+    rows = {r.grp: r for r in stats_ops.gini_mad(spark, sf_dir).collect()}
+    raw = duck.execute(
+        "SELECT l_returnflag, CAST(ROUND(l_quantity) AS BIGINT) "
+        "FROM lineitem WHERE l_quantity IS NOT NULL"
+    ).fetchall()
+    groups: dict = {}
+    for g, q in raw:
+        groups.setdefault(g, []).append(q)
+    assert set(rows) == set(groups)
+    for g, vals in groups.items():
+        vals.sort()
+        n, s = len(vals), sum(vals)
+        ref = 2 * sum((i + 1) * y for i, y in enumerate(vals)) / (n * s) \
+            - (n + 1) / n
+        r = rows[g]
+        assert (r.n, r.sum_qty) == (n, s)
+        assert abs(r.gini - ref) < 1e-6, g
+        assert 0.0 <= r.gini < 1.0
+
+
+def test_hhi_matches_pure_python_shares(spark, duck, sf_dir):
+    """HHI vs a float per-share fold in Python (different algebra:
+    shares first, then squares)."""
+    rows = {r.nationkey: r for r in
+            stats_ops.hhi_concentration(spark, sf_dir).collect()}
+    raw = duck.execute("""
+        SELECT s.s_nationkey, l.l_suppkey,
+               SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT)) AS r
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE l.l_extendedprice IS NOT NULL GROUP BY 1, 2
+    """).fetchall()
+    nats: dict = {}
+    for nk, sk, r in raw:
+        nats.setdefault(nk, []).append(r)
+    assert set(rows) == set(nats)
+    for nk, revs in nats.items():
+        tot = sum(revs)
+        ref = sum((x / tot) ** 2 for x in revs)
+        r = rows[nk]
+        assert r.n_suppliers == len(revs) and r.revenue_cents == tot
+        assert abs(r.hhi - ref) < 1e-6, nk
+        assert 1.0 / len(revs) - 1e-9 <= r.hhi <= 1.0
+
+
+def test_pareto_share_matches_pure_python(spark, duck, sf_dir):
+    """Top-quartile share vs a Python sort-and-slice per segment."""
+    rows = {r.mktsegment: r for r in
+            stats_ops.pareto_share(spark, sf_dir).collect()}
+    raw = duck.execute("""
+        SELECT c.c_mktsegment, o.o_custkey,
+               SUM(CAST(ROUND(o.o_totalprice*100) AS BIGINT)) AS spend
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_totalprice IS NOT NULL GROUP BY 1, 2
+    """).fetchall()
+    segs: dict = {}
+    for seg, ck, sp in raw:
+        segs.setdefault(seg, []).append((sp, ck))
+    assert set(rows) == set(segs)
+    for seg, lst in segs.items():
+        lst.sort(key=lambda t: (-t[0], t[1]))
+        n = len(lst)
+        k = n // 4
+        top = sum(sp for sp, _ in lst[:k])
+        tot = sum(sp for sp, _ in lst)
+        r = rows[seg]
+        assert (r.n_customers, r.k_top, r.top_cents, r.total_cents) == \
+            (n, k, top, tot), seg
+        if k > 0:
+            assert abs(r.share - top / tot) < 1e-6
+            assert r.share >= 0.25 - 1e-9  # top quartile holds >= its share
