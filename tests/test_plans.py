@@ -962,7 +962,7 @@ SCAN_BUDGETS = {
     "dedup_apply": 2,
     "dedup_chunks": 1,
     "dedup_clusters": 0,
-    "dedup_containment": 0,
+    "dedup_containment": 1,
     "dedup_embedding": 1,
     "dedup_embedding_multiprobe": 3,  # one linear pass per LSH table seed (documented recall dial)
     "dedup_exact": 1,
