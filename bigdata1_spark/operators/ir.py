@@ -23,13 +23,16 @@ vocabulary degrades to a shuffle join instead of OOMing (the tpch_q17
 policy). Only the BM25 per-QUERY-term table (bounded by the query, not
 the data) carries an explicit broadcast.
 
-Cache-lifecycle convention (repo-wide, ADVICE r12): an operator whose
-RETURNED frame still lazily depends on an intermediate it cached (the
-tf/dl/pair tables here) cannot unpersist before returning — the caller
-hasn't acted yet. Such session-scoped caches are instead released by
-the harness: bench.py and tools/local_correctness.py both call
-``spark.catalog.clearCache()`` before every key, so registry sweeps
-never accumulate storage across keys. Operators whose result is
+Cache-lifecycle convention (repo-wide, ADVICE r12/r13): an operator
+whose RETURNED frame still lazily depends on an intermediate it cached
+(the tf/dl/pair tables here) cannot unpersist before returning — the
+caller hasn't acted yet. Such session-scoped caches are released at
+the one choke point every harness goes through: ``registry.register``
+wraps every key so it calls ``spark.catalog.clearCache()`` on ENTRY
+(see ``registry._cache_scoped``), bounding any sweep's storage to the
+single in-flight key regardless of the harness (driver, bench.py,
+tools/local_correctness.py — the latter two also clear explicitly).
+Gated by tests/test_cache_lifecycle.py. Operators whose result is
 localCheckpoint-ed (dedup.py, text_analysis.py pipelines) DO unpersist
 their own caches eagerly, because the checkpoint severs the lineage.
 """

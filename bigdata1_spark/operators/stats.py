@@ -19,6 +19,7 @@ computation yields exactly the correlation of the original columns.
 
 from __future__ import annotations
 
+import math
 from itertools import combinations
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -760,7 +761,7 @@ def acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the only way a transcendental constant is bit-identical across
 # engines (the naive_bayes_lang lesson: libm ulp drift is real).
 BENFORD_EXPECTED = {
-    d: f"{__import__('math').log10(1.0 + 1.0 / d):.17g}" for d in range(1, 10)
+    d: f"{math.log10(1.0 + 1.0 / d):.17g}" for d in range(1, 10)
 }
 
 
@@ -834,12 +835,7 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     daily = (
         ev.filter(F.col("ts").isNotNull())
-        .groupBy(
-            "event_type",
-            F.datediff(
-                F.to_date("ts"), F.to_date(F.lit("1970-01-01"))
-            ).cast("long").alias("x"),
-        )
+        .groupBy("event_type", _day_num("ts").alias("x"))
         .agg(F.count(F.lit(1)).alias("y"))
         .cache()
     )

@@ -256,25 +256,22 @@ def ewma(spark: SparkSession, sf_dir: str, alpha: float = 0.1,
     )
 
 
-def resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-filled hourly resample of ``events.value`` per user with
-    linear interpolation between observed hours.
+# Gap-fill staleness cap, in hours (14 days). The r13-era grid spanned
+# each user's [min(h), max(h)] — ONE outlier timestamp (a 1700s row in
+# the .timewarpdata twin; a corrupt sensor reading at 100 TB) exploded
+# the per-user grid to millions of rows and blew
+# spark.driver.maxResultSize. Bounding fill work per OBSERVATION
+# (never per span) makes the plan outlier-proof by construction:
+# worst-case output is |obs| × (1 + MAX_FILL_HOURS), independent of
+# how pathological the timestamps are.
+MAX_FILL_HOURS = 336
 
-    Pipeline: (1) hourly mean per (user, hour) from a DECIMAL-exact sum
-    (2) per-user dense hour grid via ``sequence(min, max, 1h)`` +
-    explode — generated from ONE row per user, never materialized on
-    the driver (3) left-join observations onto the grid (4) carry the
-    previous/next observed point with last/first ``ignorenulls`` windows
-    and interpolate on the epoch-seconds axis.
 
-    Shuffle ledger: hourly agg shuffles raw events once on (user, hour);
-    the grid side is |users| rows exploded to |users × span-hours| —
-    tiny relative to raw events, and the join + windows run on that
-    reduced table. Interpolation arithmetic is one shared double
-    expression over exact inputs (hour epochs are exact integers), so
-    both engines agree bit-for-bit before the round(6).
-    Columns: user_id, hour, value, interpolated.
-    """
+def _hourly_obs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly DECIMAL-exact mean of ``events.value`` per (user, hour),
+    with the LEAD of the next observed hour — the shared base of both
+    gap-fill operators. One events scan, one shuffle on (user, hour),
+    one window pass on user_id."""
     ev = load_table(spark, sf_dir, "events")
     obs = ev.groupBy(
         "user_id", F.date_trunc("hour", "ts").alias("h")
@@ -282,57 +279,71 @@ def resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
          .cast("double") / F.count(F.lit(1))).alias("v")
     )
-    grid = (
-        obs.groupBy("user_id")
-        .agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
-        .select(
-            "user_id",
-            F.explode(
-                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
-            ).alias("h"),
+    w = Window.partitionBy("user_id").orderBy(F.asc("h"))
+    # hour epochs are exact 3600-multiples, so the gap in hours is an
+    # exact integer in double before the long cast
+    gap_h = (
+        (F.col("nh").cast("long") - F.col("h").cast("long"))
+        / F.lit(3600)
+    ).cast("long")
+    return (
+        obs.withColumn("nh", F.lead("h").over(w))
+        .withColumn("nv", F.lead("v").over(w))
+        .withColumn(
+            "gap_h",
+            F.when(F.col("nh").isNull(), F.lit(0)).otherwise(gap_h),
         )
     )
-    j = grid.join(obs, ["user_id", "h"], "left")
-    # Both fills are RUNNING (unbounded-preceding) frames: the forward
-    # fill runs over a DESCENDING sort rather than an unbounded-
-    # FOLLOWING frame, which Spark's WindowExec re-evaluates from
-    # scratch per row — O(rows²) per partition (measured 13 s vs <1 s
-    # on the sf0.1 grid). The fills also project to named columns
-    # FIRST so each window function is evaluated once; inlining them
-    # into the interpolation expression duplicates the window nodes.
-    back = (
-        Window.partitionBy("user_id").orderBy(F.asc("h"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+
+def resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly resample of ``events.value`` per user with
+    linear interpolation between CONSECUTIVE observed hours, bounded by
+    a staleness cap: a gap wider than ``MAX_FILL_HOURS`` is left
+    unfilled (interpolating across a two-week hole invents data, and an
+    unbounded grid is an outlier-amplifier — see MAX_FILL_HOURS).
+
+    Pipeline: (1) hourly mean per (user, hour) from a DECIMAL-exact sum
+    (2) LEAD window pairs each observation with its successor (3) each
+    in-cap gap explodes ``sequence(0, gap-1)`` interior offsets and
+    interpolates on the epoch-seconds axis. No per-span grid, no
+    grid-join, no running fills: fill work is bounded per observation,
+    and the interpolation ratio ((o·3600) / (gap·3600)) is the exact
+    double expression the grid version computed, so in-cap results are
+    bit-identical to the r13 operator.
+
+    Shuffle ledger: hourly agg shuffles raw events once on (user,
+    hour); the LEAD window shuffles the reduced table once on user_id;
+    the explode is pipeline-local. Columns: user_id, hour, value,
+    interpolated.
+    """
+    base = _hourly_obs(spark, sf_dir)
+    n_fill = F.when(
+        (F.col("gap_h") >= 2) & (F.col("gap_h") <= MAX_FILL_HOURS),
+        F.col("gap_h") - 1,
+    ).otherwise(F.lit(0))
+    exploded = base.withColumn("n_fill", n_fill).select(
+        "user_id", "h", "v", "nv", "gap_h",
+        F.explode(F.sequence(F.lit(0), F.col("n_fill"))).alias("o"),
     )
-    fwd_run = (
-        Window.partitionBy("user_id").orderBy(F.desc("h"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    interp = F.col("v") + (F.col("nv") - F.col("v")) * (
+        (F.col("o") * F.lit(3600)).cast("double")
+        / (F.col("gap_h") * F.lit(3600)).cast("double")
     )
-    obs_h = F.when(F.col("v").isNotNull(), F.col("h"))
-    filled_in = j.select(
-        "user_id", "h", "v",
-        F.last("v", ignorenulls=True).over(back).alias("pv"),
-        F.last(obs_h, ignorenulls=True).over(back).alias("ph"),
-        F.last("v", ignorenulls=True).over(fwd_run).alias("nv"),
-        F.last(obs_h, ignorenulls=True).over(fwd_run).alias("nh"),
-    )
-    e = F.unix_timestamp
-    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
-        (e(F.col("h")) - e(F.col("ph"))).cast("double")
-        / (e(F.col("nh")) - e(F.col("ph"))).cast("double")
-    )
-    filled = F.when(F.col("v").isNotNull(), F.col("v")).otherwise(interp)
-    j = filled_in
+    filled = F.when(F.col("o") == 0, F.col("v")).otherwise(interp)
     # NOT F.round: Spark rounds doubles through their decimal string
     # (HALF_UP on the printed digits) while DuckDB rounds the raw
     # binary double (HALF_EVEN), so exact .5 ties diverge. floor(x*1e6
     # + 0.5)/1e6 is pure double arithmetic — identical on both engines.
     fixed6 = F.floor(filled * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
-    return j.select(
+    hour = F.timestamp_seconds(
+        F.col("h").cast("long") + F.col("o") * F.lit(3600)
+    )
+    return exploded.select(
         "user_id",
-        F.date_format("h", "yyyy-MM-dd HH:00:00").alias("hour"),
+        F.date_format(hour, "yyyy-MM-dd HH:00:00").alias("hour"),
         fixed6.alias("value"),
-        F.when(F.col("v").isNull(), F.lit(1)).otherwise(F.lit(0))
+        F.when(F.col("o") > 0, F.lit(1)).otherwise(F.lit(0))
         .cast("long").alias("interpolated"),
     )
 
@@ -519,44 +530,37 @@ def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
 def locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-filled hourly resample with LAST-OBSERVATION-CARRIED-FORWARD
     (the step-function fill — sensor readings, account balances,
-    config state — where linear interpolation would invent values).
+    config state — where linear interpolation would invent values),
+    bounded by the same staleness cap as ``resample_interpolate``: an
+    observation carries forward at most ``MAX_FILL_HOURS`` hours (a
+    TTL — carrying a two-week-stale reading indefinitely is a data
+    bug, and an unbounded per-user grid is an outlier-amplifier; see
+    MAX_FILL_HOURS).
 
-    Same grid machinery as ``resample_interpolate`` (hourly DECIMAL-
-    exact means, per-user sequence+explode grid, one running
-    ignorenulls window on the grid's partitioning) but only the
-    BACKWARD-looking carry — no forward window, no interpolation
-    arithmetic, so every filled value is an exactly-observed value.
+    Unlike the r13 grid+running-window version, the carry needs no
+    window at all: within a capped gap every filled hour carries
+    exactly its own observation's value, so each observation explodes
+    ``sequence(0, min(gap-1, cap))`` and is done — one events scan,
+    two shuffles total, fill work bounded per observation.
     Columns: user_id, hour, value, filled.
     """
-    ev = load_table(spark, sf_dir, "events")
-    obs = ev.groupBy(
-        "user_id", F.date_trunc("hour", "ts").alias("h")
-    ).agg(
-        (F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
-         .cast("double") / F.count(F.lit(1))).alias("v")
+    base = _hourly_obs(spark, sf_dir)
+    n_fill = F.when(F.col("gap_h") >= 1, F.least(
+        F.col("gap_h") - 1, F.lit(MAX_FILL_HOURS)
+    )).otherwise(F.lit(0))
+    exploded = base.withColumn("n_fill", n_fill).select(
+        "user_id", "h", "v",
+        F.explode(F.sequence(F.lit(0), F.col("n_fill"))).alias("o"),
     )
-    grid = (
-        obs.groupBy("user_id")
-        .agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
-        .select(
-            "user_id",
-            F.explode(
-                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
-            ).alias("h"),
-        )
+    fixed6 = F.floor(F.col("v") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    hour = F.timestamp_seconds(
+        F.col("h").cast("long") + F.col("o") * F.lit(3600)
     )
-    j = grid.join(obs, ["user_id", "h"], "left")
-    back = (
-        Window.partitionBy("user_id").orderBy(F.asc("h"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = F.last("v", ignorenulls=True).over(back)
-    fixed6 = F.floor(carried * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
-    return j.select(
+    return exploded.select(
         "user_id",
-        F.date_format("h", "yyyy-MM-dd HH:00:00").alias("hour"),
+        F.date_format(hour, "yyyy-MM-dd HH:00:00").alias("hour"),
         fixed6.alias("value"),
-        F.when(F.col("v").isNull(), F.lit(1)).otherwise(F.lit(0))
+        F.when(F.col("o") > 0, F.lit(1)).otherwise(F.lit(0))
         .cast("long")
         .alias("filled"),
     )

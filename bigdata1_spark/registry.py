@@ -30,10 +30,37 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
 
+def _cache_scoped(key: str, fn: QueryFn) -> QueryFn:
+    """Enforce the repo's session-cache convention at the one choke point
+    every harness goes through (driver ``queries()``, ``bench.py``, the
+    oracle sweeps): clear the catalog cache on ENTRY to each registry key.
+
+    Operators whose returned frame still lazily depends on a cached
+    intermediate (ir.py tf/dl tables, stats.py cells, similarity.py
+    centroids) cannot unpersist before returning — the caller hasn't
+    acted yet. Clearing at the START of the next key instead bounds a
+    sweep's storage to the single in-flight key, no matter how many of
+    the 241 keys run in one session (the r13 finding: a 241-key sf3
+    sweep otherwise accumulates never-released entries). Clearing the
+    cache never changes results — lineage recomputes — and operators
+    that localCheckpoint (dedup.py, text_analysis.py) already released
+    their caches eagerly, so entry-clear is a no-op for them.
+    """
+
+    def scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.catalog.clearCache()
+        return fn(spark, sf_dir)
+
+    scoped.__name__ = f"{key}__cache_scoped"
+    scoped.__qualname__ = scoped.__name__
+    scoped.__wrapped__ = fn  # plan tests / introspection reach the raw op
+    return scoped
+
+
 def register(key: str, fn: QueryFn, oracle: str | None = None) -> None:
     if key in QUERIES:
         raise KeyError(f"duplicate query key {key!r}")
-    QUERIES[key] = fn
+    QUERIES[key] = _cache_scoped(key, fn)
     if oracle is not None:
         ORACLES[key] = oracle
 
@@ -3004,44 +3031,43 @@ register(
              CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS VARCHAR) AS DOUBLE)
                / COUNT(*) AS v
       FROM events GROUP BY 1, 2
-    ), span AS (
-      SELECT user_id, MIN(h) AS lo, MAX(h) AS hi FROM obs GROUP BY 1
-    ), grid AS (
-      SELECT s.user_id, g.h
-      FROM span s, LATERAL (
-        SELECT unnest(generate_series(s.lo, s.hi, INTERVAL 1 HOUR)) AS h
-      ) g
-    ), j AS (
-      SELECT g.user_id, g.h, o.v
-      FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.h = o.h
-    ), f AS (
+    ), g AS (
       SELECT user_id, h, v,
-        last_value(v IGNORE NULLS) OVER wb AS pv,
-        last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
-          OVER wb AS ph,
-        first_value(v IGNORE NULLS) OVER wf AS nv,
-        first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
-          OVER wf AS nh
-      FROM j
-      WINDOW wb AS (PARTITION BY user_id ORDER BY h
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-             wf AS (PARTITION BY user_id ORDER BY h
-                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+             LEAD(h) OVER (PARTITION BY user_id ORDER BY h) AS nh,
+             LEAD(v) OVER (PARTITION BY user_id ORDER BY h) AS nv
+      FROM obs
+    ), capped AS (
+      SELECT user_id, h, v, nv,
+             CASE WHEN nh IS NULL THEN CAST(0 AS BIGINT)
+                  ELSE CAST((epoch(nh) - epoch(h)) / 3600 AS BIGINT)
+             END AS gap_h,
+             CASE WHEN nh IS NOT NULL
+                   AND CAST((epoch(nh) - epoch(h)) / 3600 AS BIGINT)
+                       BETWEEN 2 AND 336
+                  THEN CAST((epoch(nh) - epoch(h)) / 3600 AS BIGINT) - 1
+                  ELSE CAST(0 AS BIGINT)
+             END AS n_fill
+      FROM g
     )
-    SELECT user_id, strftime(h, '%Y-%m-%d %H:00:00') AS hour,
-           FLOOR((CASE WHEN v IS NOT NULL THEN v
-                  ELSE pv + (nv - pv)
-                       * (CAST(epoch(h) - epoch(ph) AS DOUBLE)
-                          / CAST(epoch(nh) - epoch(ph) AS DOUBLE))
+    SELECT c.user_id,
+           strftime(c.h + s.o * INTERVAL 1 HOUR,
+                    '%Y-%m-%d %H:00:00') AS hour,
+           FLOOR((CASE WHEN s.o = 0 THEN c.v
+                  ELSE c.v + (c.nv - c.v)
+                       * (CAST(s.o * 3600 AS DOUBLE)
+                          / CAST(c.gap_h * 3600 AS DOUBLE))
                   END) * 1e6 + 0.5) / 1e6 AS value,
-           CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS BIGINT)
+           CAST(CASE WHEN s.o > 0 THEN 1 ELSE 0 END AS BIGINT)
              AS interpolated
-    FROM f
+    FROM capped c, LATERAL (
+      SELECT unnest(generate_series(0, c.n_fill)) AS o
+    ) s
     """,
 )
 
-# LOCF step-function fill: same grid as resample_interpolate, backward
-# carry only — every filled value is an exactly-observed value.
+# LOCF step-function fill: same capped-gap machinery as
+# resample_interpolate, carry-forward only — every filled value is an
+# exactly-observed value, and no fill outlives the staleness TTL.
 register(
     "locf_fill",
     temporal.locf_fill,
@@ -3051,27 +3077,27 @@ register(
              CAST(CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS VARCHAR) AS DOUBLE)
                / COUNT(*) AS v
       FROM events GROUP BY 1, 2
-    ), span AS (
-      SELECT user_id, MIN(h) AS lo, MAX(h) AS hi FROM obs GROUP BY 1
-    ), grid AS (
-      SELECT s.user_id, g.h
-      FROM span s, LATERAL (
-        SELECT unnest(generate_series(s.lo, s.hi, INTERVAL 1 HOUR)) AS h
-      ) g
-    ), j AS (
-      SELECT g.user_id, g.h, o.v
-      FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.h = o.h
-    ), f AS (
+    ), g AS (
       SELECT user_id, h, v,
-        last_value(v IGNORE NULLS) OVER (
-          PARTITION BY user_id ORDER BY h
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv
-      FROM j
+             LEAD(h) OVER (PARTITION BY user_id ORDER BY h) AS nh
+      FROM obs
+    ), capped AS (
+      SELECT user_id, h, v,
+             CASE WHEN nh IS NULL THEN 0
+                  ELSE LEAST(
+                    CAST((epoch(nh) - epoch(h)) / 3600 AS BIGINT) - 1,
+                    336)
+             END AS n_fill
+      FROM g
     )
-    SELECT user_id, strftime(h, '%Y-%m-%d %H:00:00') AS hour,
-           FLOOR(pv * 1e6 + 0.5) / 1e6 AS value,
-           CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS BIGINT) AS filled
-    FROM f
+    SELECT c.user_id,
+           strftime(c.h + s.o * INTERVAL 1 HOUR,
+                    '%Y-%m-%d %H:00:00') AS hour,
+           FLOOR(c.v * 1e6 + 0.5) / 1e6 AS value,
+           CAST(CASE WHEN s.o > 0 THEN 1 ELSE 0 END AS BIGINT) AS filled
+    FROM capped c, LATERAL (
+      SELECT unnest(generate_series(0, c.n_fill)) AS o
+    ) s
     """,
 )
 

@@ -204,6 +204,28 @@ def events_user_counts_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def salted_agg_stream(
+    spark: SparkSession, source_dir: str, n_salts: int = 16
+) -> DataFrame:
+    """Unstarted salted partial-agg stream — the state-side half of
+    ``events_salted_agg_streamed`` (which documents why streaming
+    skew needs pre-checkpoint salting). Exposed separately so the
+    plan gate (tests/test_plans.py) can assert the source plan
+    without executing a drain."""
+    return (
+        _read_events_stream(spark, source_dir)
+        .withColumn(
+            "__salt",
+            F.pmod(F.xxhash64("user_id", "ts"), F.lit(n_salts)),
+        )
+        .groupBy("event_type", "__salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("pv"),
+        )
+    )
+
+
 def events_salted_agg_streamed(
     spark: SparkSession, sf_dir: str, n_salts: int = 16
 ) -> DataFrame:
@@ -244,18 +266,7 @@ def events_salted_agg_streamed(
         )
         out = os.path.join(work, "out")
 
-        partial = (
-            _read_events_stream(spark, src)
-            .withColumn(
-                "__salt",
-                F.pmod(F.xxhash64("user_id", "ts"), F.lit(n_salts)),
-            )
-            .groupBy("event_type", "__salt")
-            .agg(
-                F.count(F.lit(1)).alias("pn"),
-                F.sum(F.col("value").cast("decimal(18,4)")).alias("pv"),
-            )
-        )
+        partial = salted_agg_stream(spark, src, n_salts)
 
         def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
             (
@@ -943,6 +954,14 @@ def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sliding(load_table(spark, sf_dir, "events"))
 
 
+def sliding_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """Unstarted sliding-window stream (watermark + ``_sliding``) —
+    exposed for the source-plan gate in tests/test_plans.py."""
+    return _sliding(
+        _read_events_stream(spark, source_dir).withWatermark("ts", WATERMARK)
+    )
+
+
 def events_sliding_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end streaming run of the sliding-window agg: watermark +
     overlapping windows → complete-mode foreachBatch overwrite sink →
@@ -969,12 +988,9 @@ def events_sliding_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         def write_batch(batch_df: DataFrame, _batch_id: int) -> None:
             batch_df.write.mode("overwrite").parquet(out)
 
-        stream = _read_events_stream(spark, src).withWatermark(
-            "ts", WATERMARK
-        )
         with _state_sized_partitions(spark, src):
             query = (
-                _sliding(stream)
+                sliding_stream(spark, src)
                 .writeStream.foreachBatch(write_batch)
                 .outputMode("complete")
                 .option("checkpointLocation", os.path.join(work, "ckpt"))
@@ -1001,6 +1017,16 @@ def _latest_per_user(df: DataFrame) -> DataFrame:
         .where(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+def upsert_source_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """Unstarted CDC-source stream feeding the upsert MERGE sink
+    (``events_upsert_streamed``) — one file per micro-batch so the
+    merge genuinely runs cross-batch. Exposed for the source-plan
+    gate in tests/test_plans.py."""
+    return _read_events_stream(
+        spark, source_dir, max_files_per_trigger=1
+    ).select("user_id", "event_id", "event_type", "ts", "value")
 
 
 def events_upsert_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1062,9 +1088,7 @@ def events_upsert_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 os.path.join(out, f"v={batch_id:05d}")
             )
 
-        stream = _read_events_stream(
-            spark, src, max_files_per_trigger=1
-        ).select("user_id", "event_id", "event_type", "ts", "value")
+        stream = upsert_source_stream(spark, src)
         with _state_sized_partitions(spark, src):
             query = (
                 stream.writeStream.foreachBatch(merge_batch)
@@ -1089,6 +1113,32 @@ def events_upsert_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         return final.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def session_window_stream(
+    spark: SparkSession, source_dir: str, gap_min: int = 30
+) -> DataFrame:
+    """Unstarted native ``session_window`` aggregation stream (append
+    mode, watermark-bounded state) — the transform half of
+    ``events_session_streamed``. Exposed for the source-plan gate in
+    tests/test_plans.py."""
+    stream = _read_events_stream(
+        spark, source_dir, max_files_per_trigger=1
+    ).withWatermark("ts", WATERMARK)
+    return (
+        stream.groupBy(
+            F.session_window("ts", f"{gap_min} minutes"),
+            F.col("user_id"),
+        )
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .alias("session_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
 
 
 def events_session_streamed(
@@ -1128,23 +1178,7 @@ def events_session_streamed(
     work = tempfile.mkdtemp(prefix="bigdata1_session_stream_")
     try:
         src = _flush_source(spark, sf_dir, work)
-        stream = _read_events_stream(
-            spark, src, max_files_per_trigger=1
-        ).withWatermark("ts", WATERMARK)
-        sessions = (
-            stream.groupBy(
-                F.session_window("ts", f"{gap_min} minutes"),
-                F.col("user_id"),
-            )
-            .agg(
-                F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
-                .alias("session_start"),
-                F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
-                .alias("session_end"),
-                F.count(F.lit(1)).alias("n_events"),
-            )
-            .select("user_id", "session_start", "session_end", "n_events")
-        )
+        sessions = session_window_stream(spark, src, gap_min)
         drained = _run_bounded_append(spark, sessions, work)
         return drained.filter(F.col("user_id") >= 0)
     finally:
@@ -1236,6 +1270,53 @@ def events_tws_sessions_streamed(
         shutil.rmtree(work, ignore_errors=True)
 
 
+def click_purchase_leftjoin_stream(
+    spark: SparkSession, source_dir: str, horizon: str = "1 hour"
+) -> DataFrame:
+    """Unstarted stream-stream LEFT OUTER interval join (dual
+    watermarks, eviction-driven NULL emission) — the transform half of
+    ``events_leftjoin_streamed``. Exposed for the source-plan gate in
+    tests/test_plans.py."""
+    clicks = (
+        _read_events_stream(spark, source_dir, max_files_per_trigger=1)
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", horizon)
+    )
+    purchases = (
+        _read_events_stream(spark, source_dir, max_files_per_trigger=1)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", horizon)
+    )
+    return clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")
+        ),
+        "left_outer",
+    ).select(
+        "user_id",
+        "click_id",
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .alias("click_ts"),
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .alias("purchase_ts"),
+        "purchase_value",
+    )
+
+
 def events_leftjoin_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream LEFT OUTER interval join: every click, attributed
     to a same-user purchase within 1 hour where one exists, emitted
@@ -1261,48 +1342,33 @@ def events_leftjoin_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         src = _flush_source(
             spark, sf_dir, work, event_types=("click", "purchase")
         )
-        clicks = (
-            _read_events_stream(spark, src, max_files_per_trigger=1)
-            .filter(F.col("event_type") == "click")
-            .select(
-                "user_id",
-                F.col("event_id").alias("click_id"),
-                F.col("ts").alias("click_ts"),
-            )
-            .withWatermark("click_ts", horizon)
-        )
-        purchases = (
-            _read_events_stream(spark, src, max_files_per_trigger=1)
-            .filter(F.col("event_type") == "purchase")
-            .select(
-                F.col("user_id").alias("p_user"),
-                F.col("ts").alias("purchase_ts"),
-                F.col("value").alias("purchase_value"),
-            )
-            .withWatermark("purchase_ts", horizon)
-        )
-        joined = clicks.join(
-            purchases,
-            (F.col("user_id") == F.col("p_user"))
-            & (F.col("purchase_ts") >= F.col("click_ts"))
-            & (
-                F.col("purchase_ts")
-                <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")
-            ),
-            "left_outer",
-        ).select(
-            "user_id",
-            "click_id",
-            F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
-            .alias("click_ts"),
-            F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
-            .alias("purchase_ts"),
-            "purchase_value",
-        )
+        joined = click_purchase_leftjoin_stream(spark, src, horizon)
         drained = _run_bounded_append(spark, joined, work)
         return drained.filter(F.col("user_id") >= 0)
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+def enrich_stream(
+    spark: SparkSession, source_dir: str, sf_dir: str
+) -> DataFrame:
+    """Unstarted stream-static enrichment join (no watermark, no join
+    state; the static dim is a batch relation re-resolved per
+    micro-batch) — the transform half of ``events_enrich_streamed``.
+    Exposed for the source-plan gate in tests/test_plans.py."""
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.date_format(F.min("ts"), "yyyy-MM-dd").alias("cohort"))
+    )
+    stream = _read_events_stream(spark, source_dir)
+    return stream.join(F.broadcast(dim), "user_id").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
+        "cohort",
+    )
 
 
 def events_enrich_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1330,21 +1396,7 @@ def events_enrich_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(sf_dir, "events.parquet"),
             os.path.join(src, "events.parquet"),
         )
-        dim = (
-            load_table(spark, sf_dir, "events")
-            .groupBy("user_id")
-            .agg(
-                F.date_format(F.min("ts"), "yyyy-MM-dd").alias("cohort")
-            )
-        )
-        stream = _read_events_stream(spark, src)
-        enriched = stream.join(F.broadcast(dim), "user_id").select(
-            "event_id",
-            "user_id",
-            "event_type",
-            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_s"),
-            "cohort",
-        )
+        enriched = enrich_stream(spark, src, sf_dir)
         return _run_bounded_append(spark, enriched, work)
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -406,29 +406,42 @@ def test_anomaly_zscore_single_shuffle(spark, sf_dir):
 
 
 def test_resample_interpolate_fills_gaps(spark, sf_dir):
-    """The hour grid is dense per user (no holes between min and max
-    observed hour) and interpolated values sit inside the neighbors'
-    range (linear interpolation never extrapolates)."""
+    """Capped-gap contract (r14): each consecutive-observation pair
+    with gap ≤ MAX_FILL_HOURS is densely filled (exactly gap-1
+    interior rows), a wider gap is left empty (no interpolation across
+    a staleness hole), and no value is NULL."""
+    import pandas as pd
     from pyspark.sql import functions as F
 
     from bigdata1_spark.operators import temporal
+    from bigdata1_spark.operators.temporal import MAX_FILL_HOURS
 
-    df = temporal.resample_interpolate(spark, sf_dir).cache()
-    try:
-        per_user = df.groupBy("user_id").agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min("hour").alias("lo"),
-            F.max("hour").alias("hi"),
-        )
-        gaps = per_user.withColumn(
-            "span_hours",
-            (F.unix_timestamp(F.to_timestamp("hi"))
-             - F.unix_timestamp(F.to_timestamp("lo"))) / 3600 + 1,
-        ).filter(F.col("n") != F.col("span_hours"))
-        assert gaps.count() == 0, "hour grid has holes"
-        assert df.filter(F.col("value").isNull()).count() == 0
-    finally:
-        df.unpersist()
+    out = temporal.resample_interpolate(spark, sf_dir).toPandas()
+    assert not out["value"].isna().any()
+
+    obs = (
+        temporal._hourly_obs(spark, sf_dir)
+        .select("user_id", "h", "gap_h")
+        .toPandas()
+    )
+    # expected rows = one per observation + gap-1 interior rows per
+    # in-cap gap (2 <= gap <= cap); out-of-cap gaps contribute nothing
+    fill = obs["gap_h"].where(
+        (obs["gap_h"] >= 2) & (obs["gap_h"] <= MAX_FILL_HOURS), 1
+    )
+    expected = int(fill.clip(lower=1).sum())
+    assert len(out) == expected
+
+    # every interpolated hour must be interior: its user has rows at
+    # the previous and a later hour (never extrapolated past max obs)
+    interp = out[out["interpolated"] == 1]
+    hours = pd.to_datetime(out["hour"])
+    per_user_max = hours.groupby(out["user_id"]).max()
+    bad = interp[
+        pd.to_datetime(interp["hour"])
+        >= interp["user_id"].map(per_user_max)
+    ]
+    assert bad.empty, "interpolation extrapolated past the last obs"
 
 
 def test_bm25_topk_no_global_sort(spark, sf_dir):
@@ -966,8 +979,11 @@ SCAN_BUDGETS = {
     "dedup_embedding": 1,
     "dedup_embedding_multiprobe": 3,  # one linear pass per LSH table seed (documented recall dial)
     "dedup_exact": 1,
-    "dedup_jaccard": 0,
-    "dedup_near": 0,
+    # the 0s here pre-r14 were artifacts of cross-key cache reuse in the
+    # sweep order (dedup_containment's session cache masked these keys'
+    # own shingle scan); registry clear-on-entry exposes the honest 1
+    "dedup_jaccard": 1,
+    "dedup_near": 1,
     "dedup_near_apply": 1,
     "dedup_semantic": 1,
     "dedup_semantic_apply": 2,
@@ -1039,7 +1055,7 @@ SCAN_BUDGETS = {
     "lang_id": 2,
     "limit_n": 1,
     "linreg_trend": 1,
-    "locf_fill": 2,
+    "locf_fill": 1,  # r14 capped-gap rewrite: single shared hourly-obs scan
     "map_ops": 1,
     "mixture_sample": 1,
     "cusum_changepoint": 1,
@@ -1074,7 +1090,7 @@ SCAN_BUDGETS = {
     "quality_filters": 2,
     "quality_score": 1,
     "repetition_metrics": 2,
-    "resample_interpolate": 2,
+    "resample_interpolate": 1,  # r14 capped-gap rewrite: single scan
     "retention_cohorts": 2,
     "rollup_multires": 1,
     "rrf_fusion": 4,  # composition: bm25_search (2 documents scans) + sim_topk (2 embeddings scans)
@@ -1184,9 +1200,10 @@ def test_registry_wide_scan_budget(spark, sf_dir):
     functions executes full availableNow queries (checkpoint dirs,
     foreachBatch sinks) only to inspect the post-drain localCheckpoint
     read, whose budget of 0 is trivially true and gates nothing. Their
-    batch-plan hygiene is covered by the dedicated streaming tests
-    (tests/test_streaming.py); every exempt key is still enumerated in
-    SCAN_BUDGETS so a rename/new drain can't slip past unaudited."""
+    UNSTARTED source plans are gated instead by
+    ``test_streaming_source_plan_budgets`` below (VERDICT r13 task 4),
+    which enumerates exactly this exempt set — a rename/new drain must
+    clear both lists."""
     from bigdata1_spark import registry
 
     violations = []
@@ -1206,4 +1223,154 @@ def test_registry_wide_scan_budget(spark, sf_dir):
             continue
         if n > budget:
             violations.append(f"{key}: {n} parquet scans, budget {budget}")
+    assert not violations, "\n".join(violations)
+
+
+# --------------------------------------------------------------------------
+# Streaming source-plan gate (VERDICT r13 task 4): the registry's
+# 13 streaming drains are exempt from the batch scan budget above
+# (their post-drain localCheckpoint read trivially scans 0 parquet),
+# which gated nothing. Instead, gate the UNSTARTED streaming plan each
+# drain actually starts — built by the same module-level builder the
+# drain calls — without executing any drain: source count (a builder
+# that silently doubled its file source would double checkpoint+state
+# cost at scale), watermark count (the state-boundedness claim every
+# drain's docstring makes), and batch-relation count (a streaming key
+# must not sneak an unbudgeted batch scan into the incremental plan;
+# events_enrich's static dim is the one audited exception).
+# --------------------------------------------------------------------------
+
+# key -> (builder(spark, stream_src, sf_dir), n_stream_sources,
+#         n_watermarks, n_batch_relations, required_plan_node or None)
+_STREAM_PLAN_BUDGETS = {
+    "events_window_streamed": (
+        lambda s, src, sf: __import__(
+            "bigdata1_spark.streaming.events", fromlist=["x"]
+        ).events_window_stream(s, src),
+        1, 1, 0, None,
+    ),
+    "events_user_counts_streamed": (
+        lambda s, src, sf: __import__(
+            "bigdata1_spark.streaming.events", fromlist=["x"]
+        ).user_running_counts_stream(s, src),
+        1, 0, 0, None,  # update-mode running agg: unbounded-key state by design
+    ),
+    "events_salted_agg_streamed": (
+        lambda s, src, sf: __import__(
+            "bigdata1_spark.streaming.events", fromlist=["x"]
+        ).salted_agg_stream(s, src),
+        1, 0, 0, None,  # complete-mode partial agg; state = |keys| x n_salts
+    ),
+    "events_salted_join_streamed": (
+        lambda s, src, sf: __import__(
+            "bigdata1_spark.streaming.events", fromlist=["x"]
+        ).click_purchase_join_stream_salted(s, src),
+        2, 2, 0, "Join Inner",
+    ),
+    "events_attribution_streamed": (
+        lambda s, src, sf: __import__(
+            "bigdata1_spark.streaming.events", fromlist=["x"]
+        ).click_purchase_join_stream(s, src),
+        2, 2, 0, "Join Inner",
+    ),
+    "events_leftjoin_streamed": (
+        lambda s, src, sf: __import__(
+            "bigdata1_spark.streaming.events", fromlist=["x"]
+        ).click_purchase_leftjoin_stream(s, src),
+        2, 2, 0, "Join LeftOuter",
+    ),
+    "events_dedup_streamed": (
+        lambda s, src, sf: __import__(
+            "bigdata1_spark.streaming.events", fromlist=["x"]
+        ).dedup_stream(s, src),
+        1, 1, 0, "DeduplicateWithinWatermark",
+    ),
+    "events_sliding_streamed": (
+        lambda s, src, sf: __import__(
+            "bigdata1_spark.streaming.events", fromlist=["x"]
+        ).sliding_stream(s, src),
+        1, 1, 0, None,
+    ),
+    "events_upsert_streamed": (
+        lambda s, src, sf: __import__(
+            "bigdata1_spark.streaming.events", fromlist=["x"]
+        ).upsert_source_stream(s, src),
+        1, 0, 0, None,  # stateless source; merge state lives in the sink versions
+    ),
+    "events_session_streamed": (
+        lambda s, src, sf: __import__(
+            "bigdata1_spark.streaming.events", fromlist=["x"]
+        ).session_window_stream(s, src),
+        1, 1, 0, "session_window",
+    ),
+    "events_stateful_sessions_streamed": (
+        lambda s, src, sf: __import__(
+            "bigdata1_spark.streaming.events", fromlist=["x"]
+        ).sessionize_stream(s, src),
+        1, 1, 0, "FlatMapGroupsInPandasWithState",
+    ),
+    "events_enrich_streamed": (
+        lambda s, src, sf: __import__(
+            "bigdata1_spark.streaming.events", fromlist=["x"]
+        ).enrich_stream(s, src, sf),
+        1, 0, 1, "Join Inner",  # the static dim is the audited batch relation
+    ),
+    "python_stream_source": (
+        None,  # special-cased below: custom Python source, one-node plan
+        0, 0, 0, "pybillstream",
+    ),
+}
+
+
+def test_streaming_source_plan_budgets(spark, sf_dir, tmp_path):
+    """Every streaming registry key's UNSTARTED plan matches its audited
+    shape — no drain executed. Enumerates exactly the keys the batch
+    budget exempts, so a new drain can't slip past both gates."""
+    import os
+    import shutil
+
+    from bigdata1_spark import registry
+    from bigdata1_spark.sources import pydatasource
+
+    exempt = {
+        k
+        for k in registry.QUERIES
+        if k.endswith("_streamed") or k == "python_stream_source"
+    }
+    assert exempt == set(_STREAM_PLAN_BUDGETS), (
+        "streaming keys and _STREAM_PLAN_BUDGETS diverged: "
+        f"{sorted(exempt.symmetric_difference(_STREAM_PLAN_BUDGETS))}"
+    )
+
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+    shutil.copy(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(src, "events.parquet"),
+    )
+
+    violations = []
+    for key, (build, n_src, n_wm, n_batch, node) in sorted(
+        _STREAM_PLAN_BUDGETS.items()
+    ):
+        if build is None:
+            spark.dataSource.register(pydatasource.BillingStreamSource)
+            df = spark.readStream.format("pybillstream").load()
+        else:
+            df = build(spark, src, sf_dir)
+        if not df.isStreaming:
+            violations.append(f"{key}: builder returned a batch frame")
+            continue
+        plan = df._jdf.queryExecution().analyzed().toString()
+        got_src = len(re.findall(r"StreamingRelation", plan))
+        got_wm = len(re.findall(r"EventTimeWatermark", plan))
+        got_batch = len(re.findall(r"^ *\+?-? ?Relation \[", plan, re.M))
+        if (got_src, got_wm, got_batch) != (n_src, n_wm, n_batch):
+            violations.append(
+                f"{key}: (sources, watermarks, batch relations) = "
+                f"({got_src}, {got_wm}, {got_batch}), "
+                f"audited ({n_src}, {n_wm}, {n_batch})"
+            )
+        if node is not None and node not in plan:
+            violations.append(f"{key}: required node {node!r} missing")
     assert not violations, "\n".join(violations)

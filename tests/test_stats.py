@@ -376,7 +376,7 @@ def test_kendall_tau_matches_cell_bruteforce(spark, duck, sf_dir):
     n0 = n * (n - 1) / 2
     n1 = sum(t * (t - 1) / 2 for t in tx.values())
     n2 = sum(t * (t - 1) / 2 for t in ty.values())
-    tau_ref = (nc - nd) / math.sqrt((n0 - n1) * (n2 and (n0 - n2)))
+    tau_ref = (nc - nd) / math.sqrt((n0 - n1) * (n0 - n2))
     assert abs(r.tau - tau_ref) < 1e-6
     assert -1.0 <= r.tau <= 1.0
 

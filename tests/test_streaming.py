@@ -628,3 +628,51 @@ def test_salted_join_stream_matches_unsalted(spark, sf_dir, stream_dir):
         "salted_join",
     )
     assert salted == plain and len(plain) > 0
+
+
+def test_watermark_drops_pre_epoch_event_times(spark, tmp_path):
+    """Engine boundary (measured, round 14): Structured Streaming
+    initializes the watermark to epoch-0 ms, and watermarked stateful
+    operators drop rows whose event time is at or before the current
+    watermark — so pre-epoch (and exactly-epoch) event times are
+    silently discarded in the FIRST micro-batch. This pins the
+    behavior loudly: ingest at 100 TB must clamp or reject pre-epoch
+    event times before any watermarked stage (tools/gen_timewarp.py
+    clamps its events pool for the same reason)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    rows = spark.createDataFrame(
+        [
+            (1, "1899-06-01 12:00:00"),
+            (2, "1969-12-31 23:00:00"),
+            (3, "1970-01-01 00:00:00"),
+            (4, "1970-01-01 00:00:00.000001"),
+            (5, "2024-01-01 00:00:00"),
+        ],
+        "id long, s string",
+    ).select("id", F.to_timestamp("s").alias("ts"))
+    rows.coalesce(1).write.parquet(os.path.join(src, "a"))
+
+    out = str(tmp_path / "out")
+    stream = (
+        spark.readStream.schema("id long, ts timestamp")
+        .parquet(os.path.join(src, "a"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["id"])
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, _i: b.write.mode("append").parquet(out)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    kept = sorted(r.id for r in spark.read.parquet(out).collect())
+    # ids 1-3 (pre-epoch and exactly-epoch) are dropped; 4-5 survive.
+    assert kept == [4, 5]
