@@ -789,3 +789,71 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest(F.lit(0), F.max("p").over(ordered)) - F.col("p")
         ).alias("s_neg"),
     )
+
+
+ROLLUP_TZ = "America/New_York"
+
+
+def tz_hour_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event rollup by LOCAL wall-clock hour-of-day in a named IANA
+    zone — the "when are users actually active" analytics question,
+    which UTC bucketing answers wrong twice a year: the same UTC hour
+    maps to different local hours across DST transitions, and both
+    engines must apply the zone's full historical rule set (the
+    timewarp twin feeds 1970s instants, when the US briefly ran
+    year-round DST, and 2199 instants on projected rules).
+
+    Spark session time stays UTC (repo invariant);
+    ``from_utc_timestamp`` performs the single zone conversion
+    JVM-side, so the plan is still one scan + one partial-agged
+    shuffle on a 24-value key. At 100 TB, zone conversion is
+    per-row compute inside whole-stage codegen — no shuffle or state
+    cost over the UTC rollup. Columns: local_hour, n_events,
+    total_value.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy(
+            F.hour(F.from_utc_timestamp("ts", ROLLUP_TZ))
+            .cast("long")
+            .alias("local_hour")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+def iso_week_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue rollup by ISO-8601 week (iso_year, iso_week) of
+    ``l_shipdate`` — the fiscal-calendar bucketing where naive
+    year(ts)+weekofyear(ts) double-counts boundary weeks: the ISO year
+    of Dec 29–31 can be the NEXT calendar year and Jan 1–3 the
+    PREVIOUS one, so the pair must come from the same ISO calendar
+    (Spark ``extract(YEAROFWEEK)`` + ``weekofyear``; both engines
+    compute proleptic-Gregorian ISO weeks, exercised down to year
+    0001 and across the 1582 reform by the timewarp twin).
+
+    One scan, one partial-agged shuffle on a ~53·|years| key space.
+    Columns: iso_year, iso_week, n_items, revenue.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate").isNotNull())
+        .groupBy(
+            F.expr("extract(YEAROFWEEK FROM l_shipdate)")
+            .cast("long")
+            .alias("iso_year"),
+            F.weekofyear("l_shipdate").cast("long").alias("iso_week"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

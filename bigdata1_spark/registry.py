@@ -3101,6 +3101,37 @@ register(
     """,
 )
 
+# Calendar/timezone rollups (round-14 companions to the timewarp axis):
+# DST-sensitive local-hour bucketing and ISO-week fiscal bucketing —
+# both classic cross-engine divergence zones (JDK tzdb vs ICU; ISO
+# year-of-week vs calendar year), pinned here down to year 0001.
+register(
+    "tz_hour_rollup",
+    temporal.tz_hour_rollup,
+    """
+    SELECT CAST(extract(hour FROM
+             (CAST(ts AS TIMESTAMPTZ) AT TIME ZONE 'America/New_York'))
+             AS BIGINT) AS local_hour,
+           COUNT(*) AS n_events,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+             AS total_value
+    FROM events WHERE ts IS NOT NULL GROUP BY 1
+    """,
+)
+
+register(
+    "iso_week_rollup",
+    temporal.iso_week_rollup,
+    """
+    SELECT CAST(isoyear(l_shipdate) AS BIGINT) AS iso_year,
+           CAST(weekofyear(l_shipdate) AS BIGINT) AS iso_week,
+           COUNT(*) AS n_items,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR)
+             AS DOUBLE) AS revenue
+    FROM lineitem WHERE l_shipdate IS NOT NULL GROUP BY 1, 2
+    """,
+)
+
 # Second-order sequence model: top length-3 event-type paths.
 from bigdata1_spark.operators import event_analytics  # noqa: E402
 

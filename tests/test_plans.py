@@ -1128,6 +1128,7 @@ SCAN_BUDGETS = {
     "sim_topk_ivf_multiprobe": 4,  # corpus + codebook fill + 2 pruned query branches
     "sim_topk_ivf_pq": 4,  # corpus + codebook fill + 2 pruned query branches (was 13 pre-cache)
     "sim_topk_lsh": 2,
+    "iso_week_rollup": 1,
     "sketch_merge_rollup": 2,
     "skew_salted_agg": 1,
     "skew_salted_join": 2,
@@ -1169,6 +1170,7 @@ SCAN_BUDGETS = {
     "tpch_q8": 7,  # 7 tables (nation aliased twice, one pruned away)
     "tpch_q9": 5,  # 5 tables + nation
     "transpose_stats": 0,
+    "tz_hour_rollup": 1,
     "triangle_count": 0,
     "trimmed_mean": 1,
     "twa": 1,
