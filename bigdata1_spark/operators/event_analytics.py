@@ -385,3 +385,97 @@ def sketch_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(0.05) * F.col("exact_users")
         ).alias("est_in_5pct"),
     )
+
+
+def burst_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-burst detection: the hours where an event type's hourly
+    count exceeds its own mean by more than two population standard
+    deviations — the monitoring query behind every traffic-anomaly
+    alert, and the aggregate sibling of the per-row
+    ``temporal.anomaly_zscore``.
+
+    Exact-integer discipline: the threshold test ``cnt > μ + 2σ`` is
+    algebraically cleared of divisions and square roots —
+    ``(n·cnt − S)² > 4·(n·SS − S²)`` with ``n·cnt > S`` — so every
+    comparison is on exact integers (hourly counts, their sum S, their
+    square-sum SS) and the two engines cannot disagree by an ulp.
+    Cast to DECIMAL(38,0) before the products: at 100 TB, n·SS
+    overflows BIGINT long before it overflows a 38-digit decimal.
+
+    Plan: hourly counts (one shuffle), per-type moments (second
+    shuffle on the tiny hourly table), broadcast the |types|-row
+    moment table back onto hours. Columns: event_type, hour_s, cnt.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.filter(F.col("ts").isNotNull())
+        .groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("h")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .cache()  # fans out into moments AND the join — without the
+        # cache both branches re-scan the raw events (session-scoped;
+        # released on next registry-key entry)
+    )
+    d = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    moments = hourly.groupBy(F.col("event_type").alias("et")).agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("cnt").cast("decimal(38,0)")).alias("s"),
+        F.sum(
+            F.col("cnt").cast("decimal(38,0)")
+            * F.col("cnt").cast("decimal(38,0)")
+        ).alias("ss"),
+    )
+    j = hourly.join(
+        F.broadcast(moments),
+        hourly["event_type"] == moments["et"],
+    )
+    dev = d("n") * d("cnt") - F.col("s")  # n·cnt − S  (×n of cnt − μ)
+    var4 = F.lit(4) * (d("n") * F.col("ss") - F.col("s") * F.col("s"))
+    return (
+        j.filter((dev > 0) & (dev * dev > var4))
+        .select(
+            "event_type",
+            F.date_format("h", "yyyy-MM-dd HH:00:00").alias("hour_s"),
+            "cnt",
+        )
+    )
+
+
+def inter_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event-time distribution: gap count, min/max/mean
+    and median of the microsecond gaps between consecutive events —
+    the cadence profile behind bot detection and engagement scoring.
+
+    Determinism: gaps are exact integer microseconds from a
+    ts-ordered LAG (the multiset of consecutive-ts differences is
+    invariant under tie order, so no tie-break is needed); min/max
+    stay BIGINT; the mean telescopes to span/n_gaps — ONE IEEE
+    division of exact integers; the median of integers is either an
+    integer or an exact .5 (mean of the two mid values), identical in
+    both engines. Users with a single event have no gaps and are
+    absent. One shuffle on user_id feeds both the window and the
+    aggregation. Columns: user_id, n_gaps, min_gap_us, max_gap_us,
+    mean_gap_us, median_gap_us.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
+    w = Window.partitionBy("user_id").orderBy("us")
+    gaps = (
+        ev.select("user_id", F.unix_micros("ts").alias("us"))
+        .withColumn("gap", F.col("us") - F.lag("us").over(w))
+        .filter(F.col("gap").isNotNull())
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap").alias("min_gap_us"),
+        F.max("gap").alias("max_gap_us"),
+        (
+            F.sum("gap").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_gap_us"),
+        F.expr("percentile(gap, 0.5)").alias("median_gap_us"),
+    )

@@ -3135,6 +3135,56 @@ register(
 # Second-order sequence model: top length-3 event-type paths.
 from bigdata1_spark.operators import event_analytics  # noqa: E402
 
+# Event-cadence pair (round 14): burst detection on exact-integer
+# cleared inequalities (cnt > mu + 2*sigma with divisions and roots
+# algebraically removed), and per-user inter-event-time stats whose
+# only floats are one telescoped division and an integer median.
+register(
+    "burst_hours",
+    event_analytics.burst_hours,
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS cnt
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    ), m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+             SUM(CAST(cnt AS DECIMAL(38,0))) AS s,
+             SUM(CAST(cnt AS DECIMAL(38,0)) * CAST(cnt AS DECIMAL(38,0)))
+               AS ss
+      FROM hourly GROUP BY 1
+    )
+    SELECT h.event_type,
+           strftime(h.h, '%Y-%m-%d %H:00:00') AS hour_s,
+           h.cnt
+    FROM hourly h JOIN m ON h.event_type = m.event_type
+    WHERE (m.n * h.cnt - m.s) > 0
+      AND (m.n * h.cnt - m.s) * (m.n * h.cnt - m.s)
+            > 4 * (m.n * m.ss - m.s * m.s)
+    """,
+)
+
+register(
+    "inter_event_gap_stats",
+    event_analytics.inter_event_gap_stats,
+    """
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts) AS gap
+      FROM events WHERE ts IS NOT NULL
+    )
+    SELECT user_id,
+           COUNT(*) AS n_gaps,
+           MIN(gap) AS min_gap_us,
+           MAX(gap) AS max_gap_us,
+           CAST(SUM(gap) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS mean_gap_us,
+           CAST(median(gap) AS DOUBLE) AS median_gap_us
+    FROM g WHERE gap IS NOT NULL GROUP BY 1
+    """,
+)
+
 # Mergeable-sketch rollup: day HLL states unioned to months; oracle
 # pins the exact counts and the ±5% band (approx_sketch's pattern).
 register(

@@ -1128,6 +1128,8 @@ SCAN_BUDGETS = {
     "sim_topk_ivf_multiprobe": 4,  # corpus + codebook fill + 2 pruned query branches
     "sim_topk_ivf_pq": 4,  # corpus + codebook fill + 2 pruned query branches (was 13 pre-cache)
     "sim_topk_lsh": 2,
+    "burst_hours": 1,  # hourly table cached; both consumers read it
+    "inter_event_gap_stats": 1,
     "iso_week_rollup": 1,
     "sketch_merge_rollup": 2,
     "skew_salted_agg": 1,
