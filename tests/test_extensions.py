@@ -796,3 +796,130 @@ def test_containment_dominates_jaccard(spark, sf_dir):
     for (i1, i2), c in cont.items():
         assert i1 != i2
         assert 0.75 <= c <= 1.0
+
+
+def test_burst_hours_matches_float_zscore(spark, sf_dir):
+    """The exact-integer cleared inequality must select exactly the
+    hours a float z-score (cnt > mu + 2*sigma_pop) selects — the
+    algebra removed the division/sqrt, not the semantics."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from bigdata1_spark.operators import event_analytics
+    from bigdata1_spark.sources.tables import load_table
+
+    got = {
+        (r.event_type, r.hour_s)
+        for r in event_analytics.burst_hours(spark, sf_dir).collect()
+    }
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .groupBy(
+            "event_type",
+            F.date_format(
+                F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00"
+            ).alias("hour_s"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    by_type: dict = {}
+    for r in hourly:
+        by_type.setdefault(r.event_type, []).append(r)
+    want = set()
+    for et, rows in by_type.items():
+        cnts = [r.cnt for r in rows]
+        n = len(cnts)
+        mu = sum(cnts) / n
+        sigma = math.sqrt(sum((c - mu) ** 2 for c in cnts) / n)
+        for r in rows:
+            if r.cnt > mu + 2 * sigma:
+                want.add((et, r.hour_s))
+    assert got == want
+    assert want, "fixture produced no bursts — the test is vacuous"
+
+
+def test_inter_event_gap_stats_matches_pandas(spark, sf_dir):
+    """Per-user gap stats vs a from-scratch pandas recompute over raw
+    event timestamps (sorted by ts; gap multiset is tie-order
+    invariant)."""
+    from pyspark.sql import functions as F
+
+    from bigdata1_spark.operators import event_analytics
+    from bigdata1_spark.sources.tables import load_table
+
+    got = {
+        r.user_id: r
+        for r in event_analytics.inter_event_gap_stats(
+            spark, sf_dir
+        ).collect()
+    }
+    raw = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("user_id", F.unix_micros("ts").alias("us"))
+        .toPandas()
+    )
+    n_checked = 0
+    for uid, grp in raw.groupby("user_id"):
+        us = sorted(grp["us"])
+        gaps = [b - a for a, b in zip(us, us[1:])]
+        if not gaps:
+            assert uid not in got
+            continue
+        r = got[uid]
+        assert r.n_gaps == len(gaps)
+        assert r.min_gap_us == min(gaps)
+        assert r.max_gap_us == max(gaps)
+        assert r.mean_gap_us == sum(gaps) / len(gaps)
+        s = sorted(gaps)
+        mid = len(s) // 2
+        med = (
+            float(s[mid])
+            if len(s) % 2
+            else (s[mid - 1] + s[mid]) / 2
+        )
+        assert r.median_gap_us == med
+        n_checked += 1
+    assert n_checked > 0
+
+
+def test_tz_hour_rollup_dst_shift(spark, sf_dir):
+    """Local-hour bucketing must disagree with naive UTC-hour
+    bucketing by the zone offset: for America/New_York the UTC-hour
+    histogram shifted by 4 (EDT) or 5 (EST) should jointly account
+    for every event — i.e. rollup totals match and no local hour is
+    invented."""
+    from pyspark.sql import functions as F
+
+    from bigdata1_spark.operators import temporal
+    from bigdata1_spark.sources.tables import load_table
+
+    out = temporal.tz_hour_rollup(spark, sf_dir).collect()
+    assert {r.local_hour for r in out} <= set(range(24))
+    total = sum(r.n_events for r in out)
+    n_src = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .count()
+    )
+    assert total == n_src
+
+
+def test_iso_week_rollup_boundary_weeks(spark, sf_dir):
+    """ISO pairs must be internally consistent: week in 1..53, and the
+    rollup partitions all shipped line items exactly once."""
+    from pyspark.sql import functions as F
+
+    from bigdata1_spark.operators import temporal
+    from bigdata1_spark.sources.tables import load_table
+
+    out = temporal.iso_week_rollup(spark, sf_dir).collect()
+    assert all(1 <= r.iso_week <= 53 for r in out)
+    assert sum(r.n_items for r in out) == (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate").isNotNull())
+        .count()
+    )
