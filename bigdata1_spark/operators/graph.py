@@ -192,12 +192,25 @@ def _triangle_count_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
     replicates rows inside codegen with no allocation.
     """
     e = _co_supplier_edges(spark, sf_dir).localCheckpoint()
-    deg = (
+    return _per_node_triangles(_node_degrees(e), e)
+
+
+def _node_degrees(e: DataFrame) -> DataFrame:
+    """(node, degree) from an undirected (a < b) edge frame."""
+    return (
         e.select(F.col("a").alias("node"))
         .union(e.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
+
+
+def _per_node_triangles(deg: DataFrame, e: DataFrame) -> DataFrame:
+    """Per-node triangle counts from a materialized (a < b) edge frame
+    and its degree table — the shared wedge-join kernel of
+    :func:`_triangle_count_sparse` and :func:`clustering_coefficient`
+    (pass the SAME localCheckpoint-ed ``e`` to both consumers so the
+    edge generation runs once)."""
     da = deg.select(F.col("node").alias("a"), F.col("degree").alias("deg_a"))
     db = deg.select(F.col("node").alias("b"), F.col("degree").alias("deg_b"))
     withdeg = e.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
@@ -510,3 +523,40 @@ def label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per co-supplier node — how close a
+    node's neighborhood is to a clique: c(v) = 2·T(v) / (d(v)·(d(v)−1)).
+    The community-density companion to :func:`triangle_count` (same
+    wedge kernel) that an entity-graph curation pass ranks nodes by.
+
+    The edge list is generated ONCE (array-local per-order pairs, one
+    distinct) and localCheckpoint-ed; degrees and the degree-ordered
+    wedge join both consume that materialization, so the lineitem scan
+    runs once however the two branches fan out. Degree and triangle
+    counts are exact integers; the coefficient is ONE double chain per
+    node. Degree-1 nodes have no defined coefficient (denominator 0)
+    and emit NULL; triangle-free nodes emit 0.0. Reference parity: none
+    (the reference has no graph surface); triangle semantics cited at
+    ``_triangle_count_sparse``. Columns: node, degree, n_triangles,
+    clustering_coeff.
+    """
+    e = _co_supplier_edges(spark, sf_dir).localCheckpoint()
+    deg = _node_degrees(e)
+    tris = _per_node_triangles(deg, e).withColumnRenamed("node", "tnode")
+    j = deg.join(
+        F.broadcast(tris), F.col("node") == F.col("tnode"), "left"
+    )
+    t = F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long")
+    dd = F.col("degree").cast("double")
+    cc = (F.lit(2.0) * t.cast("double")) / (dd * (dd - F.lit(1.0)))
+    return j.select(
+        "node",
+        "degree",
+        t.alias("n_triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            F.floor(cc * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6),
+        ).alias("clustering_coeff"),
+    )

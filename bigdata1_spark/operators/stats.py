@@ -1239,3 +1239,220 @@ def pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tot").cast("long").alias("total_cents"),
         F.when(F.col("k_top") > 0, _round6(share)).alias("share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-14 continuation: two-sample inference, effect size, and higher
+# moments. Same discipline as everything above: exact DECIMAL/HUGEINT
+# sufficient statistics from ONE scan, one fixed-order double chain per
+# output row (mirrored verbatim in the oracle), floor-rounded 1e-6.
+# ---------------------------------------------------------------------------
+
+# Sentinel group label for NULL event_type (the naive_bayes NB_NULL_CLASS
+# convention): the pairwise self-join below compares group labels with <,
+# and a SQL-NULL key would silently drop its row from every pair.
+TTEST_NULL_GROUP = "<null>"
+
+
+def welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Welch two-sample t-test of ``events.value`` between every
+    pair of event types — the unequal-variance A/B primitive (metric
+    differs between event classes?) run as one grid, not per-pair jobs.
+
+    ONE events scan → per-group exact sufficient statistics (n, Σx, Σx²
+    over the value scaled to integer hundredths; sums in DECIMAL /
+    HUGEINT — zero rounding, order-free), then a broadcast self-join of
+    the ≤|event_types| aggregate rows builds the pair grid. t and the
+    Welch–Satterthwaite df are scale-invariant (numerator and standard
+    error both scale by 100), so the double chain runs in scaled units;
+    only the emitted means divide back. At 100 TB the shuffle carries
+    |event_types| rows of 3 numbers — nothing grows with the fact table.
+
+    Groups with n < 2 have no sample variance and are dropped (their
+    pairs are undefined, not zero); NULL values are excluded; NULL
+    event_type is a real group via the ``<null>`` sentinel. t is NULL
+    when both variances are 0 (se² = 0 — equal-constant groups).
+    Columns: type_a, type_b, n_a, n_b, mean_a, mean_b, t_stat, welch_df.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    x = F.round(F.col("value") * F.lit(100)).cast("long")
+    d = F.col("x").cast("decimal(19,0)")
+    g = (
+        ev.select(
+            F.coalesce(F.col("event_type"), F.lit(TTEST_NULL_GROUP)).alias(
+                "grp"
+            ),
+            x.alias("x"),
+        )
+        .filter(F.col("x").isNotNull())
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(d).alias("s"),
+            F.sum(d * d).alias("q"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+
+    def _stats(side: str) -> DataFrame:
+        return g.select(
+            F.col("grp").alias(f"type_{side}"),
+            F.col("n").alias(f"n_{side}"),
+            F.col("s").cast("double").alias(f"s_{side}"),
+            F.col("q").cast("double").alias(f"q_{side}"),
+        )
+
+    pairs = _stats("a").join(
+        F.broadcast(_stats("b")), F.col("type_a") < F.col("type_b")
+    )
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    ma = F.col("s_a") / na  # scaled-unit means
+    mb = F.col("s_b") / nb
+    va = (F.col("q_a") - F.col("s_a") * F.col("s_a") / na) / (na - F.lit(1.0))
+    vb = (F.col("q_b") - F.col("s_b") * F.col("s_b") / nb) / (nb - F.lit(1.0))
+    sea = va / na
+    seb = vb / nb
+    se2 = sea + seb
+    t = (ma - mb) / F.sqrt(se2)
+    df = (se2 * se2) / (
+        sea * sea / (na - F.lit(1.0)) + seb * seb / (nb - F.lit(1.0))
+    )
+    return pairs.select(
+        "type_a",
+        "type_b",
+        "n_a",
+        "n_b",
+        _round6(ma / F.lit(100.0)).alias("mean_a"),
+        _round6(mb / F.lit(100.0)).alias("mean_b"),
+        F.when(se2 > 0, _round6(t)).alias("t_stat"),
+        F.when(se2 > 0, _round6(df)).alias("welch_df"),
+    )
+
+
+def cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect size of the documents lang × source association
+    — the bounded [0,1] companion to :func:`chi_square_assoc`'s per-cell
+    terms: V = √(χ² / (N·(min(r,c)−1))).
+
+    Reuses the ONE-scan contingency table; χ² folds the per-cell terms
+    in explicit (lang, source) order from 0.0 after snapping each term
+    to the 1e-6 grid (the naive_bayes ranking rule: a raw-double SUM's
+    fold order would enter the contract — cells are ≤ |langs|·|sources|,
+    so the collected fold array is category-scale, never corpus-scale).
+    Category counts r and c include NULL as a real category (counted
+    via sentinel-coalesced collect_set — COUNT DISTINCT drops NULLs in
+    both engines). V is NULL when the table is degenerate (N = 0 or
+    min(r,c) < 2 — zero denominator). Always exactly ONE output row.
+    Columns: n_langs, n_sources, n_total, chi2, cramers_v.
+    """
+    cells = _contingency(spark, sf_dir)
+    n_xy = F.col("n_xy").cast("double")
+    exp = (
+        F.col("n_lang").cast("double")
+        * F.col("n_source").cast("double")
+        / F.col("n_total").cast("double")
+    )
+    diff = n_xy - exp
+    kl = F.coalesce(F.col("lang"), F.lit("<null>"))
+    ks = F.coalesce(F.col("source"), F.lit("<null>"))
+    pre = cells.select(
+        kl.alias("kl"),
+        ks.alias("ks"),
+        _round6(diff * diff / exp).alias("term"),
+        F.col("n_total"),
+    )
+    agg = pre.agg(
+        F.size(F.collect_set("kl")).cast("long").alias("n_langs"),
+        F.size(F.collect_set("ks")).cast("long").alias("n_sources"),
+        F.coalesce(F.max("n_total"), F.lit(0)).cast("long").alias("n_total"),
+        F.array_sort(
+            F.collect_list(F.struct("kl", "ks", "term"))
+        ).alias("ts"),
+    )
+    chi2 = F.aggregate(
+        F.transform(F.col("ts"), lambda x: x["term"]),
+        F.lit(0.0),
+        lambda a, t: a + t,
+    )
+    denom = F.col("n_total").cast("double") * (
+        F.least("n_langs", "n_sources").cast("double") - F.lit(1.0)
+    )
+    return agg.select(
+        "n_langs",
+        "n_sources",
+        "n_total",
+        _round6(chi2).alias("chi2"),
+        F.when(
+            (F.col("n_total") > 0)
+            & (F.least("n_langs", "n_sources") >= 2),
+            _round6(F.sqrt(chi2 / denom)),
+        ).alias("cramers_v"),
+    )
+
+
+def moments_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewness, excess-free kurtosis, and the Jarque–Bera normality
+    statistic of ``events.value`` per event type — the higher-moment
+    distribution profile a feature-audit pass runs next to mean/stddev.
+
+    ONE scan; per group the four raw power sums Σx..Σx⁴ accumulate
+    exactly (value scaled to integer hundredths; x² stays inside BIGINT
+    at 490.02 max, x⁴ = x²·x² inside DECIMAL(38,0)/HUGEINT to ~10¹⁹
+    rows). Central moments come from the standard raw-moment expansion
+    in ONE double chain per group, mirrored token-for-token in the
+    oracle; skewness m₃/(m₂√m₂) and kurtosis m₄/m₂² are invariant
+    under the ×100 scaling (standardized moments), so no unscaling
+    enters their chains — only the emitted mean divides back. sqrt is
+    IEEE-correctly-rounded (pow is NOT — never pow(m2, 1.5)).
+
+    Groups with n < 2 or zero variance emit NULL statistics; NULL
+    values are excluded; NULL event_type is a real group. JB =
+    (n/6)·(S² + (K−3)²/4). Columns: event_type, n_events, mean_value,
+    skewness, kurtosis, jarque_bera.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    x = F.round(F.col("value") * F.lit(100)).cast("long")
+    base = ev.select(F.col("event_type"), x.alias("x")).filter(
+        F.col("x").isNotNull()
+    )
+    xd = F.col("x").cast("decimal(19,0)")
+    x2 = (F.col("x") * F.col("x")).alias("x2")  # ≤ 49002² < 2⁶³, exact
+    g = base.select("event_type", "x", x2).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).alias("s1"),
+        F.sum(F.col("x2").cast("decimal(19,0)")).alias("s2"),
+        F.sum(xd * F.col("x2").cast("decimal(19,0)")).alias("s3"),
+        F.sum(
+            F.col("x2").cast("decimal(19,0)")
+            * F.col("x2").cast("decimal(19,0)")
+        ).alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    m = F.col("s1").cast("double") / n
+    r2 = F.col("s2").cast("double") / n
+    r3 = F.col("s3").cast("double") / n
+    r4 = F.col("s4").cast("double") / n
+    m2 = r2 - m * m
+    m3 = r3 - F.lit(3.0) * m * r2 + F.lit(2.0) * m * m * m
+    m4 = (
+        r4
+        - F.lit(4.0) * m * r3
+        + F.lit(6.0) * m * m * r2
+        - F.lit(3.0) * m * m * m * m
+    )
+    skew = m3 / (m2 * F.sqrt(m2))
+    kurt = m4 / (m2 * m2)
+    jb = (n / F.lit(6.0)) * (
+        skew * skew
+        + (kurt - F.lit(3.0)) * (kurt - F.lit(3.0)) / F.lit(4.0)
+    )
+    ok = (F.col("n") >= 2) & (m2 > 0)
+    return g.select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        _round6(m / F.lit(100.0)).alias("mean_value"),
+        F.when(ok, _round6(skew)).alias("skewness"),
+        F.when(ok, _round6(kurt)).alias("kurtosis"),
+        F.when(ok, _round6(jb)).alias("jarque_bera"),
+    )

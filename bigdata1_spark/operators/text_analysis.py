@@ -1217,3 +1217,85 @@ def naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy(
         "actual_cls", F.col("cand_cls").alias("predicted_cls")
     ).agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL and Jensen–Shannon divergence of each source's unigram token
+    distribution against the whole-corpus distribution — the mixture
+    audit a pretraining pipeline runs to quantify how far each slice's
+    vocabulary drifts from the blend it feeds (the lexical sibling of
+    ``psi_drift``'s numeric-feature drift).
+
+    ONE scan builds the (source, word) count table; it is cached
+    because it fans into the per-source totals, the global word
+    distribution, AND the divergence grid (the dsir_sample
+    multi-consumer-lineage lesson). The grid is sources × vocabulary —
+    vocabulary-scale, never corpus-scale (the naive_bayes posture).
+    Per cell: p = c_sw/t_s, q = c_w/t (q > 0 for every vocab word by
+    construction, so KL(source ‖ corpus) needs no smoothing);
+    KL term p·ln(p/q) for p > 0; JS terms ½·p·ln(p/m) + ½·q·ln(q/m)
+    with m = (p+q)/2 over the FULL vocabulary (p = 0 cells still carry
+    ½·q·ln(q/m) = ½·q·ln 2). Counts are exact integers; every ln is
+    snapped to the 1e-6 grid BEFORE the per-source fold (ln is only
+    ulp-accurate across engines and these terms are summed — the
+    naive_bayes ranking rule); both folds run in explicit word order
+    from 0.0. Sources with zero tokens never appear (no distribution);
+    NULL source is a real slice via the ``<null>`` sentinel.
+    Columns: source, n_tokens, kl_div, js_div (1e-6 floor-rounded).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sw = (
+        docs.select(
+            F.coalesce(F.col("source"), F.lit("<null>")).alias("src"),
+            F.explode(_toks()).alias("word"),
+        )
+        .groupBy("src", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .cache()
+    )
+    tot_s = sw.groupBy("src").agg(F.sum("c").alias("ts"))
+    wglob = sw.groupBy("word").agg(F.sum("c").alias("cw"))
+    tot = wglob.agg(F.sum("cw").alias("t"))
+    grid = (
+        tot_s.crossJoin(wglob)
+        .join(sw, ["src", "word"], "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    p = F.coalesce(F.col("c"), F.lit(0)).cast("double") / F.col("ts").cast(
+        "double"
+    )
+    q = F.col("cw").cast("double") / F.col("t").cast("double")
+    m = (p + q) / F.lit(2.0)
+    kl_term = F.when(p > 0, p * _nb_fixed6(F.log(p / q))).otherwise(
+        F.lit(0.0)
+    )
+    js_term = (
+        F.when(
+            p > 0, F.lit(0.5) * (p * _nb_fixed6(F.log(p / m)))
+        ).otherwise(F.lit(0.0))
+        + F.lit(0.5) * (q * _nb_fixed6(F.log(q / m)))
+    )
+    terms = grid.select(
+        "src",
+        "word",
+        F.col("ts"),
+        kl_term.alias("klt"),
+        js_term.alias("jst"),
+    )
+    agg = terms.groupBy("src").agg(
+        F.max("ts").cast("long").alias("n_tokens"),
+        F.array_sort(
+            F.collect_list(F.struct("word", "klt", "jst"))
+        ).alias("ts_arr"),
+    )
+    fold = lambda field: F.aggregate(  # noqa: E731 — paired fold exprs
+        F.transform(F.col("ts_arr"), lambda x: x[field]),
+        F.lit(0.0),
+        lambda a, t: a + t,
+    )
+    return agg.select(
+        F.col("src").alias("source"),
+        "n_tokens",
+        _nb_fixed6(fold("klt")).alias("kl_div"),
+        _nb_fixed6(fold("jst")).alias("js_div"),
+    )

@@ -6348,3 +6348,245 @@ register(
     FROM agg
     """,
 )
+
+# ---------------------------------------------------------------------------
+# Round-14 continuation: two-sample inference / effect size / higher
+# moments. Discipline unchanged: HUGEINT sufficient statistics, double
+# chains mirrored token-for-token from the Spark expressions, FLOOR 1e-6.
+# ---------------------------------------------------------------------------
+
+# Pairwise Welch t-test grid: per-group (n, Σx, Σx²) over value·100,
+# groups with n < 2 dropped, '<null>' sentinel type, scaled-unit chain
+# (t and df are scale-invariant), se² = 0 ⇒ NULL t/df.
+register(
+    "welch_ttest",
+    stats_ops.welch_ttest,
+    """
+    WITH g AS (
+      SELECT COALESCE(event_type, '<null>') AS grp,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(CAST(ROUND(value * 100) AS BIGINT) AS HUGEINT)) AS s,
+             SUM(CAST(CAST(ROUND(value * 100) AS BIGINT) AS HUGEINT)
+                 * CAST(ROUND(value * 100) AS BIGINT)) AS q
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1 HAVING COUNT(*) >= 2
+    ), pairs AS (
+      SELECT a.grp AS type_a, b.grp AS type_b, a.n AS n_a, b.n AS n_b,
+             CAST(a.s AS DOUBLE) AS s_a, CAST(a.q AS DOUBLE) AS q_a,
+             CAST(b.s AS DOUBLE) AS s_b, CAST(b.q AS DOUBLE) AS q_b
+      FROM g a JOIN g b ON a.grp < b.grp
+    ), c AS (
+      SELECT type_a, type_b, n_a, n_b,
+             s_a / CAST(n_a AS DOUBLE) AS ma,
+             s_b / CAST(n_b AS DOUBLE) AS mb,
+             ((q_a - s_a * s_a / CAST(n_a AS DOUBLE))
+              / (CAST(n_a AS DOUBLE) - 1.0)) / CAST(n_a AS DOUBLE) AS sea,
+             ((q_b - s_b * s_b / CAST(n_b AS DOUBLE))
+              / (CAST(n_b AS DOUBLE) - 1.0)) / CAST(n_b AS DOUBLE) AS seb
+      FROM pairs
+    )
+    SELECT type_a, type_b, n_a, n_b,
+           FLOOR((ma / 100.0) * 1e6 + 0.5) / 1e6 AS mean_a,
+           FLOOR((mb / 100.0) * 1e6 + 0.5) / 1e6 AS mean_b,
+           CASE WHEN sea + seb > 0
+                THEN FLOOR(((ma - mb) / sqrt(sea + seb)) * 1e6 + 0.5) / 1e6
+           END AS t_stat,
+           CASE WHEN sea + seb > 0
+                THEN FLOOR((((sea + seb) * (sea + seb))
+                            / (sea * sea / (CAST(n_a AS DOUBLE) - 1.0)
+                               + seb * seb / (CAST(n_b AS DOUBLE) - 1.0)))
+                           * 1e6 + 0.5) / 1e6
+           END AS welch_df
+    FROM c
+    """,
+)
+
+# Cramér's V: χ² folds the 1e-6-snapped per-cell terms in (lang, source)
+# order from 0.0 (category-scale array); r/c count NULL as a category.
+register(
+    "cramers_v",
+    stats_ops.cramers_v,
+    _CONTINGENCY_SQL
+    + """
+    , terms AS (
+      SELECT COALESCE(lang, '<null>') AS kl,
+             COALESCE(source, '<null>') AS ks,
+             n_total,
+             FLOOR(((CAST(n_xy AS DOUBLE)
+                     - (CAST(n_lang AS DOUBLE) * CAST(n_source AS DOUBLE)
+                        / CAST(n_total AS DOUBLE)))
+                    * (CAST(n_xy AS DOUBLE)
+                       - (CAST(n_lang AS DOUBLE) * CAST(n_source AS DOUBLE)
+                          / CAST(n_total AS DOUBLE)))
+                    / (CAST(n_lang AS DOUBLE) * CAST(n_source AS DOUBLE)
+                       / CAST(n_total AS DOUBLE)))
+                   * 1e6 + 0.5) / 1e6 AS term
+      FROM marg
+    ), agg AS (
+      SELECT CAST(COUNT(DISTINCT kl) AS BIGINT) AS n_langs,
+             CAST(COUNT(DISTINCT ks) AS BIGINT) AS n_sources,
+             CAST(COALESCE(MAX(n_total), 0) AS BIGINT) AS n_total,
+             COALESCE(list_reduce(
+               list_prepend(0.0, list(term ORDER BY kl, ks)),
+               (a, t) -> a + t), 0.0) AS chi2
+      FROM terms
+    )
+    SELECT n_langs, n_sources, n_total,
+           FLOOR(chi2 * 1e6 + 0.5) / 1e6 AS chi2,
+           CASE WHEN n_total > 0 AND LEAST(n_langs, n_sources) >= 2
+                THEN FLOOR(sqrt(chi2 / (CAST(n_total AS DOUBLE)
+                                        * (CAST(LEAST(n_langs, n_sources)
+                                                AS DOUBLE) - 1.0)))
+                           * 1e6 + 0.5) / 1e6
+           END AS cramers_v
+    FROM agg
+    """,
+)
+
+# Higher moments per event type from four exact raw power sums; the
+# central-moment expansion chain is mirrored token-for-token; skew/kurt
+# are ×100-scale-invariant; sqrt only (pow is not correctly rounded).
+register(
+    "moments_profile",
+    stats_ops.moments_profile,
+    """
+    WITH base AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS x
+      FROM events WHERE value IS NOT NULL
+    ), g AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(x AS HUGEINT)) AS s1,
+             SUM(CAST(x * x AS HUGEINT)) AS s2,
+             SUM(CAST(x AS HUGEINT) * (x * x)) AS s3,
+             SUM(CAST(x * x AS HUGEINT) * (x * x)) AS s4
+      FROM base GROUP BY 1
+    ), r AS (
+      SELECT event_type, n,
+             CAST(n AS DOUBLE) AS nd,
+             CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+             CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+             CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+             CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+      FROM g
+    ), c AS (
+      SELECT event_type, n, nd, m,
+             r2 - m * m AS m2,
+             r3 - 3.0 * m * r2 + 2.0 * m * m * m AS m3,
+             r4 - 4.0 * m * r3 + 6.0 * m * m * r2
+                - 3.0 * m * m * m * m AS m4
+      FROM r
+    ), s AS (
+      SELECT event_type, n, nd, m, m2,
+             m3 / (m2 * sqrt(m2)) AS skew,
+             m4 / (m2 * m2) AS kurt
+      FROM c
+    )
+    SELECT event_type, n AS n_events,
+           FLOOR((m / 100.0) * 1e6 + 0.5) / 1e6 AS mean_value,
+           CASE WHEN n >= 2 AND m2 > 0
+                THEN FLOOR(skew * 1e6 + 0.5) / 1e6 END AS skewness,
+           CASE WHEN n >= 2 AND m2 > 0
+                THEN FLOOR(kurt * 1e6 + 0.5) / 1e6 END AS kurtosis,
+           CASE WHEN n >= 2 AND m2 > 0
+                THEN FLOOR(((nd / 6.0)
+                            * (skew * skew
+                               + (kurt - 3.0) * (kurt - 3.0) / 4.0))
+                           * 1e6 + 0.5) / 1e6 END AS jarque_bera
+    FROM s
+    """,
+)
+
+# Local clustering coefficient: id-order triangle enumeration in SQL is
+# orientation-invariant vs the degree-ordered Spark kernel; exact
+# integer degree/triangle counts, one double chain per node.
+register(
+    "clustering_coefficient",
+    graph.clustering_coefficient,
+    """
+    WITH e AS (
+      SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+      FROM lineitem x JOIN lineitem y
+        ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+    ), deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+      GROUP BY 1
+    ), tri AS (
+      SELECT e1.a AS u, e1.b AS v, e2.b AS w
+      FROM e e1 JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), pernode AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS t
+      FROM (SELECT u AS node FROM tri UNION ALL SELECT v FROM tri
+            UNION ALL SELECT w FROM tri)
+      GROUP BY 1
+    )
+    SELECT d.node, d.degree,
+           CAST(COALESCE(p.t, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN d.degree >= 2 THEN
+             FLOOR(((2.0 * CAST(COALESCE(p.t, 0) AS DOUBLE))
+                    / (CAST(d.degree AS DOUBLE)
+                       * (CAST(d.degree AS DOUBLE) - 1.0)))
+                   * 1e6 + 0.5) / 1e6
+           END AS clustering_coeff
+    FROM deg d LEFT JOIN pernode p ON p.node = d.node
+    """,
+)
+
+# Unigram-distribution divergence per source vs the whole corpus: exact
+# counts; every ln snapped to the 1e-6 grid BEFORE the word-ordered
+# fold (summed ln terms — the naive_bayes rule); m = (p+q)/2.
+register(
+    "token_divergence",
+    text_analysis.token_divergence,
+    """
+    WITH sw AS MATERIALIZED (
+      SELECT src, word, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        SELECT COALESCE(source, '<null>') AS src,
+               unnest(list_filter(string_split_regex(text, '\\s+'),
+                                  x -> len(x) > 0)) AS word
+        FROM documents
+      ) GROUP BY 1, 2
+    ), tot_s AS (SELECT src, SUM(c) AS ts FROM sw GROUP BY 1),
+    wglob AS (SELECT word, SUM(c) AS cw FROM sw GROUP BY 1),
+    tot AS (SELECT SUM(cw) AS t FROM wglob),
+    grid AS (
+      SELECT s.src, w.word, s.ts, w.cw, t.t, COALESCE(x.c, 0) AS c
+      FROM tot_s s CROSS JOIN wglob w
+      LEFT JOIN sw x ON x.src = s.src AND x.word = w.word
+      CROSS JOIN tot t
+    ), terms AS (
+      SELECT src, word, ts,
+             CASE WHEN c > 0 THEN
+               (CAST(c AS DOUBLE) / CAST(ts AS DOUBLE))
+               * (FLOOR(ln((CAST(c AS DOUBLE) / CAST(ts AS DOUBLE))
+                           / (CAST(cw AS DOUBLE) / CAST(t AS DOUBLE)))
+                        * 1e6 + 0.5) / 1e6)
+             ELSE 0.0 END AS klt,
+             CASE WHEN c > 0 THEN
+               0.5 * ((CAST(c AS DOUBLE) / CAST(ts AS DOUBLE))
+                 * (FLOOR(ln((CAST(c AS DOUBLE) / CAST(ts AS DOUBLE))
+                     / ((CAST(c AS DOUBLE) / CAST(ts AS DOUBLE)
+                         + CAST(cw AS DOUBLE) / CAST(t AS DOUBLE)) / 2.0))
+                     * 1e6 + 0.5) / 1e6))
+             ELSE 0.0 END
+             + 0.5 * ((CAST(cw AS DOUBLE) / CAST(t AS DOUBLE))
+                 * (FLOOR(ln((CAST(cw AS DOUBLE) / CAST(t AS DOUBLE))
+                     / ((CAST(c AS DOUBLE) / CAST(ts AS DOUBLE)
+                         + CAST(cw AS DOUBLE) / CAST(t AS DOUBLE)) / 2.0))
+                     * 1e6 + 0.5) / 1e6)) AS jst
+      FROM grid
+    ), agg AS (
+      SELECT src AS source, CAST(MAX(ts) AS BIGINT) AS n_tokens,
+             COALESCE(list_reduce(list_prepend(0.0,
+               list(klt ORDER BY word)), (a, x) -> a + x), 0.0) AS kl,
+             COALESCE(list_reduce(list_prepend(0.0,
+               list(jst ORDER BY word)), (a, x) -> a + x), 0.0) AS js
+      FROM terms GROUP BY 1
+    )
+    SELECT source, n_tokens,
+           FLOOR(kl * 1e6 + 0.5) / 1e6 AS kl_div,
+           FLOOR(js * 1e6 + 0.5) / 1e6 AS js_div
+    FROM agg
+    """,
+)

@@ -134,3 +134,46 @@ def test_label_prop_refines_toward_components(spark, sf_dir):
         assert lab <= n
         assert lab >= comp_min[find(n)], n
         assert lab in labels  # label is a real node id
+
+
+def test_clustering_coefficient_matches_pure_python(spark, duck, sf_dir):
+    """c(v) recomputed from a Python adjacency-set walk over the same
+    derived edge list — a different algorithm (neighbor-set
+    intersection) than the wedge join under test."""
+    edges = duck.execute(
+        "SELECT DISTINCT x.l_suppkey, y.l_suppkey FROM lineitem x "
+        "JOIN lineitem y ON x.l_orderkey = y.l_orderkey "
+        "AND x.l_suppkey < y.l_suppkey"
+    ).fetchall()
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    got = {r.node: r for r in
+           graph.clustering_coefficient(spark, sf_dir).collect()}
+    assert set(got) == set(adj)
+    for v, nbrs in adj.items():
+        r = got[v]
+        assert r.degree == len(nbrs)
+        tri = sum(len(adj[u] & nbrs) for u in nbrs) // 2
+        assert r.n_triangles == tri, v
+        if len(nbrs) < 2:
+            assert r.clustering_coeff is None
+        else:
+            cc = 2.0 * tri / (len(nbrs) * (len(nbrs) - 1))
+            assert abs(r.clustering_coeff - cc) < 1e-6
+            assert -1e-9 <= r.clustering_coeff <= 1.0 + 1e-9
+
+
+def test_clustering_coefficient_consistent_with_triangle_count(
+    spark, sf_dir
+):
+    """The shared kernel must agree with the registry triangle_count key
+    (which may take the dense bitmap path) on every node."""
+    tc = {r.node: r.n_triangles
+          for r in graph.triangle_count(spark, sf_dir).collect()}
+    cc = {r.node: r.n_triangles
+          for r in graph.clustering_coefficient(spark, sf_dir).collect()}
+    for node, t in tc.items():
+        assert cc.get(node) == t, node
+    assert all(t == 0 for n, t in cc.items() if n not in tc)

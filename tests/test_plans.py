@@ -965,11 +965,13 @@ SCAN_BUDGETS = {
     "cogrouped_map": 2,
     "collect_list_agg": 2,
     "column_profile": 2,  # deliberate plain-stats + distinct split: one agg forced a 5x Expand over all 24 aggregates (2.6x slower measured)
+    "clustering_coefficient": 0,  # edges localCheckpoint-ed eagerly (the triangle_count pattern)
     "concurrency": 1,
     "contamination_ngrams": 2,
     "chi_square_assoc": 1,
     "cooccur_pmi": 2,
     "corr_matrix": 1,
+    "cramers_v": 1,
     "cumulative_distinct": 1,
     "decontaminate_apply": 3,  # source-pruned test/train splits of one table
     "dedup_apply": 2,
@@ -1060,6 +1062,7 @@ SCAN_BUDGETS = {
     "mixture_sample": 1,
     "cusum_changepoint": 1,
     "mann_whitney": 1,
+    "moments_profile": 1,
     "multimodal_join": 2,
     "naive_bayes_lang": 2,  # token-count cache fill + the text-free doc->lang base scan (column-pruned)
     "mutual_info": 1,
@@ -1148,6 +1151,7 @@ SCAN_BUDGETS = {
     "tfidf_topterms": 2,
     "theil_sen_trend": 1,
     "token_count": 1,
+    "token_divergence": 1,
     "topk_window": 2,
     "tpch_q1": 1,
     "tpch_q10": 4,  # 4 base tables
@@ -1183,6 +1187,7 @@ SCAN_BUDGETS = {
     "upsert_apply": 3,  # fixture derives changes from base (cached children); production reads a real CDC table
     "user_paths": 1,
     "vocab_encode": 2,
+    "welch_ttest": 1,
     "window_first_last": 1,
     "window_lag": 2,
     "window_range_frame": 1,

@@ -613,3 +613,144 @@ def test_pareto_share_matches_pure_python(spark, duck, sf_dir):
         if k > 0:
             assert abs(r.share - top / tot) < 1e-6
             assert r.share >= 0.25 - 1e-9  # top quartile holds >= its share
+
+
+# ---------------------------------------------------------------------------
+# Round-14: Welch t-test / Cramér's V / higher moments — references are
+# recomputed in pure Python from the raw table (different algebra path
+# than the scaled-integer sufficient statistics under test).
+# ---------------------------------------------------------------------------
+
+
+def _values_by_type(duck):
+    rows = duck.execute(
+        "SELECT COALESCE(event_type, '<null>'), value FROM events "
+        "WHERE value IS NOT NULL"
+    ).fetchall()
+    by = {}
+    for g, v in rows:
+        by.setdefault(g, []).append(v)
+    return by
+
+
+def test_welch_ttest_matches_pure_python(spark, duck, sf_dir):
+    by = _values_by_type(duck)
+    got = {(r.type_a, r.type_b): r
+           for r in stats_ops.welch_ttest(spark, sf_dir).collect()}
+    eligible = sorted(g for g, vs in by.items() if len(vs) >= 2)
+    expect_pairs = {(a, b) for i, a in enumerate(eligible)
+                    for b in eligible[i + 1:]}
+    assert set(got) == expect_pairs
+    for (a, b), r in got.items():
+        xa, xb = by[a], by[b]
+        na, nb = len(xa), len(xb)
+        ma, mb = sum(xa) / na, sum(xb) / nb
+        va = sum((x - ma) ** 2 for x in xa) / (na - 1)
+        vb = sum((x - mb) ** 2 for x in xb) / (nb - 1)
+        assert (r.n_a, r.n_b) == (na, nb)
+        assert abs(r.mean_a - ma) < 1e-6 and abs(r.mean_b - mb) < 1e-6
+        se2 = va / na + vb / nb
+        if se2 == 0:
+            assert r.t_stat is None and r.welch_df is None
+            continue
+        t = (ma - mb) / math.sqrt(se2)
+        df = se2 * se2 / ((va / na) ** 2 / (na - 1)
+                          + (vb / nb) ** 2 / (nb - 1))
+        assert abs(r.t_stat - t) < 1e-4, (a, b)
+        assert abs(r.welch_df - df) < max(1e-4 * df, 1e-4)
+        # Welch df is bounded by min(n)-1 below and n_a+n_b-2 above
+        assert min(na, nb) - 1 - 1e-6 <= r.welch_df <= na + nb - 2 + 1e-6
+
+
+def test_cramers_v_matches_pure_python(spark, duck, sf_dir):
+    cells = duck.execute(
+        "SELECT COALESCE(lang, '<null>'), COALESCE(source, '<null>'), "
+        "COUNT(*) FROM documents GROUP BY 1, 2"
+    ).fetchall()
+    r = stats_ops.cramers_v(spark, sf_dir).collect()
+    assert len(r) == 1
+    r = r[0]
+    n = sum(c for _, _, c in cells)
+    rows = {l for l, _, _ in cells}
+    colz = {s for _, s, _ in cells}
+    nl = {l: sum(c for ll, _, c in cells if ll == l) for l in rows}
+    ns = {s: sum(c for _, ss, c in cells if ss == s) for s in colz}
+    chi2 = sum((c - nl[l] * ns[s] / n) ** 2 / (nl[l] * ns[s] / n)
+               for l, s, c in cells)
+    assert (r.n_langs, r.n_sources, r.n_total) == (len(rows), len(colz), n)
+    assert abs(r.chi2 - chi2) < 1e-3
+    k = min(len(rows), len(colz))
+    if n > 0 and k >= 2:
+        v = math.sqrt(chi2 / (n * (k - 1)))
+        assert abs(r.cramers_v - v) < 1e-6
+        assert 0.0 <= r.cramers_v <= 1.0 + 1e-9
+    else:
+        assert r.cramers_v is None
+
+
+def test_moments_profile_matches_pure_python(spark, duck, sf_dir):
+    by = _values_by_type(duck)
+    got = {}
+    for r in stats_ops.moments_profile(spark, sf_dir).collect():
+        got[r.event_type if r.event_type is not None else "<null>"] = r
+    assert set(got) == set(by)
+    for g, xs in by.items():
+        r = got[g]
+        n = len(xs)
+        assert r.n_events == n
+        m = sum(xs) / n
+        assert abs(r.mean_value - m) < 1e-6
+        m2 = sum((x - m) ** 2 for x in xs) / n
+        if n < 2 or m2 <= 0:
+            assert r.skewness is None
+            continue
+        m3 = sum((x - m) ** 3 for x in xs) / n
+        m4 = sum((x - m) ** 4 for x in xs) / n
+        skew = m3 / (m2 * math.sqrt(m2))
+        kurt = m4 / (m2 * m2)
+        jb = (n / 6.0) * (skew ** 2 + (kurt - 3.0) ** 2 / 4.0)
+        assert abs(r.skewness - skew) < 1e-4
+        assert abs(r.kurtosis - kurt) < max(1e-4 * kurt, 1e-4)
+        assert abs(r.jarque_bera - jb) < max(1e-3 * jb, 1e-3)
+        assert r.jarque_bera >= 0
+
+
+def test_token_divergence_matches_pure_python(spark, duck, sf_dir):
+    """KL/JS recomputed with math.log over a Python dict walk (no grid
+    snap, no fold order) — agreement within 1e-4 validates the algebra;
+    information-theory bounds pin the semantics."""
+    from bigdata1_spark.operators import text_analysis
+
+    rows = duck.execute(
+        "SELECT COALESCE(source, '<null>'), word, COUNT(*) FROM ("
+        "SELECT source, unnest(list_filter(string_split_regex(text, "
+        "'\\s+'), x -> len(x) > 0)) AS word FROM documents) "
+        "GROUP BY 1, 2"
+    ).fetchall()
+    by_src: dict = {}
+    glob: dict = {}
+    for s, w, c in rows:
+        by_src.setdefault(s, {})[w] = c
+        glob[w] = glob.get(w, 0) + c
+    t = sum(glob.values())
+    got = {r.source: r for r in
+           text_analysis.token_divergence(spark, sf_dir).collect()}
+    assert set(got) == set(by_src)
+    for s, wc in by_src.items():
+        ts = sum(wc.values())
+        kl = sum((c / ts) * math.log((c / ts) / (glob[w] / t))
+                 for w, c in wc.items())
+        js = 0.0
+        for w, cg in glob.items():
+            p = wc.get(w, 0) / ts
+            q = cg / t
+            m = (p + q) / 2.0
+            if p > 0:
+                js += 0.5 * p * math.log(p / m)
+            js += 0.5 * q * math.log(q / m)
+        r = got[s]
+        assert r.n_tokens == ts
+        assert abs(r.kl_div - kl) < 1e-4, s
+        assert abs(r.js_div - js) < 1e-4, s
+        assert r.kl_div >= -1e-9  # Gibbs' inequality
+        assert -1e-9 <= r.js_div <= math.log(2) + 1e-9
