@@ -479,3 +479,56 @@ def inter_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_gap_us"),
         F.expr("percentile(gap, 0.5)").alias("median_gap_us"),
     )
+
+
+def user_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-horizon trailing activity features per (user, active day):
+    7-day and 30-day event counts, spend sums, and active-day counts in
+    ONE window pass — the classic feature-engineering shape feeding a
+    churn/engagement model (N horizons as frames over one sort, not N
+    self-joins).
+
+    Events pre-aggregate to the per-(user, day) grain first, so the
+    window input is bounded by active user-days, never raw events; both
+    RANGE frames share one partition+sort (Spark evaluates them in a
+    single Window node — check the plan: one Exchange, one Sort).
+    Day is the exact integer epoch-day index; counts and cent sums are
+    exact integers end-to-end — this operator emits NO floats, so there
+    is nothing to pin. Value-based RANGE frames mean calendar gaps
+    shorten the lookback correctly (a rows-frame would reach across
+    missing days). NULL values count as events but add 0 cents (spend
+    is the sum of the non-NULL values that day); NULL ts rows have no
+    day and are excluded; NULL user_id is a real partition.
+    Columns: user_id, day, n_events, n_7d, n_30d, cents_7d, cents_30d,
+    days_active_30d.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.datediff(
+        F.to_date("ts"), F.to_date(F.lit("1970-01-01"))
+    ).cast("long")
+    cents = F.round(F.col("value") * F.lit(100)).cast("long")
+    daily = (
+        ev.select("user_id", day.alias("day"), cents.alias("c"))
+        .filter(F.col("day").isNotNull())
+        .groupBy("user_id", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.coalesce(F.col("c"), F.lit(0)).cast("decimal(19,0)"))
+            .alias("cents"),
+        )
+    )
+    base = Window.partitionBy("user_id").orderBy("day")
+    w7 = base.rangeBetween(-6, Window.currentRow)
+    w30 = base.rangeBetween(-29, Window.currentRow)
+    return daily.select(
+        "user_id",
+        "day",
+        "n_events",
+        F.sum("n_events").over(w7).cast("long").alias("n_7d"),
+        F.sum("n_events").over(w30).cast("long").alias("n_30d"),
+        F.sum("cents").over(w7).cast("long").alias("cents_7d"),
+        F.sum("cents").over(w30).cast("long").alias("cents_30d"),
+        F.count(F.lit(1)).over(w30).cast("long").alias("days_active_30d"),
+    )

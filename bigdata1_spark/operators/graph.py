@@ -560,3 +560,107 @@ def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(cc * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6),
         ).alias("clustering_coeff"),
     )
+
+
+def link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-edge link-prediction scores on the co-supplier graph:
+    common-neighbor count, Jaccard neighborhood similarity, and
+    Adamic–Adar — the classic triad a graph-curation pass ranks
+    candidate merges/recommendations by. Computed for every EXISTING
+    edge (the self-audit form: low-scoring edges are noise candidates,
+    exactly like low-cosine near-dup pairs).
+
+    Common neighbors come from one id-ordered triangle enumeration
+    (u < v < w by construction, each triangle crediting its three
+    edges) over the ONE localCheckpoint-ed edge list — the same
+    arboricity-bounded wedge join as ``triangle_count``, never a
+    neighborhood self-join. Degrees and counts are exact integers;
+    Jaccard = common / (deg_a + deg_b − common) uses the
+    endpoints-included union (b ∈ N(a), so the denominator is ≥ 2 —
+    never a zero division) in ONE double chain. Adamic–Adar folds
+    1/ln(deg(w)) over common neighbors in explicit id order with each
+    term snapped to the 1e-6 grid first (summed ln — the naive_bayes
+    rule); deg(w) ≥ 2 for any common neighbor, so ln > 0. Edges with
+    no common neighbor emit 0 for all three scores.
+    Columns: node_a, node_b, deg_a, deg_b, common_neighbors, jaccard,
+    adamic_adar.
+    """
+    e = _co_supplier_edges(spark, sf_dir).localCheckpoint()
+    deg = _node_degrees(e)
+    tri = (
+        e.alias("e1")
+        .join(F.broadcast(e.alias("e2")), F.col("e1.b") == F.col("e2.a"))
+        .join(
+            F.broadcast(e.alias("e3")),
+            (F.col("e3.a") == F.col("e1.a"))
+            & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("u"),
+            F.col("e1.b").alias("v"),
+            F.col("e2.b").alias("w"),
+        )
+    )
+    contrib = tri.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("u").alias("a"),
+                    F.col("v").alias("b"),
+                    F.col("w").alias("cn"),
+                ),
+                F.struct(
+                    F.col("u").alias("a"),
+                    F.col("w").alias("b"),
+                    F.col("v").alias("cn"),
+                ),
+                F.struct(
+                    F.col("v").alias("a"),
+                    F.col("w").alias("b"),
+                    F.col("u").alias("cn"),
+                ),
+            )
+        ).alias("c")
+    ).select("c.a", "c.b", "c.cn")
+    snap = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    dcn = deg.select(
+        F.col("node").alias("cn"), F.col("degree").alias("deg_cn")
+    )
+    terms = contrib.join(F.broadcast(dcn), "cn").select(
+        "a",
+        "b",
+        "cn",
+        snap(F.lit(1.0) / F.log(F.col("deg_cn").cast("double"))).alias("t"),
+    )
+    agg = terms.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("common"),
+        F.array_sort(F.collect_list(F.struct("cn", "t"))).alias("ts"),
+    )
+    aa = F.aggregate(
+        F.transform(F.col("ts"), lambda x: x["t"]),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("deg_b"))
+    j = (
+        e.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .join(F.broadcast(agg.select("a", "b", "common", aa.alias("aa"))),
+              ["a", "b"], "left")
+    )
+    common = F.coalesce(F.col("common"), F.lit(0))
+    jac = common.cast("double") / (
+        F.col("deg_a").cast("double")
+        + F.col("deg_b").cast("double")
+        - common.cast("double")
+    )
+    return j.select(
+        F.col("a").alias("node_a"),
+        F.col("b").alias("node_b"),
+        "deg_a",
+        "deg_b",
+        common.alias("common_neighbors"),
+        snap(jac).alias("jaccard"),
+        snap(F.coalesce(F.col("aa"), F.lit(0.0))).alias("adamic_adar"),
+    )

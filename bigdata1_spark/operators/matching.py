@@ -34,7 +34,7 @@ escalation as the LSH hot-bucket chunking.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdata1_spark.sources.tables import load_table
@@ -119,4 +119,112 @@ def fuzzy_join(
         F.when(flip, F.col("name_a")).otherwise(F.col("name_b"))
         .alias("b_name"),
         "dist",
+    )
+
+
+# Deterministic synthetic geography: each key maps to integer
+# coordinates on a GEO_MOD × GEO_MOD grid via fixed multiplicative
+# mixing (Lehmer-style multipliers) — a pure integer function both
+# engines evaluate identically, standing in for real lat/lon columns
+# the star schema lacks. Cells are GEO_CELL × GEO_CELL squares.
+GEO_MOD = 100_000
+GEO_CELL = 10_000
+_CX, _CY = 48_271, 69_621  # customer mixers
+_SX, _SY = 40_692, 52_774  # supplier mixers
+
+
+def geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed nearest-neighbor spatial join: for every customer,
+    the nearest supplier whose cell is within the customer's 3×3 cell
+    neighborhood — the bounded-radius spatial match (geo-assignment /
+    store-routing shape) expressed without any spatial extension.
+
+    This is the standard grid-blocking plan a 100 TB geo join uses:
+    each point gets an integer cell key; the probe side explodes to its
+    9 neighbor cells (a bounded ×9 fan-out, NOT a cross join); the
+    build side is cell-keyed and broadcast (supplier-dim-scale — for
+    two fact-scale sides the same plan shuffles both on the cell key).
+    The radius contract is explicit: a supplier farther than one cell
+    away is out of scope even if globally nearest (cell size bounds
+    the search radius, exactly like any geohash/S2 prefix join).
+
+    Coordinates and squared distances are exact integers (no trig, no
+    floats anywhere — haversine would hand ranking to ulp-divergent
+    sin/cos); ranking is (dist2 ASC, s_suppkey ASC), a total order.
+    NULL keys carry no coordinates and are excluded. Customers with no
+    supplier in their neighborhood emit nothing (inner semantics,
+    documented). Columns: c_custkey, s_suppkey, dist2, n_candidates.
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey")
+    cx = (F.col("c_custkey") * _CX) % GEO_MOD
+    cy = (F.col("c_custkey") * _CY) % GEO_MOD
+    sx = (F.col("s_suppkey") * _SX) % GEO_MOD
+    sy = (F.col("s_suppkey") * _SY) % GEO_MOD
+    probes = (
+        cust.filter(F.col("c_custkey").isNotNull())
+        .select("c_custkey", cx.alias("cx"), cy.alias("cy"))
+        .select(
+            "c_custkey",
+            "cx",
+            "cy",
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(-1), F.lit(1)),
+                        lambda dx: F.transform(
+                            F.sequence(F.lit(-1), F.lit(1)),
+                            lambda dy: F.struct(
+                                (
+                                    (F.col("cx") / F.lit(GEO_CELL)).cast(
+                                        "long"
+                                    )
+                                    + dx
+                                ).alias("gx"),
+                                (
+                                    (F.col("cy") / F.lit(GEO_CELL)).cast(
+                                        "long"
+                                    )
+                                    + dy
+                                ).alias("gy"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("cell"),
+        )
+        .select(
+            "c_custkey", "cx", "cy",
+            F.col("cell.gx").alias("gx"), F.col("cell.gy").alias("gy"),
+        )
+    )
+    builds = supp.filter(F.col("s_suppkey").isNotNull()).select(
+        "s_suppkey",
+        sx.alias("sx"),
+        sy.alias("sy"),
+        (sx / F.lit(GEO_CELL)).cast("long").alias("gx"),
+        (sy / F.lit(GEO_CELL)).cast("long").alias("gy"),
+    )
+    j = probes.join(F.broadcast(builds), ["gx", "gy"])
+    dx = F.col("cx") - F.col("sx")
+    dy = F.col("cy") - F.col("sy")
+    scored = j.select(
+        "c_custkey",
+        "s_suppkey",
+        (dx * dx + dy * dy).alias("dist2"),
+    )
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.asc("dist2"), F.asc("s_suppkey")
+    )
+    wc = Window.partitionBy("c_custkey")
+    return (
+        scored.select(
+            "c_custkey",
+            "s_suppkey",
+            "dist2",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wc).cast("long").alias("n_candidates"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
     )

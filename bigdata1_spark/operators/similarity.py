@@ -554,3 +554,75 @@ def sim_topk_ivf_pq(
         .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
         .limit(TOP_K)
     )
+
+
+MUTUAL_KNN_PLANES = 3  # 2^3 buckets; at 100 TB raise planes + multiprobe
+MUTUAL_KNN_SEED = 19
+
+
+def mutual_knn(
+    spark: SparkSession,
+    sf_dir: str,
+    n_planes: int = MUTUAL_KNN_PLANES,
+    dim: int = 64,
+    seed: int = MUTUAL_KNN_SEED,
+) -> DataFrame:
+    """Mutual nearest-neighbor pairs within LSH blocks: (a, b) where b
+    is a's cosine top-1 AND a is b's top-1 — the reciprocal-best-match
+    primitive (duplicate canonicalization, bitext mining, entity
+    alignment) whose mutuality condition kills the asymmetric
+    near-misses a plain top-1 list keeps.
+
+    Within-block semantics, stated exactly like ``dedup_embedding``:
+    the bucket is a pure seeded-hyperplane function of the vector, so
+    the same blocking runs on any corpus and the oracle rebuilds it
+    from the same plane literals. Pair scores come from the shared
+    per-block grouped-map kernel (``dedup._block_pairs_fn`` with the
+    threshold disabled — row-wise cumsum = the sequential fold, so
+    every cosine is bit-identical to the SQL fold); symmetrize, take
+    per-vector top-1 with a (cos DESC, id ASC) total-order window, and
+    self-join the two directions. Zero-norm vectors are dropped by the
+    kernel; singleton buckets emit nothing (no neighbor in scope).
+    At 100 TB: one shuffle on the bucket key, |bucket|²-bounded work
+    per task, top-1 is a WindowGroupLimit heap — nothing quadratic in
+    the corpus. Columns: vec_a, vec_b, cos_sim.
+    """
+    from bigdata1_spark.operators.dedup import _block_pairs_fn
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", vectors.as_double(F.col("embedding")).alias("v")
+    )
+    bucketed = emb.withColumn(
+        "bucket", vectors.hyperplane_sign_key(F.col("v"), n_planes, dim, seed)
+    )
+    pairs = bucketed.groupBy("bucket").applyInPandas(
+        _block_pairs_fn(-2.0), "id1 long, id2 long, cos_sim double"
+    )
+    sym = pairs.select(
+        F.col("id1").alias("src"), F.col("id2").alias("nbr"), "cos_sim"
+    ).unionAll(
+        pairs.select(
+            F.col("id2").alias("src"), F.col("id1").alias("nbr"), "cos_sim"
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src").orderBy(
+        F.desc("cos_sim"), F.asc("nbr")
+    )
+    top1 = (
+        sym.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    x, y = top1.alias("x"), top1.alias("y")
+    return x.join(
+        y,
+        (F.col("x.src") == F.col("y.nbr"))
+        & (F.col("x.nbr") == F.col("y.src"))
+        & (F.col("x.src") < F.col("x.nbr")),
+    ).select(
+        F.col("x.src").alias("vec_a"),
+        F.col("x.nbr").alias("vec_b"),
+        F.col("x.cos_sim").alias("cos_sim"),
+    )

@@ -857,3 +857,200 @@ def iso_week_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+def bollinger_bands(
+    spark: SparkSession, sf_dir: str, window_days: int = 7, k: float = 2.0
+) -> DataFrame:
+    """Bollinger bands of daily event value per event type: trailing
+    ``window_days``-day moving average ± ``k`` population standard
+    deviations — the envelope monitor for "is today's level outside
+    its recent band?".
+
+    ONE scan → per-(type, day) exact sufficient statistics (count,
+    Σx, Σx² over value·100 in DECIMAL), then a RANGE frame over the
+    integer day index (value-based, so calendar gaps shrink the window
+    rather than silently stretching it across missing days, and peer
+    days are impossible — day is the sort key). Window sums add
+    DECIMALS — associative, so partial-agg order can't drift them; the
+    per-day float chain (mean, variance, ±k·σ) runs once at the end.
+    The input to the window is the DAILY table (≤ types × days rows),
+    never raw events — at 100 TB the window state is calendar-scale.
+    Days with no non-NULL value don't exist in the series (no
+    observation); NULL event_type is a real series; NULL ts rows have
+    no day coordinate and are excluded. Variance is clamped at 0
+    before sqrt (exact-integer inputs make true negatives impossible;
+    the clamp guards the constant-series cancellation ulp).
+    Columns: event_type, day, n_obs, n_window, ma, sd, upper_band,
+    lower_band.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.datediff(
+        F.to_date("ts"), F.to_date(F.lit("1970-01-01"))
+    ).cast("long")
+    x = F.round(F.col("value") * F.lit(100)).cast("long")
+    base = ev.select(
+        "event_type", day.alias("day"), x.alias("x")
+    ).filter(F.col("day").isNotNull() & F.col("x").isNotNull())
+    xd = F.col("x").cast("decimal(19,0)")
+    daily = base.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(xd).alias("s"),
+        F.sum(xd * xd).alias("q"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rangeBetween(-(window_days - 1), Window.currentRow)
+    )
+    win = daily.select(
+        "event_type",
+        "day",
+        "n_obs",
+        F.sum("n_obs").over(w).alias("wn"),
+        F.sum("s").over(w).alias("ws"),
+        F.sum("q").over(w).alias("wq"),
+    )
+    nd = F.col("wn").cast("double")
+    wsd = F.col("ws").cast("double")
+    wqd = F.col("wq").cast("double")
+    ma = (wsd / nd) / F.lit(100.0)
+    var = (wqd - wsd * wsd / nd) / nd
+    sd = F.sqrt(F.greatest(var, F.lit(0.0))) / F.lit(100.0)
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return win.select(
+        "event_type",
+        "day",
+        "n_obs",
+        F.col("wn").cast("long").alias("n_window"),
+        r6(ma).alias("ma"),
+        r6(sd).alias("sd"),
+        r6(ma + F.lit(k) * sd).alias("upper_band"),
+        r6(ma - F.lit(k) * sd).alias("lower_band"),
+    )
+
+
+def rsi(
+    spark: SparkSession, sf_dir: str, periods: int = 14
+) -> DataFrame:
+    """Relative Strength Index of the daily event-value total per event
+    type (Cutler's SMA form): RSI = 100·Σgains / (Σgains + Σlosses)
+    over the trailing ``periods`` day-over-day deltas — the classic
+    bounded momentum oscillator, here as the "is this metric's recent
+    movement all one direction?" monitor.
+
+    Deltas compare CONSECUTIVE OBSERVED days (lag over the day-ordered
+    series — a calendar gap produces one delta spanning it, the
+    convention price series use for non-trading days), so the window
+    is a ROWS frame over deltas, not a RANGE over days. Daily totals,
+    deltas, gains and losses are exact integer cents summed in
+    DECIMAL; RSI is ONE double chain (the Σg/(Σg+Σl) form avoids the
+    RS division entirely — no ±∞ when losses are zero). All-flat
+    windows (Σg+Σl = 0) emit NULL. The first observed day has no delta
+    and emits no row. Window input is the calendar-scale daily table.
+    Columns: event_type, day, delta_cents, n_deltas, rsi.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.datediff(
+        F.to_date("ts"), F.to_date(F.lit("1970-01-01"))
+    ).cast("long")
+    x = F.round(F.col("value") * F.lit(100)).cast("long")
+    daily = (
+        ev.select("event_type", day.alias("day"), x.alias("x"))
+        .filter(F.col("day").isNotNull() & F.col("x").isNotNull())
+        .groupBy("event_type", "day")
+        .agg(F.sum(F.col("x").cast("decimal(19,0)")).alias("s"))
+    )
+    order = Window.partitionBy("event_type").orderBy("day")
+    delta = (
+        daily.select(
+            "event_type",
+            "day",
+            (F.col("s") - F.lag("s", 1).over(order))
+            .cast("long")
+            .alias("d"),
+        )
+        .filter(F.col("d").isNotNull())
+    )
+    wf = order.rowsBetween(-(periods - 1), Window.currentRow)
+    g = F.greatest(F.col("d"), F.lit(0)).cast("decimal(19,0)")
+    l = F.greatest(-F.col("d"), F.lit(0)).cast("decimal(19,0)")
+    win = delta.select(
+        "event_type",
+        "day",
+        F.col("d").alias("delta_cents"),
+        F.count(F.lit(1)).over(wf).cast("long").alias("n_deltas"),
+        F.sum(g).over(wf).alias("sg"),
+        F.sum(l).over(wf).alias("sl"),
+    )
+    tot = F.col("sg").cast("double") + F.col("sl").cast("double")
+    rsi_val = F.lit(100.0) * F.col("sg").cast("double") / tot
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return win.select(
+        "event_type",
+        "day",
+        "delta_cents",
+        "n_deltas",
+        F.when(tot > 0, r6(rsi_val)).alias("rsi"),
+    )
+
+
+def drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running drawdown of the daily event-value total per event type:
+    how far today's level sits below its running peak, and the deepest
+    such dip so far — the "metric fell X% from its high-water mark"
+    monitor.
+
+    The running peak is an UNBOUNDED-PRECEDING max over exact integer
+    cents (order-free); per-day drawdown (peak − cur)/peak is ONE
+    double chain snapped to the 1e-6 grid, and the running MAX of
+    those snapped doubles is deterministic because every input double
+    is bit-identical in both engines. peak ≥ cur > 0 whenever value
+    totals are positive; a zero or negative peak (possible only if
+    values sum negative) emits NULL drawdowns rather than a sign-
+    flipped ratio. Window input is the calendar-scale daily table.
+    Columns: event_type, day, cents, peak_cents, drawdown,
+    max_drawdown.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.datediff(
+        F.to_date("ts"), F.to_date(F.lit("1970-01-01"))
+    ).cast("long")
+    x = F.round(F.col("value") * F.lit(100)).cast("long")
+    daily = (
+        ev.select("event_type", day.alias("day"), x.alias("x"))
+        .filter(F.col("day").isNotNull() & F.col("x").isNotNull())
+        .groupBy("event_type", "day")
+        .agg(F.sum(F.col("x").cast("decimal(19,0)")).alias("s"))
+    )
+    run = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    peaked = daily.select(
+        "event_type",
+        "day",
+        F.col("s").cast("long").alias("cents"),
+        F.max(F.col("s").cast("long")).over(run).alias("peak_cents"),
+    )
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    dd = r6(
+        (F.col("peak_cents").cast("double") - F.col("cents").cast("double"))
+        / F.col("peak_cents").cast("double")
+    )
+    stepped = peaked.select(
+        "event_type",
+        "day",
+        "cents",
+        "peak_cents",
+        F.when(F.col("peak_cents") > 0, dd).alias("drawdown"),
+    )
+    return stepped.select(
+        "event_type",
+        "day",
+        "cents",
+        "peak_cents",
+        "drawdown",
+        F.max("drawdown").over(run).alias("max_drawdown"),
+    )

@@ -6590,3 +6590,279 @@ register(
     FROM agg
     """,
 )
+
+# Bollinger bands: calendar-scale daily sufficient statistics, exact
+# DECIMAL/HUGEINT RANGE-frame sums, one float chain per day.
+register(
+    "bollinger_bands",
+    temporal.bollinger_bands,
+    """
+    WITH base AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+             CAST(ROUND(value * 100) AS BIGINT) AS x
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ), daily AS (
+      SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS n_obs,
+             SUM(CAST(x AS HUGEINT)) AS s,
+             SUM(CAST(x AS HUGEINT) * x) AS q
+      FROM base GROUP BY 1, 2
+    ), win AS (
+      SELECT event_type, day, n_obs,
+             SUM(n_obs) OVER w AS wn,
+             SUM(s) OVER w AS ws,
+             SUM(q) OVER w AS wq
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ), c AS (
+      SELECT event_type, day, n_obs, wn,
+             (CAST(ws AS DOUBLE) / CAST(wn AS DOUBLE)) / 100.0 AS ma,
+             sqrt(GREATEST((CAST(wq AS DOUBLE)
+                            - CAST(ws AS DOUBLE) * CAST(ws AS DOUBLE)
+                              / CAST(wn AS DOUBLE))
+                           / CAST(wn AS DOUBLE), 0.0)) / 100.0 AS sd
+      FROM win
+    )
+    SELECT event_type, day, n_obs, CAST(wn AS BIGINT) AS n_window,
+           FLOOR(ma * 1e6 + 0.5) / 1e6 AS ma,
+           FLOOR(sd * 1e6 + 0.5) / 1e6 AS sd,
+           FLOOR((ma + 2.0 * sd) * 1e6 + 0.5) / 1e6 AS upper_band,
+           FLOOR((ma - 2.0 * sd) * 1e6 + 0.5) / 1e6 AS lower_band
+    FROM c
+    """,
+)
+
+# Multi-horizon rolling features: per-(user, day) pre-aggregate, two
+# RANGE frames over one sort, exact integers end-to-end (no floats).
+register(
+    "user_rolling_features",
+    event_analytics.user_rolling_features,
+    """
+    WITH daily AS (
+      SELECT user_id,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             SUM(CAST(COALESCE(CAST(ROUND(value * 100) AS BIGINT), 0)
+                      AS HUGEINT)) AS cents
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT user_id, day, n_events,
+           CAST(SUM(n_events) OVER w7 AS BIGINT) AS n_7d,
+           CAST(SUM(n_events) OVER w30 AS BIGINT) AS n_30d,
+           CAST(SUM(cents) OVER w7 AS BIGINT) AS cents_7d,
+           CAST(SUM(cents) OVER w30 AS BIGINT) AS cents_30d,
+           CAST(COUNT(*) OVER w30 AS BIGINT) AS days_active_30d
+    FROM daily
+    WINDOW w7 AS (PARTITION BY user_id ORDER BY day
+                  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW),
+           w30 AS (PARTITION BY user_id ORDER BY day
+                   RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+    """,
+)
+
+# Grid-bucketed nearest-supplier spatial join: pure integer coordinate
+# derivation and squared distances; 3x3 neighborhood radius contract.
+register(
+    "geo_grid_join",
+    matching.geo_grid_join,
+    """
+    WITH probes AS (
+      SELECT c_custkey,
+             (c_custkey * 48271) % 100000 AS cx,
+             (c_custkey * 69621) % 100000 AS cy
+      FROM customer WHERE c_custkey IS NOT NULL
+    ), cells AS (
+      SELECT p.c_custkey, p.cx, p.cy,
+             (p.cx // 10000) + dx.d AS gx,
+             (p.cy // 10000) + dy.d AS gy
+      FROM probes p,
+           (SELECT unnest([-1, 0, 1]) AS d) dx,
+           (SELECT unnest([-1, 0, 1]) AS d) dy
+    ), builds AS (
+      SELECT s_suppkey,
+             (s_suppkey * 40692) % 100000 AS sx,
+             (s_suppkey * 52774) % 100000 AS sy,
+             ((s_suppkey * 40692) % 100000) // 10000 AS gx,
+             ((s_suppkey * 52774) % 100000) // 10000 AS gy
+      FROM supplier WHERE s_suppkey IS NOT NULL
+    ), scored AS (
+      SELECT c.c_custkey, b.s_suppkey,
+             (c.cx - b.sx) * (c.cx - b.sx)
+             + (c.cy - b.sy) * (c.cy - b.sy) AS dist2
+      FROM cells c JOIN builds b ON c.gx = b.gx AND c.gy = b.gy
+    ), ranked AS (
+      SELECT c_custkey, s_suppkey, dist2,
+             ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                ORDER BY dist2 ASC, s_suppkey ASC) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY c_custkey) AS BIGINT)
+               AS n_candidates
+      FROM scored
+    )
+    SELECT c_custkey, s_suppkey, CAST(dist2 AS BIGINT) AS dist2,
+           n_candidates
+    FROM ranked WHERE rn = 1
+    """,
+)
+
+# Mutual nearest neighbors within seed-19 LSH blocks: bucket key and
+# normalized-vector cosine both rebuilt from the same literals as the
+# Spark kernel (the dedup_embedding parity pattern); reciprocal top-1.
+register(
+    "mutual_knn",
+    similarity.mutual_knn,
+    f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), withnorm AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+             {_duck_hyperplane_bucket('v', seed=19, n_planes=3, dim=64)}
+               AS bucket
+      FROM e
+    ), n AS (
+      SELECT vec_id, bucket, list_transform(v, x -> x / nrm) AS vn
+      FROM withnorm WHERE nrm > 0
+    ), pairs AS (
+      SELECT a.vec_id AS id1, b.vec_id AS id2,
+             list_dot_product(a.vn, b.vn) AS cos_sim
+      FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ), sym AS (
+      SELECT id1 AS src, id2 AS nbr, cos_sim FROM pairs
+      UNION ALL
+      SELECT id2 AS src, id1 AS nbr, cos_sim FROM pairs
+    ), top1 AS (
+      SELECT src, nbr, cos_sim FROM (
+        SELECT src, nbr, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY src
+                                  ORDER BY cos_sim DESC, nbr ASC) AS rn
+        FROM sym
+      ) WHERE rn = 1
+    )
+    SELECT x.src AS vec_a, x.nbr AS vec_b, x.cos_sim AS cos_sim
+    FROM top1 x JOIN top1 y
+      ON x.src = y.nbr AND x.nbr = y.src AND x.src < x.nbr
+    """,
+)
+
+# Cutler RSI over consecutive-observed-day deltas: exact integer cent
+# deltas/gains/losses, ROWS frame, Σg/(Σg+Σl) single chain.
+register(
+    "rsi",
+    temporal.rsi,
+    """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+             SUM(CAST(CAST(ROUND(value * 100) AS BIGINT) AS HUGEINT)) AS s
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1, 2
+    ), delta AS (
+      SELECT event_type, day,
+             CAST(s - LAG(s, 1) OVER (PARTITION BY event_type
+                                      ORDER BY day) AS BIGINT) AS d
+      FROM daily
+    ), win AS (
+      SELECT event_type, day, d AS delta_cents,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n_deltas,
+             SUM(CAST(GREATEST(d, 0) AS HUGEINT)) OVER w AS sg,
+             SUM(CAST(GREATEST(-d, 0) AS HUGEINT)) OVER w AS sl
+      FROM delta WHERE d IS NOT NULL
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, day, delta_cents, n_deltas,
+           CASE WHEN CAST(sg AS DOUBLE) + CAST(sl AS DOUBLE) > 0
+                THEN FLOOR((100.0 * CAST(sg AS DOUBLE)
+                            / (CAST(sg AS DOUBLE) + CAST(sl AS DOUBLE)))
+                           * 1e6 + 0.5) / 1e6
+           END AS rsi
+    FROM win
+    """,
+)
+
+# Running drawdown from the integer-cent high-water mark; the running
+# MAX over snapped per-day drawdowns is order-free (identical doubles).
+register(
+    "drawdown",
+    temporal.drawdown,
+    """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+             CAST(SUM(CAST(CAST(ROUND(value * 100) AS BIGINT)
+                           AS HUGEINT)) AS BIGINT) AS cents
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+      GROUP BY 1, 2
+    ), peaked AS (
+      SELECT event_type, day, cents,
+             MAX(cents) OVER w AS peak_cents
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), stepped AS (
+      SELECT event_type, day, cents, peak_cents,
+             CASE WHEN peak_cents > 0
+                  THEN FLOOR(((CAST(peak_cents AS DOUBLE)
+                               - CAST(cents AS DOUBLE))
+                              / CAST(peak_cents AS DOUBLE))
+                             * 1e6 + 0.5) / 1e6
+             END AS drawdown
+      FROM peaked
+    )
+    SELECT event_type, day, cents, peak_cents, drawdown,
+           MAX(drawdown) OVER (PARTITION BY event_type ORDER BY day
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS max_drawdown
+    FROM stepped
+    """,
+)
+
+# Link-prediction triad per existing co-supplier edge: id-ordered
+# triangle credit, exact integer counts, Adamic–Adar with snapped
+# 1/ln(deg) terms folded in common-neighbor id order.
+register(
+    "link_prediction",
+    graph.link_prediction,
+    """
+    WITH e AS (
+      SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+      FROM lineitem x JOIN lineitem y
+        ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+    ), deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+      GROUP BY 1
+    ), tri AS (
+      SELECT e1.a AS u, e1.b AS v, e2.b AS w
+      FROM e e1 JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ), contrib AS (
+      SELECT u AS a, v AS b, w AS cn FROM tri
+      UNION ALL SELECT u AS a, w AS b, v AS cn FROM tri
+      UNION ALL SELECT v AS a, w AS b, u AS cn FROM tri
+    ), terms AS (
+      SELECT c.a, c.b, c.cn,
+             FLOOR((1.0 / ln(CAST(d.degree AS DOUBLE))) * 1e6 + 0.5)
+               / 1e6 AS t
+      FROM contrib c JOIN deg d ON d.node = c.cn
+    ), agg AS (
+      SELECT a, b, CAST(COUNT(*) AS BIGINT) AS common,
+             COALESCE(list_reduce(list_prepend(0.0,
+               list(t ORDER BY cn)), (x, y) -> x + y), 0.0) AS aa
+      FROM terms GROUP BY 1, 2
+    )
+    SELECT e.a AS node_a, e.b AS node_b,
+           da.degree AS deg_a, db.degree AS deg_b,
+           CAST(COALESCE(g.common, 0) AS BIGINT) AS common_neighbors,
+           FLOOR((CAST(COALESCE(g.common, 0) AS DOUBLE)
+                  / (CAST(da.degree AS DOUBLE) + CAST(db.degree AS DOUBLE)
+                     - CAST(COALESCE(g.common, 0) AS DOUBLE)))
+                 * 1e6 + 0.5) / 1e6 AS jaccard,
+           FLOOR(COALESCE(g.aa, 0.0) * 1e6 + 0.5) / 1e6 AS adamic_adar
+    FROM e
+    JOIN deg da ON da.node = e.a
+    JOIN deg db ON db.node = e.b
+    LEFT JOIN agg g ON g.a = e.a AND g.b = e.b
+    """,
+)

@@ -923,3 +923,243 @@ def test_iso_week_rollup_boundary_weeks(spark, sf_dir):
         .filter(F.col("l_shipdate").isNotNull())
         .count()
     )
+
+
+def test_bollinger_bands_matches_pure_python(spark, duck, sf_dir):
+    """Band math recomputed with a Python dict-of-days walk (no window
+    frames, no scaled integers) — pins the RANGE-frame semantics:
+    calendar gaps shrink the window; days without observations don't
+    exist."""
+    import math
+
+    from bigdata1_spark.operators import temporal
+
+    rows = duck.execute(
+        "SELECT event_type, CAST(CAST(ts AS DATE) - DATE '1970-01-01' "
+        "AS BIGINT), value FROM events "
+        "WHERE ts IS NOT NULL AND value IS NOT NULL"
+    ).fetchall()
+    series: dict = {}
+    for et, day, v in rows:
+        series.setdefault(et, {}).setdefault(day, []).append(v)
+    got = {(r.event_type, r.day): r
+           for r in temporal.bollinger_bands(spark, sf_dir).collect()}
+    expect_keys = {(et, d) for et, ds in series.items() for d in ds}
+    assert set(got) == expect_keys
+    for (et, d), r in got.items():
+        window = [v for dd, vs in series[et].items()
+                  if d - 6 <= dd <= d for v in vs]
+        n = len(window)
+        ma = sum(window) / n
+        var = sum((x - ma) ** 2 for x in window) / n
+        assert r.n_obs == len(series[et][d])
+        assert r.n_window == n
+        assert abs(r.ma - ma) < 1e-6
+        assert abs(r.sd - math.sqrt(var)) < 1e-5
+        assert abs(r.upper_band - (ma + 2 * math.sqrt(var))) < 1e-4
+        assert abs(r.lower_band - (ma - 2 * math.sqrt(var))) < 1e-4
+
+
+def test_user_rolling_features_matches_pure_python(spark, duck, sf_dir):
+    """Rolling horizons recomputed by brute day filtering per user."""
+    from bigdata1_spark.operators import event_analytics
+
+    rows = duck.execute(
+        "SELECT user_id, CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS "
+        "BIGINT), CAST(COALESCE(CAST(ROUND(value*100) AS BIGINT), 0) AS "
+        "BIGINT) FROM events WHERE ts IS NOT NULL"
+    ).fetchall()
+    per: dict = {}
+    for u, d, c in rows:
+        agg = per.setdefault(u, {}).setdefault(d, [0, 0])
+        agg[0] += 1
+        agg[1] += c
+    got = {(r.user_id, r.day): r
+           for r in
+           event_analytics.user_rolling_features(spark, sf_dir).collect()}
+    assert set(got) == {(u, d) for u, ds in per.items() for d in ds}
+    for (u, d), r in got.items():
+        days = per[u]
+        w7 = [dd for dd in days if d - 6 <= dd <= d]
+        w30 = [dd for dd in days if d - 29 <= dd <= d]
+        assert r.n_events == days[d][0]
+        assert r.n_7d == sum(days[dd][0] for dd in w7)
+        assert r.n_30d == sum(days[dd][0] for dd in w30)
+        assert r.cents_7d == sum(days[dd][1] for dd in w7)
+        assert r.cents_30d == sum(days[dd][1] for dd in w30)
+        assert r.days_active_30d == len(w30)
+
+
+def test_geo_grid_join_matches_brute_force(spark, duck, sf_dir):
+    """Nearest-in-neighborhood recomputed by brute force over all
+    (customer, supplier) pairs restricted to the 3×3 cell radius."""
+    from bigdata1_spark.operators import matching
+
+    custs = [r[0] for r in duck.execute(
+        "SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL"
+    ).fetchall()]
+    supps = [r[0] for r in duck.execute(
+        "SELECT s_suppkey FROM supplier WHERE s_suppkey IS NOT NULL"
+    ).fetchall()]
+    M, C = matching.GEO_MOD, matching.GEO_CELL
+    sc = [(s, (s * matching._SX) % M, (s * matching._SY) % M)
+          for s in supps]
+    got = {r.c_custkey: r
+           for r in matching.geo_grid_join(spark, sf_dir).collect()}
+    for c in custs:
+        cx, cy = (c * matching._CX) % M, (c * matching._CY) % M
+        cands = [
+            (((cx - sx) ** 2 + (cy - sy) ** 2), s)
+            for s, sx, sy in sc
+            if abs(sx // C - cx // C) <= 1 and abs(sy // C - cy // C) <= 1
+        ]
+        if not cands:
+            assert c not in got
+            continue
+        best = min(cands)
+        r = got[c]
+        assert (r.dist2, r.s_suppkey) == best
+        assert r.n_candidates == len(cands)
+
+
+def test_mutual_knn_is_a_matching_and_matches_brute_force(spark, sf_dir):
+    """Mutual top-1 pairs recomputed with numpy per bucket; mutuality
+    makes the pair set a matching (each vector in ≤ 1 pair)."""
+    import numpy as np
+
+    from bigdata1_spark.functions.vectors import hyperplane_planes
+    from bigdata1_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).collect()
+    planes = np.array(hyperplane_planes(
+        similarity.MUTUAL_KNN_PLANES, 64, similarity.MUTUAL_KNN_SEED))
+    buckets: dict = {}
+    for r in emb:
+        v = np.array(r.v)
+        nrm = float(np.sqrt((v * v).sum()))
+        if nrm == 0:
+            continue
+        key = 0
+        for p in planes:
+            key = key * 2 + (1 if float(p @ v) >= 0 else 0)
+        buckets.setdefault(key, []).append((r.vec_id, v / nrm))
+    best: dict = {}
+    for vs in buckets.values():
+        for i, (a, va) in enumerate(vs):
+            for b, vb in vs:
+                if a == b:
+                    continue
+                s = float((va * vb).sum())
+                cur = best.get(a)
+                if cur is None or (s, -b) > (cur[0], -cur[1]):
+                    best[a] = (s, b)
+    expect = {(a, sb[1]) for a, sb in best.items()
+              if a < sb[1] and best.get(sb[1], (None, None))[1] == a}
+    got = {(r.vec_a, r.vec_b)
+           for r in similarity.mutual_knn(spark, sf_dir).collect()}
+    assert got == expect
+    seen: set = set()
+    for a, b in got:
+        assert a not in seen and b not in seen
+        seen.update((a, b))
+
+
+def test_rsi_matches_pure_python(spark, duck, sf_dir):
+    """RSI recomputed from a per-type sorted day walk in Python."""
+    from bigdata1_spark.operators import temporal
+
+    rows = duck.execute(
+        "SELECT event_type, CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS "
+        "BIGINT) AS day, SUM(CAST(ROUND(value*100) AS BIGINT)) FROM events "
+        "WHERE ts IS NOT NULL AND value IS NOT NULL GROUP BY 1, 2"
+    ).fetchall()
+    series: dict = {}
+    for et, d, s in series_rows(rows):
+        series.setdefault(et, {})[d] = s
+    got = {(r.event_type, r.day): r
+           for r in temporal.rsi(spark, sf_dir).collect()}
+    expect = set()
+    for et, days in series.items():
+        ds = sorted(days)
+        deltas = [(ds[i], days[ds[i]] - days[ds[i - 1]])
+                  for i in range(1, len(ds))]
+        expect.update((et, d) for d, _ in deltas)
+        for i, (d, _) in enumerate(deltas):
+            win = [dv for _, dv in deltas[max(0, i - 13): i + 1]]
+            r = got[(et, d)]
+            assert r.delta_cents == deltas[i][1]
+            assert r.n_deltas == len(win)
+            sg = sum(x for x in win if x > 0)
+            sl = sum(-x for x in win if x < 0)
+            if sg + sl == 0:
+                assert r.rsi is None
+            else:
+                assert abs(r.rsi - 100.0 * sg / (sg + sl)) < 1e-6
+                assert -1e-9 <= r.rsi <= 100.0 + 1e-9
+    assert set(got) == expect
+
+
+def series_rows(rows):
+    return [(et, int(d), int(s)) for et, d, s in rows]
+
+
+def test_drawdown_matches_pure_python(spark, duck, sf_dir):
+    from bigdata1_spark.operators import temporal
+
+    rows = duck.execute(
+        "SELECT event_type, CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS "
+        "BIGINT), SUM(CAST(ROUND(value*100) AS BIGINT)) FROM events "
+        "WHERE ts IS NOT NULL AND value IS NOT NULL GROUP BY 1, 2"
+    ).fetchall()
+    series: dict = {}
+    for et, d, s in series_rows(rows):
+        series.setdefault(et, {})[d] = s
+    got = {(r.event_type, r.day): r
+           for r in temporal.drawdown(spark, sf_dir).collect()}
+    assert set(got) == {(et, d) for et, ds in series.items() for d in ds}
+    for et, days in series.items():
+        peak, maxdd = None, None
+        for d in sorted(days):
+            cur = days[d]
+            peak = cur if peak is None else max(peak, cur)
+            r = got[(et, d)]
+            assert (r.cents, r.peak_cents) == (cur, peak)
+            if peak > 0:
+                dd = (peak - cur) / peak
+                assert abs(r.drawdown - dd) < 1e-6
+                maxdd = dd if maxdd is None else max(maxdd, dd)
+            if maxdd is None:
+                assert r.max_drawdown is None
+            else:
+                assert abs(r.max_drawdown - maxdd) < 1e-6
+                assert r.max_drawdown >= r.drawdown - 1e-9
+
+
+def test_link_prediction_matches_pure_python(spark, duck, sf_dir):
+    """Scores recomputed via Python adjacency-set intersections."""
+    import math
+
+    from bigdata1_spark.operators import graph
+
+    edges = duck.execute(
+        "SELECT DISTINCT x.l_suppkey, y.l_suppkey FROM lineitem x "
+        "JOIN lineitem y ON x.l_orderkey = y.l_orderkey "
+        "AND x.l_suppkey < y.l_suppkey"
+    ).fetchall()
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    got = {(r.node_a, r.node_b): r
+           for r in graph.link_prediction(spark, sf_dir).collect()}
+    assert set(got) == {(a, b) for a, b in edges}
+    for (a, b), r in got.items():
+        common = adj[a] & adj[b]
+        da, db = len(adj[a]), len(adj[b])
+        assert (r.deg_a, r.deg_b) == (da, db)
+        assert r.common_neighbors == len(common)
+        assert abs(r.jaccard - len(common) / (da + db - len(common))) < 1e-6
+        aa = sum(1.0 / math.log(len(adj[w])) for w in common)
+        assert abs(r.adamic_adar - aa) < 1e-4

@@ -956,6 +956,7 @@ SCAN_BUDGETS = {
     "benford_digits": 1,
     "billing_total_b": 2,
     "bm25_search": 2,
+    "bollinger_bands": 1,
     "bpe_merge_round": 0,
     "bpe_merge_round2": 0,
     "bpe_pair_counts": 1,
@@ -993,6 +994,7 @@ SCAN_BUDGETS = {
     "doc_chunking": 1,
     "doc_entropy": 1,
     "domain_cap": 1,
+    "drawdown": 1,
     "dpp_join": 0,
     "dq_expectations": 3,  # single agg pass + referential anti-join (lineitem x2) + orders
     "dsir_sample": 1,
@@ -1017,6 +1019,7 @@ SCAN_BUDGETS = {
     "filter_predicate": 1,
     "fingerprint": 1,
     "funnel_conversion": 4,  # 3 event_type-pruned stage scans + users distinct; stage aggs cached
+    "geo_grid_join": 2,  # probe + broadcast build side
     "fuzzy_join": 4,  # dim-table fuzzy self-join (both sides + blocking branches)
     "gen_billings": 0,
     "gini_mad": 1,
@@ -1055,6 +1058,7 @@ SCAN_BUDGETS = {
     "knn_classify": 2,
     "knn_join": 2,
     "lang_id": 2,
+    "link_prediction": 0,  # edges localCheckpoint-ed eagerly (the triangle_count pattern)
     "limit_n": 1,
     "linreg_trend": 1,
     "locf_fill": 1,  # r14 capped-gap rewrite: single shared hourly-obs scan
@@ -1064,6 +1068,7 @@ SCAN_BUDGETS = {
     "mann_whitney": 1,
     "moments_profile": 1,
     "multimodal_join": 2,
+    "mutual_knn": 1,
     "naive_bayes_lang": 2,  # token-count cache fill + the text-free doc->lang base scan (column-pruned)
     "mutual_info": 1,
     "multimodal_pipeline": 0,
@@ -1095,6 +1100,7 @@ SCAN_BUDGETS = {
     "repetition_metrics": 2,
     "resample_interpolate": 1,  # r14 capped-gap rewrite: single scan
     "retention_cohorts": 2,
+    "rsi": 1,
     "rollup_multires": 1,
     "rrf_fusion": 4,  # composition: bm25_search (2 documents scans) + sim_topk (2 embeddings scans)
     "runtime_filter_join": 0,
@@ -1186,6 +1192,7 @@ SCAN_BUDGETS = {
     "unpivot_metrics": 1,
     "upsert_apply": 3,  # fixture derives changes from base (cached children); production reads a real CDC table
     "user_paths": 1,
+    "user_rolling_features": 1,
     "vocab_encode": 2,
     "welch_ttest": 1,
     "window_first_last": 1,
