@@ -532,3 +532,187 @@ def user_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").over(w30).cast("long").alias("cents_30d"),
         F.count(F.lit(1)).over(w30).cast("long").alias("days_active_30d"),
     )
+
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation over
+    the events stream: days since last activity, event count, and cent
+    total per user, each scored into equal-rank-band quintiles (5 =
+    best) and packed into the classic three-digit segment label.
+
+    Scores are NOT a naive ``NTILE() OVER (ORDER BY …)`` — that plans a
+    single-partition global sort. Each metric's global rank uses the
+    ``global_enumerate`` two-pass offset pattern instead: rows land in
+    fixed literal-arithmetic value buckets, pass 1 turns per-bucket
+    counts into starting offsets (a window over the bucket table only —
+    constant-bounded), pass 2 ranks inside each bucket in parallel.
+    score = 5 − floor((rank−1)·5 / N) with rank 1 = best — exact
+    integer arithmetic, deterministic via a user_id tie-break, and the
+    contract is the explicit formula (equal rank bands), not NTILE's
+    remainder-first buckets. The per-user base is cached (it fans into
+    the reference day, N, and three rank passes). Users with no
+    timestamped events have no recency and are excluded; NULL values
+    add 0 cents; NULL user_id is a real user. The only division is the
+    score quotient — exact-integer operands with quotient ≤ 5, so the
+    floor is boundary-safe for any N < 2e15.
+    Columns: user_id, recency_days, frequency, monetary_cents,
+    r_score, f_score, m_score, segment.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.datediff(
+        F.to_date("ts"), F.to_date(F.lit("1970-01-01"))
+    ).cast("long")
+    cents = F.round(F.col("value") * F.lit(100)).cast("long")
+    per_user = (
+        ev.select("user_id", day.alias("day"), cents.alias("c"))
+        .filter(F.col("day").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.max("day").alias("last_day"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.coalesce(F.col("c"), F.lit(0)).cast("decimal(19,0)"))
+            .cast("long")
+            .alias("monetary_cents"),
+        )
+        .cache()
+    )
+    ref = per_user.agg(
+        F.max("last_day").alias("ref_day"),
+        F.count(F.lit(1)).alias("n_users"),
+    )
+    base = per_user.crossJoin(F.broadcast(ref)).select(
+        "user_id",
+        (F.col("ref_day") - F.col("last_day")).alias("recency_days"),
+        "frequency",
+        "monetary_cents",
+        "n_users",
+    )
+
+    def _ranked(df: DataFrame, bucket: F.Column, order_cols: list,
+                name: str) -> DataFrame:
+        """Scale-safe global rank: fixed value buckets, cumulative
+        offsets over the bucket table, parallel in-bucket row_number."""
+        tagged = df.withColumn("_b", bucket)
+        cnts = tagged.groupBy("_b").agg(F.count(F.lit(1)).alias("_c"))
+        w_off = (
+            Window.orderBy("_b")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offs = cnts.select(
+            "_b",
+            F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off"),
+        )
+        wb = Window.partitionBy("_b").orderBy(*order_cols)
+        # localCheckpoint truncates lineage between passes (the pagerank
+        # discipline): without it pass N's bucket-count branch re-plans
+        # passes 1..N-1 end-to-end (52 exchanges in the naive plan)
+        return (
+            tagged.join(F.broadcast(offs), "_b")
+            .withColumn(
+                name,
+                (F.col("_off") + F.row_number().over(wb)).cast("long"),
+            )
+            .drop("_b", "_off")
+            .localCheckpoint()
+        )
+
+    # rank 1 = best. Recency: smaller is better (ascending buckets);
+    # frequency/monetary: larger is better (negated buckets descend).
+    ranked = _ranked(
+        base,
+        (F.col("recency_days") / F.lit(32)).cast("long"),
+        [F.asc("recency_days"), F.asc_nulls_first("user_id")],
+        "r_rank",
+    )
+    ranked = _ranked(
+        ranked,
+        (-F.col("frequency") / F.lit(16)).cast("long"),
+        [F.desc("frequency"), F.asc_nulls_first("user_id")],
+        "f_rank",
+    )
+    ranked = _ranked(
+        ranked,
+        (-F.col("monetary_cents") / F.lit(100_000)).cast("long"),
+        [F.desc("monetary_cents"), F.asc_nulls_first("user_id")],
+        "m_rank",
+    )
+
+    def score(rank: str) -> F.Column:
+        return (
+            F.lit(5)
+            - F.floor(
+                (F.col(rank) - 1) * F.lit(5) / F.col("n_users")
+            )
+        ).cast("long")
+
+    scored = ranked.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        score("r_rank").alias("r_score"),
+        score("f_rank").alias("f_score"),
+        score("m_rank").alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.concat_ws(
+            "",
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ),
+    )
+
+
+def conversion_lag(
+    spark: SparkSession,
+    sf_dir: str,
+    from_type: str = "view",
+    to_type: str = "purchase",
+) -> DataFrame:
+    """First-touch conversion lag per user: time from the user's FIRST
+    ``from_type`` event to their FIRST ``to_type`` event — the
+    time-to-convert distribution behind funnel latency dashboards
+    (funnel_conversion counts WHO converts; this measures HOW LONG).
+
+    ONE scan, type-pruned at the parquet reader (the IN filter pushes
+    down), ONE groupBy with two conditional MIN aggregates — never a
+    per-type self-join. Timestamps are exact integer microseconds
+    (``unix_micros`` ↔ ``epoch_us`` — the inter_event_gap_stats
+    parity idiom, safe on pre-1970/extreme timestamps). ``converted``
+    requires the first purchase at-or-after the first view (a purchase
+    that precedes any view is attribution-ambiguous; its lag stays
+    NULL and converted = 0 — documented contract). Users with neither
+    event type are absent; NULL ts rows are excluded; NULL user_id is
+    a real user. Columns: user_id, first_view_us, first_purchase_us,
+    lag_us, converted.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("event_type").isin(from_type, to_type)
+    )
+    us = F.unix_micros("ts")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == from_type, us)).alias(
+            "first_view_us"
+        ),
+        F.min(F.when(F.col("event_type") == to_type, us)).alias(
+            "first_purchase_us"
+        ),
+    )
+    ok = (
+        F.col("first_view_us").isNotNull()
+        & F.col("first_purchase_us").isNotNull()
+        & (F.col("first_purchase_us") >= F.col("first_view_us"))
+    )
+    return per_user.select(
+        "user_id",
+        "first_view_us",
+        "first_purchase_us",
+        F.when(
+            ok, F.col("first_purchase_us") - F.col("first_view_us")
+        ).alias("lag_us"),
+        ok.cast("long").alias("converted"),
+    )

@@ -595,9 +595,11 @@ def mutual_knn(
     bucketed = emb.withColumn(
         "bucket", vectors.hyperplane_sign_key(F.col("v"), n_planes, dim, seed)
     )
+    # cached: the symmetrize union's two branches would otherwise each
+    # run the grouped-map kernel (the dsir multi-consumer-lineage class)
     pairs = bucketed.groupBy("bucket").applyInPandas(
         _block_pairs_fn(-2.0), "id1 long, id2 long, cos_sim double"
-    )
+    ).cache()
     sym = pairs.select(
         F.col("id1").alias("src"), F.col("id2").alias("nbr"), "cos_sim"
     ).unionAll(
@@ -610,10 +612,12 @@ def mutual_knn(
     w = Window.partitionBy("src").orderBy(
         F.desc("cos_sim"), F.asc("nbr")
     )
+    # cached: the mutuality self-join consumes top1 on BOTH sides
     top1 = (
         sym.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .drop("rn")
+        .cache()
     )
     x, y = top1.alias("x"), top1.alias("y")
     return x.join(

@@ -1456,3 +1456,93 @@ def moments_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, _round6(kurt)).alias("kurtosis"),
         F.when(ok, _round6(jb)).alias("jarque_bera"),
     )
+
+
+def iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier profile of ``l_quantity`` per return flag:
+    exact type-7 quartiles, IQR, and the count of rows beyond the
+    1.5·IQR fences — the box-plot audit, computed ENTIRELY in integer
+    arithmetic (no row sort, no float comparisons anywhere).
+
+    Quartiles come from the domain-bounded (group, value) cell table
+    (the spearman/gini contingency trick — ≤ 50 cells per group at ANY
+    row count): cumulative cell offsets locate the two bracketing
+    values of index h = (n−1)·p, and the type-7 interpolation is kept
+    as the EXACT INTEGER 4·q = 4·v_lo + rem·(v_hi − v_lo) (rem =
+    4h mod 4). Fence tests clear denominators the same way:
+    8·v < 2·(4q₁) − 3·IQR₄ — pure BIGINT inequalities, so outlier
+    counts cannot sit on a float boundary. Emitted q1/q3/iqr divide
+    the exact quarters by 4.0 (dyadic — FP-exact). NULL quantities are
+    excluded; NULL flags form a real group; a 1-row group has q1 = q3
+    and zero outliers. Columns: grp, n, q1, q3, iqr, n_low, n_high.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = (
+        li.select(
+            F.col("l_returnflag").alias("grp"),
+            F.round(F.col("l_quantity")).cast("long").alias("v"),
+        )
+        .filter(F.col("v").isNotNull())
+        .groupBy("grp", "v")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .cache()
+    )
+    wg = Window.partitionBy("grp")
+    wcum = wg.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    c2 = cells.select(
+        "grp",
+        "v",
+        "f",
+        F.coalesce(F.sum("f").over(wcum), F.lit(0)).alias("cb"),
+        F.sum("f").over(wg).alias("n"),
+    )
+    h1 = F.expr("(n - 1) div 4")
+    r1 = (F.col("n") - 1) % 4
+    h3 = F.expr("(3 * (n - 1)) div 4")
+    r3 = (3 * (F.col("n") - 1)) % 4
+
+    def vat(k: F.Column, name: str) -> F.Column:
+        return F.max(F.when(F.col("cb") <= k, F.col("v"))).alias(name)
+
+    qs = c2.groupBy("grp").agg(
+        F.max("n").alias("n"),
+        F.max(r1).alias("r1"),
+        F.max(r3).alias("r3"),
+        vat(h1, "vf1"),
+        vat(h1 + F.least(r1, F.lit(1)), "vc1"),
+        vat(h3, "vf3"),
+        vat(h3 + F.least(r3, F.lit(1)), "vc3"),
+    )
+    q1_4 = (
+        F.lit(4) * F.col("vf1") + F.col("r1") * (F.col("vc1") - F.col("vf1"))
+    )
+    q3_4 = (
+        F.lit(4) * F.col("vf3") + F.col("r3") * (F.col("vc3") - F.col("vf3"))
+    )
+    fenced = qs.select(
+        "grp",
+        "n",
+        q1_4.alias("q1_4"),
+        q3_4.alias("q3_4"),
+        (q3_4 - q1_4).alias("iqr_4"),
+    )
+    j = cells.join(
+        F.broadcast(fenced.withColumnRenamed("grp", "fgrp")),
+        F.col("grp").eqNullSafe(F.col("fgrp")),
+    )
+    lo = F.lit(2) * F.col("q1_4") - F.lit(3) * F.col("iqr_4")
+    hi = F.lit(2) * F.col("q3_4") + F.lit(3) * F.col("iqr_4")
+    v8 = F.lit(8) * F.col("v")
+    out = j.groupBy("grp").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max(F.col("q1_4").cast("double") / F.lit(4.0)).alias("q1"),
+        F.max(F.col("q3_4").cast("double") / F.lit(4.0)).alias("q3"),
+        F.max(F.col("iqr_4").cast("double") / F.lit(4.0)).alias("iqr"),
+        F.sum(F.when(v8 < lo, F.col("f")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_low"),
+        F.sum(F.when(v8 > hi, F.col("f")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_high"),
+    )
+    return out

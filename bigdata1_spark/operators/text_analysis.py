@@ -1299,3 +1299,166 @@ def token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         _nb_fixed6(fold("klt")).alias("kl_div"),
         _nb_fixed6(fold("jst")).alias("js_div"),
     )
+
+
+def log_odds_words(
+    spark: SparkSession, sf_dir: str, top_k: int = 10
+) -> DataFrame:
+    """Distinctive vocabulary per source slice: Monroe-style log-odds
+    ratio of each word in the slice vs the REST of the corpus, with the
+    Haldane–Anscombe +0.5 smoothing and its delta-method z-score — the
+    "what words characterize this slice?" audit that catches template
+    boilerplate and topical drift before mixture weighting (the
+    word-level companion of ``token_divergence``'s scalar distance).
+
+    ONE scan builds the cached (source, word) count table (fans into
+    totals and the grid); the scored grid is sources × vocabulary. All
+    counts are exact integers; each of the four ln/χ inputs is an
+    exact-integer-ratio double, each ln is snapped to the 1e-6 grid
+    (the z RANKS rows — the ir.py ranking rule), and delta/var/z is
+    one mirrored chain. Per source the top ``top_k`` by (z DESC, word
+    ASC — total order) are kept. NULL source is a real slice; words
+    seen only outside the slice never rank (their z is negative).
+    Columns: source, word, n_sw, z_score, rnk.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sw = (
+        docs.select(
+            F.coalesce(F.col("source"), F.lit("<null>")).alias("src"),
+            F.explode(_toks()).alias("word"),
+        )
+        .groupBy("src", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .cache()
+    )
+    tot_s = sw.groupBy("src").agg(F.sum("c").alias("ns"))
+    wglob = sw.groupBy("word").agg(F.sum("c").alias("cw"))
+    tot = wglob.agg(F.sum("cw").alias("n"))
+    grid = (
+        tot_s.crossJoin(wglob)
+        .join(sw, ["src", "word"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "src",
+            "word",
+            F.coalesce(F.col("c"), F.lit(0)).alias("csw"),
+            "ns",
+            "cw",
+            "n",
+        )
+    )
+    csw = F.col("csw").cast("double") + F.lit(0.5)
+    nsw = (F.col("ns") - F.col("csw")).cast("double") + F.lit(0.5)
+    crw = (F.col("cw") - F.col("csw")).cast("double") + F.lit(0.5)
+    nrw = (
+        F.col("n") - F.col("ns") - (F.col("cw") - F.col("csw"))
+    ).cast("double") + F.lit(0.5)
+    delta = _nb_fixed6(F.log(csw / nsw)) - _nb_fixed6(F.log(crw / nrw))
+    var = (
+        F.lit(1.0) / csw
+        + F.lit(1.0) / nsw
+        + F.lit(1.0) / crw
+        + F.lit(1.0) / nrw
+    )
+    z = _nb_fixed6(delta / F.sqrt(var))
+    from pyspark.sql import Window
+
+    scored = grid.select(
+        F.col("src").alias("source"),
+        "word",
+        F.col("csw").cast("long").alias("n_sw"),
+        z.alias("z_score"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("z_score"), F.asc("word")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= top_k)
+    )
+
+
+def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average log-probability under a Laplace-smoothed
+    corpus BIGRAM LM — the second-order fluency filter: word-salad text
+    with plausible unigrams but improbable transitions scores low where
+    ``unigram_logprob`` cannot see it.
+
+    Bigrams are built ARRAY-LOCALLY (zip of the token array with its
+    own tail — no positional self-join, no shuffle before counting).
+    Contract: context count c₁(w₁) counts w₁'s appearances as a bigram
+    head (not raw unigram frequency — identical except each doc's last
+    token, and exactly mirrorable); V is the corpus token vocabulary;
+    p(w₂|w₁) = (c(w₁w₂)+1) / (c₁(w₁)+V). Counts are exact integers,
+    each ln is snapped before the per-doc fold in explicit bigram
+    order (summed ln terms), score divides by the doc's bigram count.
+    Docs with < 2 tokens have no bigram and emit nothing. The model
+    join shuffles on the bigram key — model tables are
+    vocabulary-scale. Columns: doc_id, n_bigrams, logprob_per_bigram.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks()
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    dbc = (
+        docs.select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .cache()
+    )
+    model = dbc.groupBy("bg").agg(F.sum("cnt").alias("cbg")).cache()
+    heads = model.groupBy(
+        F.split_part(F.col("bg"), F.lit(" "), F.lit(1)).alias("w1")
+    ).agg(F.sum("cbg").alias("c1"))
+    vocab = (
+        docs.select(F.explode(_toks()).alias("w"))
+        .agg(F.count_distinct("w").alias("v"))
+    )
+    lp = (
+        model.withColumn(
+            "w1", F.split_part(F.col("bg"), F.lit(" "), F.lit(1))
+        )
+        .join(F.broadcast(heads), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bg",
+            _nb_fixed6(
+                F.log(
+                    (F.col("cbg") + 1).cast("double")
+                    / (F.col("c1") + F.col("v")).cast("double")
+                )
+            ).alias("lnp"),
+        )
+    )
+    per_doc = (
+        dbc.join(lp, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "bg",
+                        (F.col("cnt").cast("double") * F.col("lnp")).alias(
+                            "term"
+                        ),
+                    )
+                )
+            ).alias("ts"),
+        )
+    )
+    s = F.aggregate(
+        F.transform(F.col("ts"), lambda x: x["term"]),
+        F.lit(0.0),
+        lambda a, t: a + t,
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        _nb_fixed6(s / F.col("n_bigrams").cast("double")).alias(
+            "logprob_per_bigram"
+        ),
+    )

@@ -6866,3 +6866,233 @@ register(
     LEFT JOIN agg g ON g.a = e.a AND g.b = e.b
     """,
 )
+
+# Monroe-style distinctive-word z-scores per source: exact counts,
+# snapped lns, one mirrored delta/var/z chain per cell, top-10 by
+# (z DESC, word ASC).
+register(
+    "log_odds_words",
+    text_analysis.log_odds_words,
+    """
+    WITH sw AS MATERIALIZED (
+      SELECT src, word, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        SELECT COALESCE(source, '<null>') AS src,
+               unnest(list_filter(string_split_regex(text, '\\s+'),
+                                  x -> len(x) > 0)) AS word
+        FROM documents
+      ) GROUP BY 1, 2
+    ), tot_s AS (SELECT src, SUM(c) AS ns FROM sw GROUP BY 1),
+    wglob AS (SELECT word, SUM(c) AS cw FROM sw GROUP BY 1),
+    tot AS (SELECT SUM(cw) AS n FROM wglob),
+    grid AS (
+      SELECT s.src, w.word, COALESCE(x.c, 0) AS csw, s.ns, w.cw, t.n
+      FROM tot_s s CROSS JOIN wglob w
+      LEFT JOIN sw x ON x.src = s.src AND x.word = w.word
+      CROSS JOIN tot t
+    ), sc AS (
+      SELECT src AS source, word, CAST(csw AS BIGINT) AS n_sw,
+             FLOOR(((FLOOR(ln((CAST(csw AS DOUBLE) + 0.5)
+                              / (CAST(ns - csw AS DOUBLE) + 0.5))
+                           * 1e6 + 0.5) / 1e6
+                     - FLOOR(ln((CAST(cw - csw AS DOUBLE) + 0.5)
+                                / (CAST(n - ns - (cw - csw) AS DOUBLE)
+                                   + 0.5))
+                             * 1e6 + 0.5) / 1e6)
+                    / sqrt(1.0 / (CAST(csw AS DOUBLE) + 0.5)
+                           + 1.0 / (CAST(ns - csw AS DOUBLE) + 0.5)
+                           + 1.0 / (CAST(cw - csw AS DOUBLE) + 0.5)
+                           + 1.0 / (CAST(n - ns - (cw - csw) AS DOUBLE)
+                                    + 0.5)))
+                   * 1e6 + 0.5) / 1e6 AS z_score
+      FROM grid
+    )
+    SELECT source, word, n_sw, z_score, rnk FROM (
+      SELECT source, word, n_sw, z_score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY z_score DESC, word ASC)
+                  AS BIGINT) AS rnk
+      FROM sc
+    ) WHERE rnk <= 10
+    """,
+)
+
+# Laplace-smoothed bigram LM scoring: array-local bigram generation,
+# exact counts, snapped lns folded in bigram order per doc.
+register(
+    "bigram_logprob",
+    text_analysis.bigram_logprob,
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'),
+                         x -> len(x) > 0) AS l
+      FROM documents
+    ), bg0 AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, GREATEST(len(l), 1)),
+                                   i -> l[i] || ' ' || l[i + 1])) AS bg
+      FROM toks
+    ), dbc AS MATERIALIZED (
+      SELECT doc_id, bg, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM bg0 GROUP BY 1, 2
+    ), model AS (
+      SELECT bg, SUM(cnt) AS cbg FROM dbc GROUP BY 1
+    ), heads AS (
+      SELECT split_part(bg, ' ', 1) AS w1, SUM(cbg) AS c1
+      FROM model GROUP BY 1
+    ), vocab AS (
+      SELECT COUNT(DISTINCT w) AS v FROM (
+        SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                                  x -> len(x) > 0)) AS w
+        FROM documents
+      )
+    ), lp AS (
+      SELECT m.bg,
+             FLOOR(ln(CAST(m.cbg + 1 AS DOUBLE)
+                      / CAST(h.c1 + vb.v AS DOUBLE)) * 1e6 + 0.5)
+               / 1e6 AS lnp
+      FROM model m
+      JOIN heads h ON h.w1 = split_part(m.bg, ' ', 1)
+      CROSS JOIN vocab vb
+    ), per_doc AS (
+      SELECT d.doc_id, CAST(SUM(d.cnt) AS BIGINT) AS n_bigrams,
+             COALESCE(list_reduce(list_prepend(0.0,
+               list(CAST(d.cnt AS DOUBLE) * lp.lnp ORDER BY d.bg)),
+               (a, t) -> a + t), 0.0) AS s
+      FROM dbc d JOIN lp ON lp.bg = d.bg
+      GROUP BY 1
+    )
+    SELECT doc_id, n_bigrams,
+           FLOOR((s / CAST(n_bigrams AS DOUBLE)) * 1e6 + 0.5) / 1e6
+             AS logprob_per_bigram
+    FROM per_doc
+    """,
+)
+
+# RFM quintiles from explicit rank bands (score = 5 - floor((rank-1)*5/N));
+# the oracle ranks with plain ROW_NUMBER (sf0.01) — the Spark side's
+# bucket-offset ranks are contract-equal by construction.
+register(
+    "rfm_segmentation",
+    event_analytics.rfm_segmentation,
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             MAX(CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT))
+               AS last_day,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(COALESCE(CAST(ROUND(value * 100) AS BIGINT), 0)
+                           AS HUGEINT)) AS BIGINT) AS monetary_cents
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ), ref AS (
+      SELECT MAX(last_day) AS ref_day, CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM per_user
+    ), base AS (
+      SELECT user_id, r.ref_day - last_day AS recency_days,
+             frequency, monetary_cents, r.n_users
+      FROM per_user CROSS JOIN ref r
+    ), ranked AS (
+      SELECT user_id, recency_days, frequency, monetary_cents, n_users,
+             ROW_NUMBER() OVER (ORDER BY recency_days ASC,
+                                user_id ASC NULLS FIRST) AS r_rank,
+             ROW_NUMBER() OVER (ORDER BY frequency DESC,
+                                user_id ASC NULLS FIRST) AS f_rank,
+             ROW_NUMBER() OVER (ORDER BY monetary_cents DESC,
+                                user_id ASC NULLS FIRST) AS m_rank
+      FROM base
+    ), scored AS (
+      SELECT user_id, recency_days, frequency, monetary_cents,
+             CAST(5 - FLOOR((r_rank - 1) * 5 / n_users) AS BIGINT)
+               AS r_score,
+             CAST(5 - FLOOR((f_rank - 1) * 5 / n_users) AS BIGINT)
+               AS f_score,
+             CAST(5 - FLOOR((m_rank - 1) * 5 / n_users) AS BIGINT)
+               AS m_score
+      FROM ranked
+    )
+    SELECT user_id, recency_days, frequency, monetary_cents,
+           r_score, f_score, m_score,
+           CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+             || CAST(m_score AS VARCHAR) AS segment
+    FROM scored
+    """,
+)
+
+# First-touch conversion lag: exact integer microseconds, conditional
+# MINs in one type-pruned pass, at-or-after attribution contract.
+register(
+    "conversion_lag",
+    event_analytics.conversion_lag,
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view'
+                      THEN epoch_us(ts) END) AS first_view_us,
+             MIN(CASE WHEN event_type = 'purchase'
+                      THEN epoch_us(ts) END) AS first_purchase_us
+      FROM events
+      WHERE ts IS NOT NULL AND event_type IN ('view', 'purchase')
+      GROUP BY 1
+    )
+    SELECT user_id, first_view_us, first_purchase_us,
+           CASE WHEN first_view_us IS NOT NULL
+                     AND first_purchase_us IS NOT NULL
+                     AND first_purchase_us >= first_view_us
+                THEN first_purchase_us - first_view_us END AS lag_us,
+           CAST(CASE WHEN first_view_us IS NOT NULL
+                          AND first_purchase_us IS NOT NULL
+                          AND first_purchase_us >= first_view_us
+                     THEN 1 ELSE 0 END AS BIGINT) AS converted
+    FROM per_user
+    """,
+)
+
+# Tukey-fence outliers from the domain-bounded cell table: exact
+# integer type-7 quarters (4q), denominator-cleared fence inequalities.
+register(
+    "iqr_outliers",
+    stats_ops.iqr_outliers,
+    """
+    WITH cells AS (
+      SELECT l_returnflag AS grp, CAST(ROUND(l_quantity) AS BIGINT) AS v,
+             CAST(COUNT(*) AS BIGINT) AS f
+      FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2
+    ), c2 AS (
+      SELECT grp, v, f,
+             COALESCE(SUM(f) OVER (PARTITION BY grp ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS cb,
+             SUM(f) OVER (PARTITION BY grp) AS n
+      FROM cells
+    ), qs AS (
+      SELECT grp, MAX(n) AS n,
+             MAX((n - 1) % 4) AS r1,
+             MAX((3 * (n - 1)) % 4) AS r3,
+             MAX(CASE WHEN cb <= (n - 1) // 4 THEN v END) AS vf1,
+             MAX(CASE WHEN cb <= (n - 1) // 4
+                           + LEAST((n - 1) % 4, 1) THEN v END) AS vc1,
+             MAX(CASE WHEN cb <= (3 * (n - 1)) // 4 THEN v END) AS vf3,
+             MAX(CASE WHEN cb <= (3 * (n - 1)) // 4
+                           + LEAST((3 * (n - 1)) % 4, 1) THEN v END)
+               AS vc3
+      FROM c2 GROUP BY grp
+    ), fenced AS (
+      SELECT grp, n,
+             4 * vf1 + r1 * (vc1 - vf1) AS q1_4,
+             4 * vf3 + r3 * (vc3 - vf3) AS q3_4,
+             (4 * vf3 + r3 * (vc3 - vf3))
+               - (4 * vf1 + r1 * (vc1 - vf1)) AS iqr_4
+      FROM qs
+    )
+    SELECT c.grp, CAST(MAX(fe.n) AS BIGINT) AS n,
+           MAX(CAST(fe.q1_4 AS DOUBLE) / 4.0) AS q1,
+           MAX(CAST(fe.q3_4 AS DOUBLE) / 4.0) AS q3,
+           MAX(CAST(fe.iqr_4 AS DOUBLE) / 4.0) AS iqr,
+           CAST(SUM(CASE WHEN 8 * c.v < 2 * fe.q1_4 - 3 * fe.iqr_4
+                         THEN c.f ELSE 0 END) AS BIGINT) AS n_low,
+           CAST(SUM(CASE WHEN 8 * c.v > 2 * fe.q3_4 + 3 * fe.iqr_4
+                         THEN c.f ELSE 0 END) AS BIGINT) AS n_high
+    FROM cells c JOIN fenced fe ON fe.grp IS NOT DISTINCT FROM c.grp
+    GROUP BY 1
+    """,
+)

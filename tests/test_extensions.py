@@ -1163,3 +1163,29 @@ def test_link_prediction_matches_pure_python(spark, duck, sf_dir):
         assert abs(r.jaccard - len(common) / (da + db - len(common))) < 1e-6
         aa = sum(1.0 / math.log(len(adj[w])) for w in common)
         assert abs(r.adamic_adar - aa) < 1e-4
+
+
+def test_conversion_lag_matches_pure_python(spark, duck, sf_dir):
+    from bigdata1_spark.operators import event_analytics
+
+    rows = duck.execute(
+        "SELECT user_id, event_type, epoch_us(ts) FROM events "
+        "WHERE ts IS NOT NULL AND event_type IN ('view', 'purchase')"
+    ).fetchall()
+    first: dict = {}
+    for u, et, us in rows:
+        cur = first.setdefault(u, [None, None])
+        i = 0 if et == "view" else 1
+        if cur[i] is None or us < cur[i]:
+            cur[i] = us
+    got = {r.user_id: r
+           for r in event_analytics.conversion_lag(spark, sf_dir).collect()}
+    assert set(got) == set(first)
+    for u, (fv, fp) in first.items():
+        r = got[u]
+        assert (r.first_view_us, r.first_purchase_us) == (fv, fp)
+        if fv is not None and fp is not None and fp >= fv:
+            assert (r.lag_us, r.converted) == (fp - fv, 1)
+        else:
+            assert (r.lag_us, r.converted) == (None, 0)
+    assert any(r.converted == 1 for r in got.values())

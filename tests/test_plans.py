@@ -955,6 +955,7 @@ SCAN_BUDGETS = {
     "assoc_rules": 1,
     "benford_digits": 1,
     "billing_total_b": 2,
+    "bigram_logprob": 2,  # cached bigram counts + the separate vocab-size scan
     "bm25_search": 2,
     "bollinger_bands": 1,
     "bpe_merge_round": 0,
@@ -970,6 +971,7 @@ SCAN_BUDGETS = {
     "concurrency": 1,
     "contamination_ngrams": 2,
     "chi_square_assoc": 1,
+    "conversion_lag": 1,
     "cooccur_pmi": 2,
     "corr_matrix": 1,
     "cramers_v": 1,
@@ -1040,6 +1042,7 @@ SCAN_BUDGETS = {
     "holt_winters": 1,
     "interval_coverage": 1,
     "interval_overlap_join": 2,
+    "iqr_outliers": 1,
     "itemset_freq": 1,
     "ivm_delta_agg": 2,
     "join_anti": 2,
@@ -1061,6 +1064,7 @@ SCAN_BUDGETS = {
     "link_prediction": 0,  # edges localCheckpoint-ed eagerly (the triangle_count pattern)
     "limit_n": 1,
     "linreg_trend": 1,
+    "log_odds_words": 1,
     "locf_fill": 1,  # r14 capped-gap rewrite: single shared hourly-obs scan
     "map_ops": 1,
     "mixture_sample": 1,
@@ -1099,6 +1103,7 @@ SCAN_BUDGETS = {
     "quality_score": 1,
     "repetition_metrics": 2,
     "resample_interpolate": 1,  # r14 capped-gap rewrite: single scan
+    "rfm_segmentation": 0,  # rank passes localCheckpoint eagerly (the pagerank pattern)
     "retention_cohorts": 2,
     "rsi": 1,
     "rollup_multires": 1,

@@ -754,3 +754,148 @@ def test_token_divergence_matches_pure_python(spark, duck, sf_dir):
         assert abs(r.js_div - js) < 1e-4, s
         assert r.kl_div >= -1e-9  # Gibbs' inequality
         assert -1e-9 <= r.js_div <= math.log(2) + 1e-9
+
+
+def test_log_odds_words_matches_pure_python(spark, duck, sf_dir):
+    """z-scores recomputed with math.log over Python dicts; the top-10
+    per source must match by (z DESC, word ASC) re-ranking."""
+    from bigdata1_spark.operators import text_analysis
+
+    rows = duck.execute(
+        "SELECT COALESCE(source, '<null>'), word, COUNT(*) FROM ("
+        "SELECT source, unnest(list_filter(string_split_regex(text, "
+        "'\\s+'), x -> len(x) > 0)) AS word FROM documents) GROUP BY 1, 2"
+    ).fetchall()
+    by_src: dict = {}
+    glob: dict = {}
+    for s, w, c in rows:
+        by_src.setdefault(s, {})[w] = c
+        glob[w] = glob.get(w, 0) + c
+    n = sum(glob.values())
+    got: dict = {}
+    for r in text_analysis.log_odds_words(spark, sf_dir).collect():
+        got.setdefault(r.source, []).append(r)
+    assert set(got) == set(by_src)
+    for s, rs in got.items():
+        ns = sum(by_src[s].values())
+        scored = []
+        for w, cw in glob.items():
+            csw = by_src[s].get(w, 0)
+            a, b = csw + 0.5, ns - csw + 0.5
+            c, d = cw - csw + 0.5, n - ns - (cw - csw) + 0.5
+            delta = math.log(a / b) - math.log(c / d)
+            z = delta / math.sqrt(1 / a + 1 / b + 1 / c + 1 / d)
+            scored.append((-z, w))
+        scored.sort()
+        top = {w: -negz for negz, w in scored[:10]}
+        assert len(rs) == min(10, len(scored))
+        for r in rs:
+            assert r.word in top, (s, r.word)
+            assert abs(r.z_score - top[r.word]) < 1e-4
+            assert r.n_sw == by_src[s].get(r.word, 0)
+
+
+def test_bigram_logprob_matches_pure_python(spark, duck, sf_dir):
+    from bigdata1_spark.operators import text_analysis
+
+    texts = duck.execute(
+        "SELECT doc_id, text FROM documents WHERE text IS NOT NULL"
+    ).fetchall()
+    docs = {d: t.split() for d, t in texts}
+    bigrams: dict = {}
+    heads: dict = {}
+    vocab: set = set()
+    per_doc: dict = {}
+    for d, ws in docs.items():
+        vocab.update(ws)
+        for w1, w2 in zip(ws, ws[1:]):
+            bg = f"{w1} {w2}"
+            bigrams[bg] = bigrams.get(bg, 0) + 1
+            heads[w1] = heads.get(w1, 0) + 1
+            per_doc.setdefault(d, {})[bg] = per_doc.setdefault(
+                d, {}
+            ).get(bg, 0) + 1
+    got = {r.doc_id: r
+           for r in text_analysis.bigram_logprob(spark, sf_dir).collect()}
+    assert set(got) == {d for d, bgs in per_doc.items() if bgs}
+    v = len(vocab)
+    for d, bgs in per_doc.items():
+        nb = sum(bgs.values())
+        s = sum(
+            c * math.log((bigrams[bg] + 1)
+                         / (heads[bg.split(" ")[0]] + v))
+            for bg, c in bgs.items()
+        )
+        r = got[d]
+        assert r.n_bigrams == nb
+        assert abs(r.logprob_per_bigram - s / nb) < 1e-4
+        assert r.logprob_per_bigram < 0
+
+
+def test_rfm_segmentation_matches_pure_python(spark, duck, sf_dir):
+    """Scores recomputed from plain sorted ranks — validates the
+    bucket-offset rank path against the naive global sort."""
+    from bigdata1_spark.operators import event_analytics
+
+    rows = duck.execute(
+        "SELECT user_id, MAX(CAST(CAST(ts AS DATE) - DATE '1970-01-01' "
+        "AS BIGINT)), COUNT(*), SUM(COALESCE(CAST(ROUND(value*100) AS "
+        "BIGINT), 0)) FROM events WHERE ts IS NOT NULL GROUP BY 1"
+    ).fetchall()
+    assert rows
+    ref = max(r[1] for r in rows)
+    n = len(rows)
+    key = lambda u: (u is not None, u)  # NULLS FIRST total order
+    users = {u: (ref - last, int(f), int(m)) for u, last, f, m in rows}
+    def ranks(metric, desc):
+        order = sorted(
+            users,
+            key=lambda u: ((-users[u][metric] if desc
+                            else users[u][metric]), key(u)),
+        )
+        return {u: i + 1 for i, u in enumerate(order)}
+    rr, fr, mr = ranks(0, False), ranks(1, True), ranks(2, True)
+    score = lambda rank: 5 - (rank - 1) * 5 // n
+    got = {r.user_id: r
+           for r in event_analytics.rfm_segmentation(spark, sf_dir)
+           .collect()}
+    assert set(got) == set(users)
+    for u, (rec, f, m) in users.items():
+        r = got[u]
+        assert (r.recency_days, r.frequency, r.monetary_cents) == (
+            rec, f, m)
+        assert (r.r_score, r.f_score, r.m_score) == (
+            score(rr[u]), score(fr[u]), score(mr[u]))
+        assert r.segment == f"{r.r_score}{r.f_score}{r.m_score}"
+        assert 1 <= r.r_score <= 5
+
+
+def test_iqr_outliers_matches_pure_python(spark, duck, sf_dir):
+    """Quartiles/fences recomputed with a sorted-list type-7 walk."""
+    rows = duck.execute(
+        "SELECT l_returnflag, CAST(ROUND(l_quantity) AS BIGINT) "
+        "FROM lineitem WHERE l_quantity IS NOT NULL"
+    ).fetchall()
+    by: dict = {}
+    for g, v in rows:
+        by.setdefault(g, []).append(v)
+    got = {r.grp: r for r in stats_ops.iqr_outliers(spark, sf_dir).collect()}
+    assert set(got) == set(by)
+    for g, vs in by.items():
+        vs.sort()
+        n = len(vs)
+
+        def q(p):
+            h = (n - 1) * p
+            lo = int(h)
+            hi = min(lo + 1, n - 1)
+            return vs[lo] + (h - lo) * (vs[hi] - vs[lo])
+
+        q1, q3 = q(0.25), q(0.75)
+        iqr = q3 - q1
+        r = got[g]
+        assert r.n == n
+        assert abs(r.q1 - q1) < 1e-9 and abs(r.q3 - q3) < 1e-9
+        assert abs(r.iqr - iqr) < 1e-9
+        assert r.n_low == sum(1 for v in vs if v < q1 - 1.5 * iqr)
+        assert r.n_high == sum(1 for v in vs if v > q3 + 1.5 * iqr)
