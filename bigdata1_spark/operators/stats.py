@@ -1292,6 +1292,9 @@ def welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(d * d).alias("q"),
         )
         .filter(F.col("n") >= 2)
+        # cached: the pair self-join consumes g on BOTH sides — without
+        # it each aliased branch re-scans events (≤|event_types| rows)
+        .cache()
     )
 
     def _stats(side: str) -> DataFrame:
