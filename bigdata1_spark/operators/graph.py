@@ -561,100 +561,110 @@ def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("clustering_coeff"),
     )
 
-
 def link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-edge link-prediction scores on the co-supplier graph:
     common-neighbor count, Jaccard neighborhood similarity, and
     Adamic–Adar — the classic triad a graph-curation pass ranks
-    candidate merges/recommendations by. Computed for every EXISTING
-    edge (the self-audit form: low-scoring edges are noise candidates,
-    exactly like low-cosine near-dup pairs).
+    candidate merges/recommendations by, computed for every EXISTING
+    edge (the self-audit form: low-scoring edges are noise candidates).
 
-    Common neighbors come from one id-ordered triangle enumeration
-    (u < v < w by construction, each triangle crediting its three
-    edges) over the ONE localCheckpoint-ed edge list — the same
-    arboricity-bounded wedge join as ``triangle_count``, never a
-    neighborhood self-join. Degrees and counts are exact integers;
+    Scale shape (reworked after the sf1 grind): triangles are
+    enumerated ONCE through the degree-ordered wedge join (the
+    arboricity-bounded `_per_node_triangles` kernel — never id-order,
+    whose wedge fan-out is unbounded on hot low-id nodes), and BOTH
+    per-edge metrics are plain map-side-combinable aggregates over the
+    3-per-triangle credit rows: common = COUNT(*), Adamic–Adar =
+    SUM(wgt_int) where wgt_int = ⌊(1/ln deg(w))·1e6 + 0.5⌋ is the
+    1e-6-snapped weight AS AN EXACT INTEGER — an order-free BIGINT sum
+    (no collect_list, no per-edge sort, no list memory: the earlier
+    fold formulation materialized a sorted common-neighbor list per
+    edge, which on the near-complete derived graph at sf1 is Θ(3·#tri)
+    list entries and ground for 30+ minutes; the integer sum collapses
+    in the combiner). deg(w) ≥ 2 for any common neighbor so ln > 0.
     Jaccard = common / (deg_a + deg_b − common) uses the
-    endpoints-included union (b ∈ N(a), so the denominator is ≥ 2 —
-    never a zero division) in ONE double chain. Adamic–Adar folds
-    1/ln(deg(w)) over common neighbors in explicit id order with each
-    term snapped to the 1e-6 grid first (summed ln — the naive_bayes
-    rule); deg(w) ≥ 2 for any common neighbor, so ln > 0. Edges with
-    no common neighbor emit 0 for all three scores.
+    endpoints-included union (denominator ≥ 2, never zero). Final
+    floats are single mirrored chains: aa = snap(Σwgt_int / 1e6).
+    Edges with no common neighbor emit 0 for all three scores.
     Columns: node_a, node_b, deg_a, deg_b, common_neighbors, jaccard,
     adamic_adar.
     """
     e = _co_supplier_edges(spark, sf_dir).localCheckpoint()
     deg = _node_degrees(e)
-    tri = (
-        e.alias("e1")
-        .join(F.broadcast(e.alias("e2")), F.col("e1.b") == F.col("e2.a"))
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("deg_b"))
+    withdeg = e.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
+    lt = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = withdeg.select(
+        F.when(lt, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(lt, F.col("b")).otherwise(F.col("a")).alias("dst"),
+    ).localCheckpoint()
+    wedges = (
+        oriented.alias("e1")
         .join(
-            F.broadcast(e.alias("e3")),
-            (F.col("e3.a") == F.col("e1.a"))
-            & (F.col("e3.b") == F.col("e2.b")),
+            F.broadcast(oriented.alias("e2")),
+            F.col("e1.dst") == F.col("e2.src"),
         )
         .select(
-            F.col("e1.a").alias("u"),
-            F.col("e1.b").alias("v"),
-            F.col("e2.b").alias("w"),
+            F.col("e1.src").alias("u"),
+            F.col("e1.dst").alias("v"),
+            F.col("e2.dst").alias("w"),
         )
     )
+    closing = F.broadcast(
+        oriented.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    )
+    tri = wedges.join(closing, ["u", "w"])
+    # 3 credit rows per triangle, pairs normalized to (min, max); the
+    # third node rides along only to look up its weight
     contrib = tri.select(
         F.explode(
             F.array(
                 F.struct(
-                    F.col("u").alias("a"),
-                    F.col("v").alias("b"),
+                    F.least("u", "v").alias("a"),
+                    F.greatest("u", "v").alias("b"),
                     F.col("w").alias("cn"),
                 ),
                 F.struct(
-                    F.col("u").alias("a"),
-                    F.col("w").alias("b"),
+                    F.least("u", "w").alias("a"),
+                    F.greatest("u", "w").alias("b"),
                     F.col("v").alias("cn"),
                 ),
                 F.struct(
-                    F.col("v").alias("a"),
-                    F.col("w").alias("b"),
+                    F.least("v", "w").alias("a"),
+                    F.greatest("v", "w").alias("b"),
                     F.col("u").alias("cn"),
                 ),
             )
         ).alias("c")
     ).select("c.a", "c.b", "c.cn")
-    snap = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
-    dcn = deg.select(
-        F.col("node").alias("cn"), F.col("degree").alias("deg_cn")
+    wgt_int = F.floor(
+        (F.lit(1.0) / F.log(F.col("degree").cast("double"))) * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    dcn = deg.select(F.col("node").alias("cn"), wgt_int.alias("wi"))
+    agg = (
+        contrib.join(F.broadcast(dcn), "cn")
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common"),
+            F.sum("wi").alias("aa_int"),
+        )
     )
-    terms = contrib.join(F.broadcast(dcn), "cn").select(
-        "a",
-        "b",
-        "cn",
-        snap(F.lit(1.0) / F.log(F.col("deg_cn").cast("double"))).alias("t"),
-    )
-    agg = terms.groupBy("a", "b").agg(
-        F.count(F.lit(1)).cast("long").alias("common"),
-        F.array_sort(F.collect_list(F.struct("cn", "t"))).alias("ts"),
-    )
-    aa = F.aggregate(
-        F.transform(F.col("ts"), lambda x: x["t"]),
-        F.lit(0.0),
-        lambda acc, t: acc + t,
-    )
-    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("deg_a"))
-    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("deg_b"))
     j = (
         e.join(F.broadcast(da), "a")
         .join(F.broadcast(db), "b")
-        .join(F.broadcast(agg.select("a", "b", "common", aa.alias("aa"))),
-              ["a", "b"], "left")
+        .join(F.broadcast(agg), ["a", "b"], "left")
     )
+    snap = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
     common = F.coalesce(F.col("common"), F.lit(0))
     jac = common.cast("double") / (
         F.col("deg_a").cast("double")
         + F.col("deg_b").cast("double")
         - common.cast("double")
     )
+    aa = F.coalesce(F.col("aa_int"), F.lit(0)).cast("double") / F.lit(1e6)
     return j.select(
         F.col("a").alias("node_a"),
         F.col("b").alias("node_b"),
@@ -662,5 +672,5 @@ def link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "deg_b",
         common.alias("common_neighbors"),
         snap(jac).alias("jaccard"),
-        snap(F.coalesce(F.col("aa"), F.lit(0.0))).alias("adamic_adar"),
+        snap(aa).alias("adamic_adar"),
     )

@@ -6819,8 +6819,9 @@ register(
 )
 
 # Link-prediction triad per existing co-supplier edge: id-ordered
-# triangle credit, exact integer counts, Adamic–Adar with snapped
-# 1/ln(deg) terms folded in common-neighbor id order.
+# triangle credit (enumeration-order invariant vs the Spark side's
+# degree-ordered wedges); Adamic–Adar as an order-free BIGINT sum of
+# 1e-6-snapped integer weights.
 register(
     "link_prediction",
     graph.link_prediction,
@@ -6841,16 +6842,12 @@ register(
       SELECT u AS a, v AS b, w AS cn FROM tri
       UNION ALL SELECT u AS a, w AS b, v AS cn FROM tri
       UNION ALL SELECT v AS a, w AS b, u AS cn FROM tri
-    ), terms AS (
-      SELECT c.a, c.b, c.cn,
-             FLOOR((1.0 / ln(CAST(d.degree AS DOUBLE))) * 1e6 + 0.5)
-               / 1e6 AS t
-      FROM contrib c JOIN deg d ON d.node = c.cn
     ), agg AS (
-      SELECT a, b, CAST(COUNT(*) AS BIGINT) AS common,
-             COALESCE(list_reduce(list_prepend(0.0,
-               list(t ORDER BY cn)), (x, y) -> x + y), 0.0) AS aa
-      FROM terms GROUP BY 1, 2
+      SELECT c.a, c.b, CAST(COUNT(*) AS BIGINT) AS common,
+             SUM(CAST(FLOOR((1.0 / ln(CAST(d.degree AS DOUBLE)))
+                            * 1e6 + 0.5) AS BIGINT)) AS aa_int
+      FROM contrib c JOIN deg d ON d.node = c.cn
+      GROUP BY 1, 2
     )
     SELECT e.a AS node_a, e.b AS node_b,
            da.degree AS deg_a, db.degree AS deg_b,
@@ -6859,7 +6856,8 @@ register(
                   / (CAST(da.degree AS DOUBLE) + CAST(db.degree AS DOUBLE)
                      - CAST(COALESCE(g.common, 0) AS DOUBLE)))
                  * 1e6 + 0.5) / 1e6 AS jaccard,
-           FLOOR(COALESCE(g.aa, 0.0) * 1e6 + 0.5) / 1e6 AS adamic_adar
+           FLOOR((CAST(COALESCE(g.aa_int, 0) AS DOUBLE) / 1e6)
+                 * 1e6 + 0.5) / 1e6 AS adamic_adar
     FROM e
     JOIN deg da ON da.node = e.a
     JOIN deg db ON db.node = e.b
