@@ -88,7 +88,10 @@ def graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _triangle_count_dense(
-    spark: SparkSession, sf_dir: str, n_nodes_bound: int
+    spark: SparkSession,
+    sf_dir: str,
+    n_nodes_bound: int,
+    edges: DataFrame | None = None,
 ) -> DataFrame:
     """Packed-bitmap triangle counting for dense derived graphs.
 
@@ -112,7 +115,11 @@ def _triangle_count_dense(
     broadcast-small, so that window never grows past the cutoff.
     """
     nwords = (n_nodes_bound + 63) // 64
-    e = _co_supplier_edges(spark, sf_dir).localCheckpoint()
+    e = (
+        edges
+        if edges is not None
+        else _co_supplier_edges(spark, sf_dir).localCheckpoint()
+    )
     nodes = (
         e.select(F.col("a").alias("node"))
         .union(e.select(F.col("b").alias("node")))
@@ -541,10 +548,23 @@ def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the reference has no graph surface); triangle semantics cited at
     ``_triangle_count_sparse``. Columns: node, degree, n_triangles,
     clustering_coeff.
+
+    Physical dispatch mirrors :func:`triangle_count`'s hybrid: under
+    ``_DENSE_MAX_NODES`` the packed-bitmap dense kernel counts per-node
+    triangles (the derived co-supplier graph is near-complete at small
+    |V|, where wedge enumeration pays Θ(Σ min-deg) ≈ 10⁸ rows — 15.7 s
+    at sf0.1 vs 2.5 s dense, measured r14); past the cutoff the
+    degree-ordered sparse kernel runs. Counts are plan-invariant, so
+    the oracle is unchanged.
     """
     e = _co_supplier_edges(spark, sf_dir).localCheckpoint()
     deg = _node_degrees(e)
-    tris = _per_node_triangles(deg, e).withColumnRenamed("node", "tnode")
+    n_sup = load_table(spark, sf_dir, "supplier").count()
+    if n_sup <= _DENSE_MAX_NODES:
+        tris = _triangle_count_dense(spark, sf_dir, max(n_sup, 1), edges=e)
+    else:
+        tris = _per_node_triangles(deg, e)
+    tris = tris.withColumnRenamed("node", "tnode")
     j = deg.join(
         F.broadcast(tris), F.col("node") == F.col("tnode"), "left"
     )
