@@ -126,9 +126,14 @@ def fuzzy_join(
 # coordinates on a GEO_MOD × GEO_MOD grid via fixed multiplicative
 # mixing (Lehmer-style multipliers) — a pure integer function both
 # engines evaluate identically, standing in for real lat/lon columns
-# the star schema lacks. Cells are GEO_CELL × GEO_CELL squares.
+# the star schema lacks. Cells are square; the size ADAPTS to the
+# build side so occupancy stays ~1 supplier per cell at any scale
+# (grid_n = ceil(sqrt(|suppliers|)) cells per axis — the fixed 10k
+# cell of v1 meant candidates-per-probe grew linearly with suppliers:
+# 41x at sf1 in the r14 bench). GEO_CELL is v1's fixed size, kept as
+# the floor so tiny builds don't degenerate to a single cell.
 GEO_MOD = 100_000
-GEO_CELL = 10_000
+GEO_CELL = 10_000  # upper bound on adaptive cell size
 _CX, _CY = 48_271, 69_621  # customer mixers
 _SX, _SY = 40_692, 52_774  # supplier mixers
 
@@ -155,8 +160,17 @@ def geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier in their neighborhood emit nothing (inner semantics,
     documented). Columns: c_custkey, s_suppkey, dist2, n_candidates.
     """
+    import math
+
     cust = load_table(spark, sf_dir, "customer").select("c_custkey")
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey")
+    # adaptive cell size from the build-side row count (a parquet
+    # metadata read): ~1 supplier per cell, floored at 1, capped at
+    # the v1 cell so small builds keep the original geometry. The
+    # oracle recomputes the identical integer from COUNT(*).
+    n_sup = load_table(spark, sf_dir, "supplier").count()
+    grid_n = math.ceil(math.sqrt(max(n_sup, 1)))
+    cell = max(min(GEO_MOD // grid_n, GEO_CELL), 1)
     cx = (F.col("c_custkey") * _CX) % GEO_MOD
     cy = (F.col("c_custkey") * _CY) % GEO_MOD
     sx = (F.col("s_suppkey") * _SX) % GEO_MOD
@@ -176,13 +190,13 @@ def geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                             F.sequence(F.lit(-1), F.lit(1)),
                             lambda dy: F.struct(
                                 (
-                                    (F.col("cx") / F.lit(GEO_CELL)).cast(
+                                    (F.col("cx") / F.lit(cell)).cast(
                                         "long"
                                     )
                                     + dx
                                 ).alias("gx"),
                                 (
-                                    (F.col("cy") / F.lit(GEO_CELL)).cast(
+                                    (F.col("cy") / F.lit(cell)).cast(
                                         "long"
                                     )
                                     + dy
@@ -202,8 +216,8 @@ def geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey",
         sx.alias("sx"),
         sy.alias("sy"),
-        (sx / F.lit(GEO_CELL)).cast("long").alias("gx"),
-        (sy / F.lit(GEO_CELL)).cast("long").alias("gy"),
+        (sx / F.lit(cell)).cast("long").alias("gx"),
+        (sy / F.lit(cell)).cast("long").alias("gy"),
     )
     j = probes.join(F.broadcast(builds), ["gx", "gy"])
     dx = F.col("cx") - F.col("sx")

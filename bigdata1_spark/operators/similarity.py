@@ -556,8 +556,18 @@ def sim_topk_ivf_pq(
     )
 
 
-MUTUAL_KNN_PLANES = 3  # 2^3 buckets; at 100 TB raise planes + multiprobe
+MUTUAL_KNN_PLANES = 3  # 2^3 coarse buckets
 MUTUAL_KNN_SEED = 19
+# Adaptive refinement (the quad-tree split): a coarse bucket whose
+# occupancy exceeds the cap re-blocks on 7 planes (same seed — the
+# first 3 planes are the SAME literals, so the fine key refines the
+# coarse one and split blocks never mix across coarse buckets). Block
+# occupancy is bounded ~CAP regardless of corpus size, which keeps the
+# per-block quadratic kernel flat: with static 3-plane blocks the
+# r14 bench showed 0.31 s -> 19.2 s (38x) from sf0.1 to sf1 as bucket
+# occupancy grew linearly with rows.
+MUTUAL_KNN_BLOCK_CAP = 512
+MUTUAL_KNN_SPLIT_PLANES = 7
 
 
 def mutual_knn(
@@ -583,21 +593,44 @@ def mutual_knn(
     per-vector top-1 with a (cos DESC, id ASC) total-order window, and
     self-join the two directions. Zero-norm vectors are dropped by the
     kernel; singleton buckets emit nothing (no neighbor in scope).
-    At 100 TB: one shuffle on the bucket key, |bucket|²-bounded work
-    per task, top-1 is a WindowGroupLimit heap — nothing quadratic in
-    the corpus. Columns: vec_a, vec_b, cos_sim.
+    At 100 TB: one shuffle on the bucket key, block work bounded by
+    ``MUTUAL_KNN_BLOCK_CAP``² per task via the occupancy-driven
+    quad-tree split (hot coarse buckets re-block on the 7-plane
+    refinement of the SAME seeded planes — deterministic, mirrored in
+    SQL), top-1 is a WindowGroupLimit heap — nothing quadratic in the
+    corpus. Columns: vec_a, vec_b, cos_sim.
     """
     from bigdata1_spark.operators.dedup import _block_pairs_fn
+
+    from pyspark.sql import Window as W
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", vectors.as_double(F.col("embedding")).alias("v")
     )
     bucketed = emb.withColumn(
-        "bucket", vectors.hyperplane_sign_key(F.col("v"), n_planes, dim, seed)
+        "b_coarse",
+        vectors.hyperplane_sign_key(F.col("v"), n_planes, dim, seed),
+    ).withColumn(
+        "b_fine",
+        vectors.hyperplane_sign_key(
+            F.col("v"), MUTUAL_KNN_SPLIT_PLANES, dim, seed
+        ),
+    )
+    # hot coarse buckets split to the fine key (+2^n_planes keeps the
+    # two namespaces disjoint); occupancy drives the choice, so block
+    # size is bounded at any corpus size and the oracle mirrors the
+    # same CASE over a COUNT() window
+    occ = F.count(F.lit(1)).over(W.partitionBy("b_coarse"))
+    blocked = bucketed.withColumn(
+        "bucket",
+        F.when(
+            occ > MUTUAL_KNN_BLOCK_CAP,
+            F.col("b_fine") + F.lit(2 ** n_planes),
+        ).otherwise(F.col("b_coarse")),
     )
     # cached: the symmetrize union's two branches would otherwise each
     # run the grouped-map kernel (the dsir multi-consumer-lineage class)
-    pairs = bucketed.groupBy("bucket").applyInPandas(
+    pairs = blocked.groupBy("bucket").applyInPandas(
         _block_pairs_fn(-2.0), "id1 long, id2 long, cos_sim double"
     ).cache()
     sym = pairs.select(

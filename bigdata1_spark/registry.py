@@ -6663,30 +6663,37 @@ register(
 )
 
 # Grid-bucketed nearest-supplier spatial join: pure integer coordinate
-# derivation and squared distances; 3x3 neighborhood radius contract.
+# derivation and squared distances; 3x3 neighborhood radius contract
+# over density-adaptive cells (~1 supplier per cell, mirrored from
+# COUNT(*) — identical to v1's fixed 10k cell at sf0.01 and below).
 register(
     "geo_grid_join",
     matching.geo_grid_join,
     """
-    WITH probes AS (
+    WITH params AS (
+      SELECT GREATEST(LEAST(100000 // CAST(CEIL(SQRT(GREATEST(
+               COUNT(*), 1))) AS BIGINT), 10000), 1) AS cell
+      FROM supplier
+    ), probes AS (
       SELECT c_custkey,
              (c_custkey * 48271) % 100000 AS cx,
              (c_custkey * 69621) % 100000 AS cy
       FROM customer WHERE c_custkey IS NOT NULL
     ), cells AS (
       SELECT p.c_custkey, p.cx, p.cy,
-             (p.cx // 10000) + dx.d AS gx,
-             (p.cy // 10000) + dy.d AS gy
-      FROM probes p,
+             (p.cx // pr.cell) + dx.d AS gx,
+             (p.cy // pr.cell) + dy.d AS gy
+      FROM probes p CROSS JOIN params pr,
            (SELECT unnest([-1, 0, 1]) AS d) dx,
            (SELECT unnest([-1, 0, 1]) AS d) dy
     ), builds AS (
       SELECT s_suppkey,
              (s_suppkey * 40692) % 100000 AS sx,
              (s_suppkey * 52774) % 100000 AS sy,
-             ((s_suppkey * 40692) % 100000) // 10000 AS gx,
-             ((s_suppkey * 52774) % 100000) // 10000 AS gy
-      FROM supplier WHERE s_suppkey IS NOT NULL
+             ((s_suppkey * 40692) % 100000) // pr.cell AS gx,
+             ((s_suppkey * 52774) % 100000) // pr.cell AS gy
+      FROM supplier CROSS JOIN params pr
+      WHERE s_suppkey IS NOT NULL
     ), scored AS (
       SELECT c.c_custkey, b.s_suppkey,
              (c.cx - b.sx) * (c.cx - b.sx)
@@ -6706,9 +6713,10 @@ register(
     """,
 )
 
-# Mutual nearest neighbors within seed-19 LSH blocks: bucket key and
-# normalized-vector cosine both rebuilt from the same literals as the
-# Spark kernel (the dedup_embedding parity pattern); reciprocal top-1.
+# Mutual nearest neighbors within seed-19 LSH blocks (hot coarse
+# buckets split to the 7-plane refinement over the same literals —
+# occupancy CASE mirrored): bucket key and normalized-vector cosine
+# both rebuilt from the Spark kernel's literals; reciprocal top-1.
 register(
     "mutual_knn",
     similarity.mutual_knn,
@@ -6718,11 +6726,18 @@ register(
     ), withnorm AS (
       SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
              {_duck_hyperplane_bucket('v', seed=19, n_planes=3, dim=64)}
-               AS bucket
+               AS b_coarse,
+             {_duck_hyperplane_bucket('v', seed=19, n_planes=7, dim=64)}
+               AS b_fine
       FROM e
+    ), blocked AS (
+      SELECT vec_id, v, nrm,
+             CASE WHEN COUNT(*) OVER (PARTITION BY b_coarse) > 512
+                  THEN b_fine + 8 ELSE b_coarse END AS bucket
+      FROM withnorm
     ), n AS (
       SELECT vec_id, bucket, list_transform(v, x -> x / nrm) AS vn
-      FROM withnorm WHERE nrm > 0
+      FROM blocked WHERE nrm > 0
     ), pairs AS (
       SELECT a.vec_id AS id1, b.vec_id AS id2,
              list_dot_product(a.vn, b.vn) AS cos_sim

@@ -1001,7 +1001,11 @@ def test_geo_grid_join_matches_brute_force(spark, duck, sf_dir):
     supps = [r[0] for r in duck.execute(
         "SELECT s_suppkey FROM supplier WHERE s_suppkey IS NOT NULL"
     ).fetchall()]
-    M, C = matching.GEO_MOD, matching.GEO_CELL
+    import math
+
+    M = matching.GEO_MOD
+    grid_n = math.ceil(math.sqrt(max(len(supps), 1)))
+    C = max(min(M // grid_n, matching.GEO_CELL), 1)
     sc = [(s, (s * matching._SX) % M, (s * matching._SY) % M)
           for s in supps]
     got = {r.c_custkey: r
@@ -1033,18 +1037,30 @@ def test_mutual_knn_is_a_matching_and_matches_brute_force(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     ).collect()
-    planes = np.array(hyperplane_planes(
-        similarity.MUTUAL_KNN_PLANES, 64, similarity.MUTUAL_KNN_SEED))
-    buckets: dict = {}
+    fine = np.array(hyperplane_planes(
+        similarity.MUTUAL_KNN_SPLIT_PLANES, 64, similarity.MUTUAL_KNN_SEED))
+    nc = similarity.MUTUAL_KNN_PLANES
+    coarse_occ: dict = {}
+    keyed = []
     for r in emb:
         v = np.array(r.v)
+        kf = 0
+        for p in fine:
+            kf = kf * 2 + (1 if float(p @ v) >= 0 else 0)
+        kc = kf >> (similarity.MUTUAL_KNN_SPLIT_PLANES - nc)
+        # occupancy counts ALL vectors (zero-norm included), matching
+        # the operator's pre-kernel window
+        coarse_occ[kc] = coarse_occ.get(kc, 0) + 1
+        keyed.append((r.vec_id, v, kc, kf))
+    buckets: dict = {}
+    for vid, v, kc, kf in keyed:
         nrm = float(np.sqrt((v * v).sum()))
         if nrm == 0:
             continue
-        key = 0
-        for p in planes:
-            key = key * 2 + (1 if float(p @ v) >= 0 else 0)
-        buckets.setdefault(key, []).append((r.vec_id, v / nrm))
+        block = (kf + 2 ** nc
+                 if coarse_occ[kc] > similarity.MUTUAL_KNN_BLOCK_CAP
+                 else kc)
+        buckets.setdefault(block, []).append((vid, v / nrm))
     best: dict = {}
     for vs in buckets.values():
         for i, (a, va) in enumerate(vs):
