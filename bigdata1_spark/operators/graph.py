@@ -212,12 +212,23 @@ def _node_degrees(e: DataFrame) -> DataFrame:
     )
 
 
-def _per_node_triangles(deg: DataFrame, e: DataFrame) -> DataFrame:
-    """Per-node triangle counts from a materialized (a < b) edge frame
-    and its degree table — the shared wedge-join kernel of
-    :func:`_triangle_count_sparse` and :func:`clustering_coefficient`
-    (pass the SAME localCheckpoint-ed ``e`` to both consumers so the
-    edge generation runs once)."""
+def _oriented_triangles(deg: DataFrame, e: DataFrame) -> DataFrame:
+    """All triangles of an undirected (a < b) edge frame, one (u, v, w)
+    row each, via degree-ordered orientation — the shared enumeration
+    kernel of :func:`_per_node_triangles` (per-node counts) and
+    :func:`link_prediction` (per-edge credit rows). Extracted per
+    ADVICE r14 so the orientation + wedge + closing-edge join exists
+    exactly once. (u, v, w) follow the orientation's topological order
+    (u→v, u→w, v→w), NOT id order — consumers must not assume u<v<w,
+    only that each triangle appears exactly once.
+
+    Degree-ordered orientation: each undirected edge points from its
+    lower-(degree, id) endpoint, so wedge generation is bounded by the
+    arboricity (sum of min-degree per edge), not sum(degree²) — what
+    keeps the join alive on power-law graphs at 100 TB. Both triangle
+    joins broadcast the oriented edge list (|E| rows of 16 bytes);
+    pass a localCheckpoint-ed ``e`` so the generation chain runs once.
+    """
     da = deg.select(F.col("node").alias("a"), F.col("degree").alias("deg_a"))
     db = deg.select(F.col("node").alias("b"), F.col("degree").alias("deg_b"))
     withdeg = e.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
@@ -243,7 +254,18 @@ def _per_node_triangles(deg: DataFrame, e: DataFrame) -> DataFrame:
     closing = F.broadcast(
         oriented.select(F.col("src").alias("u"), F.col("dst").alias("w"))
     )
-    tris = wedges.join(closing, ["u", "w"])
+    return wedges.join(closing, ["u", "w"])
+
+
+def _per_node_triangles(deg: DataFrame, e: DataFrame) -> DataFrame:
+    """Per-node triangle counts from a materialized (a < b) edge frame
+    and its degree table — the shared wedge-join kernel of
+    :func:`_triangle_count_sparse` and :func:`clustering_coefficient`
+    (pass the SAME localCheckpoint-ed ``e`` to both consumers so the
+    edge generation runs once). Per-node attribution avoids the
+    3-per-triangle array explode via GROUPING SETS (u),(v),(w): Expand
+    replicates rows inside codegen with no allocation."""
+    tris = _oriented_triangles(deg, e)
     return (
         tris.groupingSets([["u"], ["v"], ["w"]], "u", "v", "w")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -581,61 +603,124 @@ def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("clustering_coeff"),
     )
 
-def link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-edge link-prediction scores on the co-supplier graph:
-    common-neighbor count, Jaccard neighborhood similarity, and
-    Adamic–Adar — the classic triad a graph-curation pass ranks
-    candidate merges/recommendations by, computed for every EXISTING
-    edge (the self-audit form: low-scoring edges are noise candidates).
+# Neighborhood cap for link_prediction's bounded graph contract: each
+# node keeps its top-K co-suppliers by (co-order count DESC, id ASC)
+# and an edge survives only MUTUALLY (kept from both endpoints). The
+# mutual form bounds degree by K outright — a union/OR kNN graph does
+# not (a low-id node can land in everyone's top-K through the tie
+# break), and an unbounded derived graph is why v2's exact triangle
+# pass owned 20% of the r14 sweep and its sf1 oracle never finished
+# (~6·10⁸ triangles on the near-complete graph; Θ(n³) at any plan).
+# Production link prediction makes the same move: score over a kNN
+# sparsification, never the raw co-occurrence clique expansion.
+LINKPRED_K = 16
 
-    Scale shape (reworked after the sf1 grind): triangles are
-    enumerated ONCE through the degree-ordered wedge join (the
-    arboricity-bounded `_per_node_triangles` kernel — never id-order,
-    whose wedge fan-out is unbounded on hot low-id nodes), and BOTH
-    per-edge metrics are plain map-side-combinable aggregates over the
-    3-per-triangle credit rows: common = COUNT(*), Adamic–Adar =
-    SUM(wgt_int) where wgt_int = ⌊(1/ln deg(w))·1e6 + 0.5⌋ is the
-    1e-6-snapped weight AS AN EXACT INTEGER — an order-free BIGINT sum
-    (no collect_list, no per-edge sort, no list memory: the earlier
-    fold formulation materialized a sorted common-neighbor list per
-    edge, which on the near-complete derived graph at sf1 is Θ(3·#tri)
-    list entries and ground for 30+ minutes; the integer sum collapses
-    in the combiner). deg(w) ≥ 2 for any common neighbor so ln > 0.
-    Jaccard = common / (deg_a + deg_b − common) uses the
-    endpoints-included union (denominator ≥ 2, never zero). Final
-    floats are single mirrored chains: aa = snap(Σwgt_int / 1e6).
-    Edges with no common neighbor emit 0 for all three scores.
+
+def _bounded_co_supplier_edges(
+    spark: SparkSession, sf_dir: str, k: int = LINKPRED_K
+) -> DataFrame:
+    """Mutual top-``k`` co-supplier edges (a < b), one row each.
+
+    Edge weight = number of orders the pair co-occurs in (each order
+    contributes an unordered pair at most once — per-order pairs come
+    from ``collect_set``). Each node ranks neighbors by (weight DESC,
+    id ASC) — a total order, so the cap is deterministic and the
+    DuckDB oracle mirrors it with the same ROW_NUMBER — and an edge
+    survives iff BOTH endpoints rank it within k, bounding max degree
+    by k. One count shuffle + one window shuffle on node + one (a, b)
+    join; every step is a keyed shuffle that scales out.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_suppkey")).alias("ss")
+    )
+    pairs = per_order.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ss"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("ss"), i + 2, F.size(F.col("ss"))
+                        ),
+                        lambda y: F.struct(
+                            x.alias("a"), y.alias("b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("e")
+    ).select("e.a", "e.b")
+    w = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("w"))
+    sym = w.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("a").alias("node"),
+                    F.col("b").alias("nbr"),
+                    F.col("w").alias("w"),
+                ),
+                F.struct(
+                    F.col("b").alias("node"),
+                    F.col("a").alias("nbr"),
+                    F.col("w").alias("w"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.node", "s.nbr", "s.w")
+    rn = F.row_number().over(
+        Window.partitionBy("node").orderBy(F.desc("w"), F.asc("nbr"))
+    )
+    topk = sym.select("node", "nbr", rn.alias("rn")).filter(
+        F.col("rn") <= F.lit(k)
+    )
+    fwd = topk.filter(F.col("node") < F.col("nbr")).select(
+        F.col("node").alias("a"), F.col("nbr").alias("b")
+    )
+    rev = topk.filter(F.col("node") > F.col("nbr")).select(
+        F.col("nbr").alias("a"), F.col("node").alias("b")
+    )
+    return fwd.join(rev, ["a", "b"])
+
+
+def link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-edge link-prediction scores on the BOUNDED co-supplier
+    graph (mutual top-``LINKPRED_K`` by co-order count — see
+    :func:`_bounded_co_supplier_edges`): common-neighbor count,
+    Jaccard neighborhood similarity, and Adamic–Adar — the classic
+    triad a graph-curation pass ranks candidate merges/recommendations
+    by, computed for every edge of the sparsified graph (the
+    self-audit form: low-scoring edges are noise candidates).
+
+    The cap is the scale contract (r14 VERDICT top_next): the raw
+    co-supplier graph is near-complete by construction (suppliers are
+    a small dimension), so exact triangle enumeration on it is Θ(n³)
+    in a node count that grows with scale — unrunnable at volume by
+    ANY plan, and its sf1 DuckDB oracle DNF'd. On the mutual-kNN
+    sparsification max degree ≤ K, so triangles ≤ |E|·K and the whole
+    scoring pass is linear in edges. Triangles are enumerated ONCE
+    through the shared degree-ordered kernel
+    (:func:`_oriented_triangles`), and BOTH per-edge metrics are plain
+    map-side-combinable aggregates over the 3-per-triangle credit
+    rows: common = COUNT(*), Adamic–Adar = SUM(wgt_int) where
+    wgt_int = ⌊(1/ln deg(w))·1e6 + 0.5⌋ is the 1e-6-snapped weight AS
+    AN EXACT INTEGER — an order-free BIGINT sum that collapses in the
+    combiner (no collect_list, no per-edge sort). Degrees are bounded-
+    graph degrees; deg(w) ≥ 2 for any common neighbor so ln > 0.
+    Jaccard = common / (deg_a + deg_b − common) uses the endpoints-
+    included union (denominator ≥ 2, never zero). Final floats are
+    single mirrored chains: aa = snap(Σwgt_int / 1e6). Edges with no
+    common neighbor emit 0 for all three scores.
     Columns: node_a, node_b, deg_a, deg_b, common_neighbors, jaccard,
     adamic_adar.
     """
-    e = _co_supplier_edges(spark, sf_dir).localCheckpoint()
+    e = _bounded_co_supplier_edges(spark, sf_dir).localCheckpoint()
     deg = _node_degrees(e)
     da = deg.select(F.col("node").alias("a"), F.col("degree").alias("deg_a"))
     db = deg.select(F.col("node").alias("b"), F.col("degree").alias("deg_b"))
-    withdeg = e.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
-    lt = (F.col("deg_a") < F.col("deg_b")) | (
-        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
-    )
-    oriented = withdeg.select(
-        F.when(lt, F.col("a")).otherwise(F.col("b")).alias("src"),
-        F.when(lt, F.col("b")).otherwise(F.col("a")).alias("dst"),
-    ).localCheckpoint()
-    wedges = (
-        oriented.alias("e1")
-        .join(
-            F.broadcast(oriented.alias("e2")),
-            F.col("e1.dst") == F.col("e2.src"),
-        )
-        .select(
-            F.col("e1.src").alias("u"),
-            F.col("e1.dst").alias("v"),
-            F.col("e2.dst").alias("w"),
-        )
-    )
-    closing = F.broadcast(
-        oriented.select(F.col("src").alias("u"), F.col("dst").alias("w"))
-    )
-    tri = wedges.join(closing, ["u", "w"])
+    tri = _oriented_triangles(deg, e)
     # 3 credit rows per triangle, pairs normalized to (min, max); the
     # third node rides along only to look up its weight
     contrib = tri.select(

@@ -6833,18 +6833,40 @@ register(
     """,
 )
 
-# Link-prediction triad per existing co-supplier edge: id-ordered
-# triangle credit (enumeration-order invariant vs the Spark side's
-# degree-ordered wedges); Adamic–Adar as an order-free BIGINT sum of
-# 1e-6-snapped integer weights.
+# Link-prediction triad per edge of the BOUNDED co-supplier graph
+# (mutual top-LINKPRED_K by co-order count, ties by id — the cap is
+# the operator's scale contract; the raw graph's ~6e8 sf1 triangles
+# made the unbounded oracle DNF): ROW_NUMBER mirrors the Spark
+# window's total order exactly; id-ordered triangle credit
+# (enumeration-order invariant vs the Spark side's degree-ordered
+# wedges); Adamic–Adar as an order-free BIGINT sum of 1e-6-snapped
+# integer weights.
 register(
     "link_prediction",
     graph.link_prediction,
-    """
-    WITH e AS (
-      SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
-      FROM lineitem x JOIN lineitem y
+    f"""
+    WITH po AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+    ), pw AS MATERIALIZED (
+      SELECT x.l_suppkey AS a, y.l_suppkey AS b,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM po x JOIN po y
         ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+      GROUP BY 1, 2
+    ), sym AS (
+      SELECT a AS node, b AS nbr, w FROM pw
+      UNION ALL SELECT b AS node, a AS nbr, w FROM pw
+    ), rk AS (
+      SELECT node, nbr,
+             ROW_NUMBER() OVER (PARTITION BY node
+                                ORDER BY w DESC, nbr ASC) AS rn
+      FROM sym
+    ), tk AS MATERIALIZED (
+      SELECT node, nbr FROM rk WHERE rn <= {graph.LINKPRED_K}
+    ), e AS MATERIALIZED (
+      SELECT f.node AS a, f.nbr AS b
+      FROM tk f JOIN tk r ON r.node = f.nbr AND r.nbr = f.node
+      WHERE f.node < f.nbr
     ), deg AS (
       SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
       FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)

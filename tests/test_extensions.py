@@ -1154,23 +1154,43 @@ def test_drawdown_matches_pure_python(spark, duck, sf_dir):
 
 
 def test_link_prediction_matches_pure_python(spark, duck, sf_dir):
-    """Scores recomputed via Python adjacency-set intersections."""
+    """Scores recomputed via Python adjacency-set intersections over
+    an independently-derived mutual top-K bounded graph (co-order
+    count DESC, id ASC — the LINKPRED_K contract)."""
     import math
 
     from bigdata1_spark.operators import graph
 
-    edges = duck.execute(
-        "SELECT DISTINCT x.l_suppkey, y.l_suppkey FROM lineitem x "
-        "JOIN lineitem y ON x.l_orderkey = y.l_orderkey "
-        "AND x.l_suppkey < y.l_suppkey"
+    weighted = duck.execute(
+        "SELECT x.l_suppkey, y.l_suppkey, COUNT(*) FROM "
+        "(SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) x "
+        "JOIN (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem) y "
+        "ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey "
+        "GROUP BY 1, 2"
     ).fetchall()
+    nbrs: dict = {}
+    for a, b, w in weighted:
+        nbrs.setdefault(a, []).append((b, w))
+        nbrs.setdefault(b, []).append((a, w))
+    topk = {
+        n: {v for v, _ in sorted(ls, key=lambda t: (-t[1], t[0]))
+            [: graph.LINKPRED_K]}
+        for n, ls in nbrs.items()
+    }
+    edges = sorted(
+        (a, b)
+        for a, bs in topk.items()
+        for b in bs
+        if a < b and a in topk[b]
+    )
     adj: dict = {}
     for a, b in edges:
         adj.setdefault(a, set()).add(b)
         adj.setdefault(b, set()).add(a)
     got = {(r.node_a, r.node_b): r
            for r in graph.link_prediction(spark, sf_dir).collect()}
-    assert set(got) == {(a, b) for a, b in edges}
+    assert set(got) == set(edges)
+    assert max(len(v) for v in adj.values()) <= graph.LINKPRED_K
     for (a, b), r in got.items():
         common = adj[a] & adj[b]
         da, db = len(adj[a]), len(adj[b])
