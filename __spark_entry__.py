@@ -23,98 +23,96 @@ from bigdata1_spark import registry  # noqa: E402
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
-# Keys with at least one driver CORRECTNESS row across rounds 1-5 (union of
-# CORRECTNESS_r0{1..5}.json). The driver samples ~50 keys per round, so
-# queries() emits re-verify-first keys FIRST (latest driver row is red or
-# the implementation/oracle changed since it was banked), then keys with no
-# driver row yet, then old greens.
+# Keys with at least one green driver CORRECTNESS row across rounds
+# 1-14 (union of CORRECTNESS_r01..r14.json — regenerated r15 per the
+# r14 VERDICT task 5; the set had been frozen at round 6, so the 32
+# keys added since never made the front of the driver's ~50-key
+# sample). queries() emits re-verify-first keys FIRST (latest driver
+# row is red or the implementation/oracle changed since it was
+# banked), then keys with no driver row yet, then old greens.
 _DRIVER_CHECKED = frozenset({
-    "agg_distinct", "agg_stats", "approx_sketch", "array_ops",
-    "asof_join", "assoc_rules", "billing_total_b", "collect_list_agg",
-    "contamination_ngrams", "dedup_apply", "dedup_clusters",
-    "dedup_embedding", "dedup_embedding_multiprobe", "dedup_exact",
-    "dedup_jaccard", "dedup_near", "dedup_near_apply", "dedup_simhash",
-    "events_user_counts_streamed", "events_window",
-    "events_window_streamed", "explode_items", "filter_predicate",
-    "gen_billings", "global_count", "grouped_map_normalize",
-    "groupby_count", "groupby_cube", "groupby_quantiles",
-    "groupby_rollup", "groupby_sum", "itemset_freq", "join_anti",
-    "join_broadcast", "join_cross", "join_outer", "join_range",
-    "join_self_pairs", "join_semi", "lang_id", "limit_n", "map_ops",
-    "multimodal_join", "multimodal_pipeline", "ngram_freq",
-    "pipeline_pretraining", "pivot_agg", "posexplode_items",
-    "project_cast", "project_month", "project_split", "quality_filters",
-    "quality_score", "repetition_metrics", "sample_split",
-    "scalar_concat", "scalar_datetime", "scalar_json", "scalar_round",
-    "scalar_string", "scan_parquet", "sessionize",
-    "setop_except", "setop_except_all", "setop_intersect",
-    "setop_intersect_all", "setop_union", "sim_topk", "sim_topk_ivf",
-    "sim_topk_ivf_multiprobe", "sort_asc", "sort_desc", "sql_api",
-    "text_stats", "token_count", "topk_window", "tpch_q1", "tpch_q10",
-    "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q17",
-    "tpch_q18", "tpch_q19", "tpch_q22", "tpch_q3", "tpch_q4", "tpch_q5",
-    "tpch_q6", "udtf_tokens", "upsert_apply", "window_first_last",
-    "window_lag", "window_range_frame", "window_rank",
-    "window_running_sum",
-    # round-5 driver sample (CORRECTNESS_r05.json)
-    "anomaly_zscore", "bm25_search", "centroid_per_label", "concurrency",
-    "cooccur_pmi", "doc_entropy", "embedding_norms",
+    "agg_distinct", "agg_stats", "anomaly_zscore", "approx_sketch",
+    "array_ops", "arrow_map", "asof_join", "asof_join_forward",
+    "assoc_rules", "bfs_hops", "billing_total_b", "bm25_search",
+    "bpe_merge_round", "bpe_merge_round2", "bpe_pair_counts",
+    "bucketed_join", "burst_hours", "cdc_apply", "centroid_per_label",
+    "cogrouped_map", "collect_list_agg", "column_profile",
+    "concurrency", "contamination_ngrams", "cooccur_pmi", "corr_matrix",
+    "cumulative_distinct", "cusum_changepoint", "decontaminate_apply",
+    "dedup_apply", "dedup_chunks", "dedup_clusters", "dedup_embedding",
+    "dedup_embedding_multiprobe", "dedup_exact", "dedup_jaccard",
+    "dedup_near", "dedup_near_apply", "dedup_semantic",
+    "dedup_semantic_apply", "dedup_simhash", "doc_chunking",
+    "doc_entropy", "domain_cap", "dpp_join", "dq_expectations",
+    "dsir_sample", "embedding_norms", "event_transitions",
     "events_attribution_streamed", "events_dedup_streamed",
-    "events_sliding", "events_sliding_streamed", "ewma", "fingerprint",
-    "funnel_conversion", "graph_degree", "groupby_grouping_sets",
-    "histogram", "knn_classify", "knn_join", "mixture_sample",
-    "ntile_stats", "observed_metrics", "pagerank", "pii_scrub",
-    "resample_interpolate", "retention_cohorts", "rollup_multires",
-    "sample_stratified", "scalar_url", "scd2_intervals", "shard_pack",
-    "sim_topk_lsh", "skyline", "tfidf_topterms", "tpch_q11", "tpch_q16",
-    "tpch_q2", "tpch_q20", "tpch_q21", "tpch_q7", "tpch_q8", "tpch_q9",
-    "triangle_count", "unpivot_metrics",
-    # round-6 driver sample (CORRECTNESS_r06.json)
-    "arrow_map", "asof_join_forward", "bpe_pair_counts", "cogrouped_map",
-    "column_profile", "cumulative_distinct", "decontaminate_apply",
-    "dedup_chunks", "doc_chunking", "dq_expectations",
-    "event_transitions", "events_enrich_streamed",
-    "events_leftjoin_streamed", "events_session_streamed",
-    "events_stateful_sessions_streamed", "events_upsert_streamed",
-    "heavy_hitters", "holt_winters", "interval_coverage", "locf_fill",
-    "ohlc_bars", "pagerank_iter1", "pandas_grouped_agg", "pq_encode",
-    "psi_drift", "python_datasource", "python_stream_source",
-    "runtime_filter_join", "scalar_variant", "scan_csv", "scan_jsonl",
-    "scan_orc", "scan_partitioned", "schema_evolution",
-    "seasonal_naive", "session_window_fn", "sim_topk_ivf_pq",
-    "sketch_merge_rollup", "sql_catalog", "text_normalize",
-    "transpose_stats", "twa", "udtf_analyze", "user_paths",
+    "events_enrich_streamed", "events_leftjoin_streamed",
+    "events_salted_agg_streamed", "events_salted_join_streamed",
+    "events_session_streamed", "events_sliding",
+    "events_sliding_streamed", "events_stateful_sessions_streamed",
+    "events_upsert_streamed", "events_user_counts_streamed",
+    "events_window", "events_window_streamed", "ewma", "explode_items",
+    "filter_predicate", "fingerprint", "funnel_conversion",
+    "fuzzy_join", "gen_billings", "global_count", "global_enumerate",
+    "graph_degree", "groupby_count", "groupby_cube",
+    "groupby_grouping_sets", "groupby_median_mode", "groupby_quantiles",
+    "groupby_rollup", "groupby_sum", "grouped_map_normalize",
+    "heavy_hitters", "histogram", "holt_winters",
+    "inter_event_gap_stats", "interval_coverage",
+    "interval_overlap_join", "iso_week_rollup", "itemset_freq",
+    "ivm_delta_agg", "join_anti", "join_broadcast", "join_cross",
+    "join_outer", "join_range", "join_self_pairs", "join_semi",
+    "k_anonymity", "kcore", "knn_classify", "knn_join", "label_prop",
+    "lang_id", "limit_n", "locf_fill", "mann_whitney", "map_ops",
+    "mixture_sample", "multimodal_join", "multimodal_pipeline",
+    "mutual_info", "naive_bayes_lang", "ngram_freq", "ntile_stats",
+    "observed_metrics", "ohlc_bars", "pagerank", "pagerank_iter1",
+    "pandas_grouped_agg", "pii_scrub", "pipeline_pretraining",
+    "pivot_agg", "posexplode_items", "pq_encode", "project_cast",
+    "project_month", "project_split", "psi_drift", "python_datasink",
+    "python_datasource", "python_stream_source", "quality_filters",
+    "quality_score", "repetition_metrics", "resample_interpolate",
+    "retention_cohorts", "rollup_multires", "rrf_fusion",
+    "runtime_filter_join", "sample_exact_k", "sample_split",
+    "sample_stratified", "sample_weighted", "scalar_concat",
+    "scalar_datetime", "scalar_json", "scalar_round", "scalar_string",
+    "scalar_url", "scalar_variant", "scan_csv", "scan_jsonl",
+    "scan_orc", "scan_parquet", "scan_partitioned", "scan_xml",
+    "scd2_intervals", "schema_evolution", "seasonal_naive",
+    "session_window_fn", "sessionize", "setop_except",
+    "setop_except_all", "setop_intersect", "setop_intersect_all",
+    "setop_union", "shard_pack", "sim_topk", "sim_topk_ivf",
+    "sim_topk_ivf_multiprobe", "sim_topk_ivf_pq", "sim_topk_lsh",
+    "sketch_merge_rollup", "skew_salted_agg", "skew_salted_join",
+    "skyline", "sort_asc", "sort_desc", "spearman_corr", "sql_api",
+    "sql_catalog", "sql_lateral", "sql_recursive", "substring_dedup",
+    "table_diff", "text_normalize", "text_stats", "tfidf_topterms",
+    "token_count", "topk_window", "tpch_q1", "tpch_q10", "tpch_q11",
+    "tpch_q12", "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16",
+    "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q2", "tpch_q20",
+    "tpch_q21", "tpch_q22", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
+    "tpch_q7", "tpch_q8", "tpch_q9", "transpose_stats",
+    "triangle_count", "twa", "tz_hour_rollup", "udtf_analyze",
+    "udtf_tokens", "unigram_logprob", "unpivot_metrics", "upsert_apply",
+    "user_paths", "vocab_encode", "window_first_last", "window_lag",
+    "window_range_frame", "window_rank", "window_running_sum",
+    "winnow_fingerprint", "zorder_cluster",
 })
 
-# Re-verify BEFORE everything else: latest driver row is red/stale, or the
-# implementation or oracle changed after the last driver row was banked.
-# twa: round-7 fix for the r06-flagged decimal→double fragility (exact
-# decimal division + HUGEINT half-up oracle) — the r06 green row predates
-# the rewrite, force a fresh one.
-# gen_billings / dedup_near / dedup_simhash: promoted from rows-only to
-# full value-hash oracles in round 7 (md5 regeneration; exact-pair set +
-# pinned J=1-recall boolean; md5hash60 fingerprints recomputed in SQL) —
-# every prior driver row was the weaker rows-only check.
-# agg_stats / anomaly_zscore: their oracles were restructured in round 7
-# (VARCHAR-routed decimal→double conversion, the repo-wide fix for the
-# same two-rounding bug class) — values unchanged at gate scale, but the
-# banked rows predate the oracle text.
-# multimodal_pipeline: promoted to a full oracle in round 7 (md5/sha256
-# media recipe). approx_sketch: its verify band moved to a deterministic
-# 1-in-8 hash sample with p35/p65 edges and the plan split away from the
-# Expand rewrite — same pinned-boolean contract, fresh row wanted.
-# pagerank: the last rows-only key gained a full unrolled-CTE oracle in
-# round 7 — every prior driver row was the weaker rows-only check.
+# Re-verify BEFORE everything else: the implementation or oracle
+# changed after the last driver row was banked. Round 15 changed all
+# five: link_prediction moved to the bounded mutual-top-K graph
+# contract (new oracle), fuzzy_join to the FUZZY_MAX_REPS bounded-
+# output contract (new columns + oracle), triangle_count /
+# clustering_coefficient to the tiled dense bitmap kernel (plan-only,
+# but the dispatch cutoff moved 16384 → 65536), and moments_profile's
+# x² to DECIMAL (ADVICE r14).
 _REVERIFY_FIRST = (
-    "twa",
-    "gen_billings",
-    "dedup_near",
-    "dedup_simhash",
-    "multimodal_pipeline",
-    "approx_sketch",
-    "pagerank",
-    "agg_stats",
-    "anomaly_zscore",
+    "link_prediction",
+    "fuzzy_join",
+    "triangle_count",
+    "clustering_coefficient",
+    "moments_profile",
 )
 
 

@@ -30,12 +30,24 @@ from pyspark.sql import functions as F
 
 from bigdata1_spark.sources.tables import load_table
 
-# Dense-mode cutoff for triangle counting: with |V| node-index bits per
-# bitset, total adjacency is |V|^2/8 bytes — at 16384 nodes that is
-# 32 MiB, comfortably inside the session's 64 MiB broadcast threshold.
-# Past it, bitsets stop being broadcast-able and the sparse wedge-join
-# path (arboricity-bounded) is the right plan.
-_DENSE_MAX_NODES = 16384
+# Dense-mode cutoff for triangle counting. The kernel is TILED over
+# the neighbor-index range (r14 VERDICT item 2: the flat |V|-bit
+# bitset stopped being broadcast-able at sf3's ~30k suppliers and the
+# fallback sparse wedge join ground 314s on the near-complete derived
+# graph), so the broadcast bound is per-TILE — |V|·tile_bits/8 bytes,
+# held under _DENSE_TILE_BITS_BUDGET by shrinking the tile as |V|
+# grows — not per-graph. The cutoff now only caps the driver-side
+# tile loop (≤ 16 iterations at the 4096-bit floor) and past it the
+# sparse arboricity-bounded path is genuinely the right plan anyway:
+# co-occurrence-derived graphs get SPARSER with scale (edge count
+# grows ~linearly with facts while the pair space grows |V|²), so
+# dense mode is a small-|V| optimization, not the asymptotic plan.
+_DENSE_MAX_NODES = 65536
+# Per-tile broadcast payload budget: |V| bitset rows × tile bits ≤
+# 2^28 bits = 32 MiB. Tile width is the largest power of two under
+# the budget, clamped to [1024, 16384] (floor bounds the loop count,
+# ceiling bounds the zero-padding on tiny graphs).
+_DENSE_TILE_BITS_BUDGET = 1 << 28
 
 
 def _co_supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -92,29 +104,52 @@ def _triangle_count_dense(
     sf_dir: str,
     n_nodes_bound: int,
     edges: DataFrame | None = None,
+    tile_nodes: int | None = None,
 ) -> DataFrame:
-    """Packed-bitmap triangle counting for dense derived graphs.
+    """Packed-bitmap triangle counting for dense derived graphs, TILED
+    over the neighbor-index range.
 
     The co-supplier graph at small SF is near-complete (density ~0.9 at
     sf0.1), so any per-triangle enumeration pays Θ(n³) row traffic —
     the round-5 bench's heaviest key (16.5 s) was exactly that. The
     dense-mode plan is the HPC formulation instead: map node ids to
     dense indices, pack each node's neighborhood into an array<long>
-    bitset (|V| bits), and compute per-edge common-neighbor counts as
-    `sum(bit_count(a AND b))` via zip_with — 16 word-ops per edge at
-    |V|=1000 instead of ~n wedge rows. Per-node counts follow from
+    bitset, and compute per-edge common-neighbor counts as
+    `sum(bit_count(a AND b))` via zip_with — word-ops per edge instead
+    of wedge rows. Per-node counts follow from
     t(w) = ½ · Σ_{edges (w,x)} |N(w) ∩ N(x)| (each triangle at w is
     seen once through each of its two other vertices, so the incident
     sum is exactly 2·t(w) — integer division is exact).
 
+    Tiling (r14 VERDICT item 2): a flat |V|-bit bitset makes the
+    broadcast table |V|²/8 bytes — 112 MiB at sf3's 30k suppliers,
+    past any sane broadcast. Instead the neighbor index range is split
+    into tiles of ``tile_nodes`` bits (adaptive: largest power of two
+    with |V|·tile_bits ≤ ``_DENSE_TILE_BITS_BUDGET``, so every
+    broadcast stays ≤ 32 MiB at any |V| under the cutoff) and
+    common(a, b) = Σ_tiles |N_t(a) ∩ N_t(b)| accumulates per-edge
+    partial counts across tiles — an ordinary order-free SUM. Per-tile
+    bitset tables only hold nodes with ≥1 neighbor IN that tile, and
+    the per-edge join is inner, so on clustered/community graphs
+    (block-local adjacency — exactly the derived-graph shape) each
+    edge is touched by ~1-2 tiles, not all of them. At ntiles == 1
+    the loop degenerates to the untiled kernel with exact-width
+    bitsets (ceil(|V|/64) words) — zero regression at small |V|.
+
     Everything is JVM built-ins (sequence/transform/aggregate/zip_with/
-    bit_count); bitsets are broadcast-joined to the edge list (total
-    adjacency |V|²/8 ≤ 32 MiB under the dense cutoff). The dense-index
-    assignment is a row_number over the |V|-row node table — single
-    partition by construction, but dense mode PRESUPPOSES |V| is
-    broadcast-small, so that window never grows past the cutoff.
+    bit_count); per-tile bitset tables are broadcast-joined to the
+    indexed edge list, which is localCheckpoint-ed once and reused by
+    every tile pass. The dense-index assignment is a row_number over
+    the |V|-row node table — single partition by construction, but
+    dense mode PRESUPPOSES |V| is broadcast-small, so that window
+    never grows past the cutoff.
     """
-    nwords = (n_nodes_bound + 63) // 64
+    n_bound = max(n_nodes_bound, 1)
+    if tile_nodes is None:
+        budget = _DENSE_TILE_BITS_BUDGET // n_bound
+        tile_nodes = 1 << max(10, min(14, budget.bit_length() - 1))
+    tile_nodes = max(tile_nodes, 64)
+    ntiles = max((n_bound + tile_nodes - 1) // tile_nodes, 1)
     e = (
         edges
         if edges is not None
@@ -134,36 +169,50 @@ def _triangle_count_dense(
     inc = ei.select(F.col("ia").alias("x"), F.col("ib").alias("y")).union(
         ei.select(F.col("ib").alias("x"), F.col("ia").alias("y"))
     )
-    bits = (
-        inc.groupBy("x")
-        .agg(F.collect_set("y").alias("nbrs"))
-        .select(
-            "x",
-            F.expr(
-                f"""
-                transform(sequence(0, {nwords - 1}),
-                  w -> aggregate(filter(nbrs, i -> i div 64 = w), 0L,
-                                 (acc, i) -> acc | shiftleft(1L, cast(i % 64 as int))))
-                """
-            ).alias("bs"),
-        )
-    )
-    ba = bits.select(F.col("x").alias("ia"), F.col("bs").alias("bsa"))
-    bb = bits.select(F.col("x").alias("ib"), F.col("bs").alias("bsb"))
-    per_edge = (
-        ei.join(F.broadcast(ba), "ia")
-        .join(F.broadcast(bb), "ib")
-        .select(
-            "a",
-            "b",
-            F.expr(
-                "aggregate(zip_with(bsa, bsb, (p, q) -> bit_count(p & q)),"
-                " 0, (acc, x) -> acc + x)"
+    if ntiles > 1:
+        ei = ei.localCheckpoint()
+        inc = inc.localCheckpoint()
+    parts: list[DataFrame] = []
+    for t in range(ntiles):
+        lo = t * tile_nodes
+        width = min(tile_nodes, n_bound - lo)
+        nwords = (width + 63) // 64
+        bt = (
+            inc.filter((F.col("y") >= lo) & (F.col("y") < lo + width))
+            .select("x", (F.col("y") - F.lit(lo)).alias("yl"))
+            .groupBy("x")
+            .agg(F.collect_set("yl").alias("nbrs"))
+            .select(
+                "x",
+                F.expr(
+                    f"""
+                    transform(sequence(0, {nwords - 1}),
+                      w -> aggregate(filter(nbrs, i -> i div 64 = w), 0L,
+                                     (acc, i) -> acc | shiftleft(1L, cast(i % 64 as int))))
+                    """
+                ).alias("bs"),
             )
-            .cast("long")
-            .alias("common"),
         )
-    )
+        ba = bt.select(F.col("x").alias("ia"), F.col("bs").alias("bsa"))
+        bb = bt.select(F.col("x").alias("ib"), F.col("bs").alias("bsb"))
+        parts.append(
+            ei.join(F.broadcast(ba), "ia")
+            .join(F.broadcast(bb), "ib")
+            .select(
+                "a",
+                "b",
+                F.expr(
+                    "aggregate(zip_with(bsa, bsb, (p, q) -> bit_count(p & q)),"
+                    " 0, (acc, x) -> acc + x)"
+                )
+                .cast("long")
+                .alias("common"),
+            )
+            .where(F.col("common") > 0)
+        )
+    per_edge = parts[0]
+    for p in parts[1:]:
+        per_edge = per_edge.unionAll(p)
     return (
         per_edge.select(
             F.explode(

@@ -24,12 +24,18 @@ the bottleneck again and the right tool is the threshold-bounded
 ``levenshtein(l, r, k)`` (O(k·n) banded DP with early exit) under
 q-gram/LSH blocking — the bounded kernel is used here too.
 
-Bound note: the per-(block, form) key array is group-sized, so a
-pathological surface form repeated millions of times makes that array
-(and the pair explosion it feeds, which is quadratic in group size)
-the dominant object. Production ER caps representatives per form or
-emits (form-pair, count) instead of row pairs at that point — the same
-escalation as the LSH hot-bucket chunking.
+Bound note (now ENFORCED, r15): the per-(block, form) key array is
+group-sized, so surface-form repetition that grows with the data makes
+the pair explosion — quadratic in group size — the dominant object:
+unbounded, this operator's OUTPUT was Θ(sf²) (220k → 23M → 207M rows
+across sf0.1/1/3; the plan was actually sublinear in output, so no
+physical strategy could fix the slope). Production ER caps
+representatives per form at exactly this point, so the cap is part of
+the operator contract: at most ``FUZZY_MAX_REPS`` representative keys
+per (block, surface form) — the lowest key ids, a deterministic,
+oracle-mirrorable choice — with the full pre-cap group size carried in
+``a_group_n``/``b_group_n`` so consumers can recover total match mass
+(a form-pair's true pair count is a_group_n · b_group_n).
 """
 
 from __future__ import annotations
@@ -40,29 +46,51 @@ from pyspark.sql import functions as F
 from bigdata1_spark.sources.tables import load_table
 
 
+# Representative cap per (brand, surface form): the operator's
+# bounded-output contract (see module docstring — unbounded, output
+# was Θ(sf²) and owned the r14 SCALING flag list). Representatives are
+# the FUZZY_MAX_REPS lowest part keys of the group, a total order both
+# engines sort identically.
+FUZZY_MAX_REPS = 20
+
+
 def fuzzy_join(
     spark: SparkSession, sf_dir: str, max_dist: int = 2
 ) -> DataFrame:
-    """Within-brand fuzzy self-match on part names: all part pairs
+    """Within-brand fuzzy self-match on part names: part pairs
     (a_key < b_key) whose names are within Levenshtein distance
-    ``max_dist``.
+    ``max_dist``, over at most ``FUZZY_MAX_REPS`` representative keys
+    per (brand, name) group (lowest ids; pre-cap group sizes are
+    carried per side so match mass is recoverable — the bounded-
+    contract move production ER makes once surface-form repetition
+    grows with the data).
 
-    Plan: one shuffle groups parts to (brand, name, sorted key array);
-    the name-pair distance table (distinct names ≤ vocabulary size) is
-    computed with the threshold-bounded kernel and BROADCAST, as is the
-    right-hand group table — so the expansion joins are broadcast-side
-    and the only remaining cost is materializing the actual matches.
-    ``name_a <= name_b`` enumerates unordered name pairs once; key
-    ordering is restored per pair with least/greatest (names swap with
-    their keys), and the equal-name case (dist 0 — same group joined to
-    itself) takes ``ka < kb`` combinations.
-    Columns: a_key, b_key, a_name, b_name, dist.
+    Plan: one shuffle groups parts to (brand, name, capped sorted key
+    array, group size); the name-pair distance table (distinct names ≤
+    vocabulary size) is computed with the threshold-bounded kernel and
+    BROADCAST, as is the right-hand group table — so the expansion
+    joins are broadcast-side, and with the cap the materialized output
+    is bounded by name-pairs · FUZZY_MAX_REPS², independent of fact
+    growth. ``name_a <= name_b`` enumerates unordered name pairs once;
+    key ordering is restored per pair with least/greatest (names and
+    group sizes swap with their keys), and the equal-name case (dist 0
+    — same group joined to itself) takes ``ka < kb`` combinations.
+    Columns: a_key, b_key, a_name, b_name, dist, a_group_n, b_group_n.
     """
     p = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_brand", "p_name"
     )
-    groups = p.groupBy("p_brand", "p_name").agg(
-        F.sort_array(F.collect_list("p_partkey")).alias("keys")
+    groups = (
+        p.filter(F.col("p_partkey").isNotNull())
+        .groupBy("p_brand", "p_name")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list("p_partkey")),
+                1,
+                FUZZY_MAX_REPS,
+            ).alias("keys"),
+            F.count(F.lit(1)).alias("grp_n"),
+        )
     )
     names = p.select("p_name").distinct()
     # Bounded-distance kernel over distinct name pairs only: returns -1
@@ -88,6 +116,7 @@ def fuzzy_join(
         F.col("p_brand").alias("b_brand"),
         F.col("p_name").alias("b_gname"),
         F.col("keys").alias("keys_b"),
+        F.col("grp_n").alias("n_b"),
     )
     cand = (
         ga.join(F.broadcast(npairs), F.col("ga.p_name") == F.col("name_a"))
@@ -100,10 +129,11 @@ def fuzzy_join(
     expanded = (
         cand.select(
             "name_a", "name_b", "dist",
+            F.col("ga.grp_n").alias("n_a"), "n_b",
             F.explode("keys").alias("ka"), "keys_b",
         )
         .select(
-            "name_a", "name_b", "dist", "ka",
+            "name_a", "name_b", "dist", "n_a", "n_b", "ka",
             F.explode("keys_b").alias("kb"),
         )
         .filter(
@@ -119,6 +149,10 @@ def fuzzy_join(
         F.when(flip, F.col("name_a")).otherwise(F.col("name_b"))
         .alias("b_name"),
         "dist",
+        F.when(flip, F.col("n_b")).otherwise(F.col("n_a"))
+        .alias("a_group_n"),
+        F.when(flip, F.col("n_a")).otherwise(F.col("n_b"))
+        .alias("b_group_n"),
     )
 
 

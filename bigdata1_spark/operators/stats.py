@@ -1420,16 +1420,18 @@ def moments_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x").isNotNull()
     )
     xd = F.col("x").cast("decimal(19,0)")
-    x2 = (F.col("x") * F.col("x")).alias("x2")  # ≤ 49002² < 2⁶³, exact
+    # x² in DECIMAL end-to-end (ADVICE r14): a BIGINT x*x silently
+    # wraps past |x| ~3e9 where the oracle's BIGINT multiply raises —
+    # DECIMAL keeps the Spark side exact far past any value the ×100
+    # scaling can produce (in-domain max |x| is 49002), so the two
+    # engines can only diverge where BOTH are out of decimal range.
+    x2 = (xd * xd).alias("x2")
     g = base.select("event_type", "x", x2).groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(xd).alias("s1"),
-        F.sum(F.col("x2").cast("decimal(19,0)")).alias("s2"),
-        F.sum(xd * F.col("x2").cast("decimal(19,0)")).alias("s3"),
-        F.sum(
-            F.col("x2").cast("decimal(19,0)")
-            * F.col("x2").cast("decimal(19,0)")
-        ).alias("s4"),
+        F.sum("x2").alias("s2"),
+        F.sum(xd * F.col("x2")).alias("s3"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s4"),
     )
     n = F.col("n").cast("double")
     m = F.col("s1").cast("double") / n

@@ -4523,16 +4523,48 @@ register(
     """,
 )
 
+# Bounded-contract ER (r15): at most FUZZY_MAX_REPS representative
+# keys (lowest ids) per (brand, name) group — unbounded, the output
+# was Θ(sf²). The oracle mirrors the cap with list_sort + slice; the
+# unordered name-pair + least/greatest flip reproduces the Spark
+# side's pair normalization exactly.
 register(
     "fuzzy_join",
     matching.fuzzy_join,
-    """
-    SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
-           a.p_name AS a_name, b.p_name AS b_name,
-           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
-    FROM part a JOIN part b
-      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
-    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    f"""
+    WITH g AS (
+      SELECT p_brand, p_name, CAST(COUNT(*) AS BIGINT) AS n,
+             (list_sort(list(p_partkey)))[1:{matching.FUZZY_MAX_REPS}]
+               AS keys
+      FROM part WHERE p_partkey IS NOT NULL
+      GROUP BY 1, 2
+    ), names AS (
+      SELECT DISTINCT p_name FROM part
+    ), np AS (
+      SELECT x.p_name AS na, y.p_name AS nb,
+             CAST(levenshtein(x.p_name, y.p_name) AS BIGINT) AS dist
+      FROM names x JOIN names y ON x.p_name <= y.p_name
+      WHERE levenshtein(x.p_name, y.p_name) <= 2
+    ), cand AS (
+      SELECT np.na, np.nb, np.dist,
+             ga.n AS n_a, gb.n AS n_b,
+             ga.keys AS keys_a, gb.keys AS keys_b
+      FROM g ga JOIN np ON ga.p_name = np.na
+      JOIN g gb ON gb.p_brand = ga.p_brand AND gb.p_name = np.nb
+    ), e1 AS (
+      SELECT na, nb, dist, n_a, n_b, unnest(keys_a) AS ka, keys_b
+      FROM cand
+    ), e2 AS (
+      SELECT na, nb, dist, n_a, n_b, ka, unnest(keys_b) AS kb FROM e1
+    )
+    SELECT LEAST(ka, kb) AS a_key, GREATEST(ka, kb) AS b_key,
+           CASE WHEN ka > kb THEN nb ELSE na END AS a_name,
+           CASE WHEN ka > kb THEN na ELSE nb END AS b_name,
+           dist,
+           CASE WHEN ka > kb THEN n_b ELSE n_a END AS a_group_n,
+           CASE WHEN ka > kb THEN n_a ELSE n_b END AS b_group_n
+    FROM e2
+    WHERE (na <> nb) OR (ka < kb)
     """,
 )
 

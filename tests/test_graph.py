@@ -41,6 +41,20 @@ def test_triangle_dense_sparse_agree(spark, sf_dir):
     assert sparse.exceptAll(dense).count() == 0
 
 
+def test_triangle_dense_tiled_agrees(spark, sf_dir):
+    """Forcing a small tile width splits the bitset kernel into many
+    tile passes whose per-edge partial counts must sum to the same
+    per-node totals as the single-tile plan (common(a,b) additivity
+    across neighbor-index tiles)."""
+    from bigdata1_spark.sources.tables import load_table
+
+    n_sup = load_table(spark, sf_dir, "supplier").count()
+    tiled = graph._triangle_count_dense(spark, sf_dir, n_sup, tile_nodes=64)
+    flat = graph._triangle_count_dense(spark, sf_dir, n_sup)
+    assert tiled.exceptAll(flat).count() == 0
+    assert flat.exceptAll(tiled).count() == 0
+
+
 def test_pagerank_invariants(spark, sf_dir):
     """No dangling nodes → damping conserves rank mass: sum(rank) = N
     up to rounding. Ranks positive, bounded below by the base term."""
