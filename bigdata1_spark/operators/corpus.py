@@ -960,3 +960,160 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+# Rank-frequency fit depth: the OLS runs over the top-ZIPF_TOP words
+# by (count DESC, word ASC — total order). 100 is the conventional
+# head for a Zipf audit: deep enough to expose a broken power law,
+# shallow enough that the tail's lexical noise doesn't drown the fit.
+ZIPF_TOP = 100
+
+
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law audit of the corpus: OLS slope / intercept / r² of
+    ln(frequency) on ln(rank) over the top-``ZIPF_TOP`` words — the
+    standard sanity probe that a text corpus has a natural
+    rank-frequency power law (slope ≈ −1) rather than the flat or
+    cliffed curve of template/boilerplate floods.
+
+    ONE scan + one vocabulary-scale word count; the head is taken with
+    orderBy(c DESC, word ASC).limit — Spark plans TakeOrderedAndProject
+    (distributed top-k, never a single-partition vocabulary sort), and
+    only the ≤ZIPF_TOP surviving rows see a row_number window. Both
+    lns are snapped to the 1e-6 grid and kept as exact BIGINT
+    micro-units (the naive_bayes rule: ranking/summed ln outputs are
+    never raw doubles), so the six OLS sufficient statistics are exact
+    integer sums; slope/intercept/r² are single mirrored double chains
+    off those integers, each 1e-6 floor-snapped, with slope snapped
+    BEFORE the intercept chain consumes it (removes ulp sensitivity
+    between engines). Degenerate heads (n < 2) yield NULL stats; zero
+    y-variance yields NULL r². Columns: n_words, slope, intercept, r2.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = wc.orderBy(F.desc("c"), F.asc("word")).limit(ZIPF_TOP)
+    ranked = top.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.desc("c"), F.asc("word")))
+        .alias("rnk"),
+    )
+    lx = F.floor(F.log(F.col("rnk").cast("double")) * F.lit(1e6) + F.lit(0.5))
+    ly = F.floor(F.log(F.col("c").cast("double")) * F.lit(1e6) + F.lit(0.5))
+    snapped = ranked.select(
+        lx.cast("decimal(19,0)").alias("lx"),
+        ly.cast("decimal(19,0)").alias("ly"),
+    )
+    s = snapped.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        F.sum(F.col("ly") * F.col("ly")).alias("syy"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+    )
+    snap = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    num = n * sxy - sx * sy
+    denx = n * sxx - sx * sx
+    deny = n * syy - sy * sy
+    ok = (F.col("n") >= 2) & (denx > 0)
+    slope = snap(num / denx)
+    intercept = snap(
+        (sy / F.lit(1e6) - slope * (sx / F.lit(1e6))) / n
+    )
+    r2 = snap((num * num) / (denx * deny))
+    return s.select(
+        F.col("n").cast("long").alias("n_words"),
+        F.when(ok, slope).alias("slope"),
+        F.when(ok, intercept).alias("intercept"),
+        F.when(ok & (deny > 0), r2).alias("r2"),
+    )
+
+
+def source_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary overlap between source slices: |A∩B| and
+    Jaccard over each source's DISTINCT token set — the corpus-level
+    similarity matrix a mixture-weighting pass reads before deciding
+    two feeds are redundant (the set-level companion of
+    ``token_divergence``'s distribution distance).
+
+    ONE scan builds the distinct (source, word) incidence table
+    (cached — it feeds sizes AND both sides of the intersection join);
+    intersections come from the word-keyed equi-join with ``src_a <
+    src_b``, whose fan-out is bounded by #sources² PER WORD (sources
+    are a bounded dimension — at 100 TB this is vocabulary-scale ×
+    C(#sources, 2), never corpus-scale), and the source-pair frame is
+    a broadcast theta-join of the tiny per-source size table with
+    itself. Counts are exact integers; Jaccard = c/(n_a+n_b−c) is one
+    snapped division (denominator ≥ 1 — sizes are ≥ 1 by
+    construction). NULL source is a real slice (``<null>``, the
+    log_odds convention); pairs with no shared vocabulary emit 0.
+    Columns: src_a, src_b, n_a, n_b, n_common, jaccard.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    st = (
+        docs.select(
+            F.coalesce(F.col("source"), F.lit("<null>")).alias("src"),
+            F.explode(tokens(F.col("text"))).alias("word"),
+        )
+        .distinct()
+        .cache()
+    )
+    sizes = st.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        st.alias("x")
+        .join(
+            st.alias("y"),
+            (F.col("x.word") == F.col("y.word"))
+            & (F.col("x.src") < F.col("y.src")),
+        )
+        .groupBy(
+            F.col("x.src").alias("sa"), F.col("y.src").alias("sb")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairs = (
+        sizes.select(F.col("src").alias("src_a"), F.col("n").alias("n_a"))
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("src").alias("src_b"), F.col("n").alias("n_b")
+                )
+            ),
+            F.col("src_a") < F.col("src_b"),
+        )
+        .join(
+            F.broadcast(inter),
+            (F.col("src_a") == F.col("sa"))
+            & (F.col("src_b") == F.col("sb")),
+            "left",
+        )
+    )
+    c = F.coalesce(F.col("c"), F.lit(0)).cast("long")
+    jac = c.cast("double") / (
+        F.col("n_a").cast("double")
+        + F.col("n_b").cast("double")
+        - c.cast("double")
+    )
+    return pairs.select(
+        "src_a",
+        "src_b",
+        "n_a",
+        "n_b",
+        c.alias("n_common"),
+        (F.floor(jac * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "jaccard"
+        ),
+    )

@@ -828,3 +828,53 @@ def link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         snap(jac).alias("jaccard"),
         snap(aa).alias("adamic_adar"),
     )
+
+
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman's r) of the co-supplier graph —
+    the one-number audit of whether high-degree nodes attach to each
+    other (r > 0, social-network shape) or to low-degree spokes
+    (r < 0, hub-and-spoke shape); the standard first diagnostic before
+    trusting degree-based sampling or kNN sparsification on a derived
+    graph.
+
+    r is the Pearson correlation of endpoint degrees over ORDERED
+    edges; both orientations of an undirected edge contribute, so the
+    marginals coincide (Sx = Sy, Sxx = Syy) and the sufficient
+    statistics collapse to per-edge terms — n = 2|E|, Sx = Σ(dₐ+d_b),
+    Sxx = Σ(dₐ²+d_b²), Sxy = 2·Σ dₐ·d_b — ONE aggregate over the
+    degree-joined edge list, no symmetrize explode. All sums
+    accumulate in DECIMAL (exact at any |E|·deg² this engine can
+    hold); r = (n·Sxy − Sx²)/(n·Sxx − Sx²) is one mirrored double
+    chain, 1e-6 floor-snapped. A regular graph (zero degree variance)
+    or an empty one yields NULL rather than an engine-dependent
+    NaN/inf. Columns: n_nodes, n_edges, assortativity.
+    """
+    e = _co_supplier_edges(spark, sf_dir).localCheckpoint()
+    deg = _node_degrees(e)
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("deg_b"))
+    wd = e.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
+    xd = F.col("deg_a").cast("decimal(19,0)")
+    yd = F.col("deg_b").cast("decimal(19,0)")
+    s = wd.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(xd + yd).alias("sx"),
+        F.sum(xd * xd + yd * yd).alias("sxx"),
+        F.sum(xd * yd).alias("sxy_half"),
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    n = (F.col("m") * F.lit(2)).cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sxy = (F.col("sxy_half") * F.lit(2)).cast("double")
+    num = n * sxy - sx * sx
+    den = n * sxx - sx * sx
+    return s.crossJoin(F.broadcast(n_nodes)).select(
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("m").cast("long").alias("n_edges"),
+        F.when(
+            den > 0,
+            F.floor((num / den) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6),
+        ).alias("assortativity"),
+    )

@@ -7163,3 +7163,143 @@ register(
     GROUP BY 1
     """,
 )
+
+# ---------------------------------------------------------------------------
+# Round 15: corpus/graph audit metrics
+# ---------------------------------------------------------------------------
+
+# Newman degree assortativity over ordered co-supplier edges: the
+# symmetric marginals collapse the Pearson to per-edge sums (n = 2|E|,
+# Sx = Σ(da+db), Sxx = Σ(da²+db²), Sxy = 2Σ(da·db)), all exact in
+# HUGEINT; one mirrored double chain, NULL on zero degree variance.
+register(
+    "graph_assortativity",
+    graph.graph_assortativity,
+    """
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+      FROM lineitem x JOIN lineitem y
+        ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+    ), deg AS MATERIALIZED (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+      GROUP BY 1
+    ), wd AS (
+      SELECT da.degree AS x, db.degree AS y
+      FROM e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b
+    ), s AS (
+      SELECT COUNT(*) AS m,
+             SUM(CAST(x AS HUGEINT) + y) AS sx,
+             SUM(CAST(x AS HUGEINT) * x + CAST(y AS HUGEINT) * y) AS sxx,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy_half
+      FROM wd
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           CAST(m AS BIGINT) AS n_edges,
+           CASE WHEN CAST(m * 2 AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                THEN FLOOR(((CAST(m * 2 AS DOUBLE)
+                              * (CAST(sxy_half AS DOUBLE) * 2)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            / (CAST(m * 2 AS DOUBLE) * CAST(sxx AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                           * 1e6 + 0.5) / 1e6
+           END AS assortativity
+    FROM s
+    """,
+)
+
+# Zipf rank-frequency OLS over the top-100 words: both lns snapped to
+# exact BIGINT micro-units before the six sufficient-statistic sums
+# (HUGEINT); slope snapped BEFORE the intercept chain consumes it.
+register(
+    "zipf_fit",
+    corpus.zipf_fit,
+    f"""
+    WITH wc AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                                  x -> len(x) > 0)) AS word
+        FROM documents
+      ) GROUP BY 1
+    ), top AS (
+      SELECT word, c FROM wc
+      ORDER BY c DESC, word ASC LIMIT {corpus.ZIPF_TOP}
+    ), ranked AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, word ASC) AS rnk
+      FROM top
+    ), snapped AS (
+      SELECT CAST(FLOOR(ln(CAST(rnk AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+               AS lx,
+             CAST(FLOOR(ln(CAST(c AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+               AS ly
+      FROM ranked
+    ), s AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(lx AS HUGEINT)) AS sx,
+             SUM(CAST(ly AS HUGEINT)) AS sy,
+             SUM(CAST(lx AS HUGEINT) * lx) AS sxx,
+             SUM(CAST(ly AS HUGEINT) * ly) AS syy,
+             SUM(CAST(lx AS HUGEINT) * ly) AS sxy
+      FROM snapped
+    ), chain AS (
+      SELECT n,
+             CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+             CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS denx,
+             CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS deny,
+             CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+      FROM s
+    ), sl AS (
+      SELECT n, num, denx, deny, sxd, syd,
+             FLOOR((num / denx) * 1e6 + 0.5) / 1e6 AS slope
+      FROM chain
+    )
+    SELECT CAST(n AS BIGINT) AS n_words,
+           CASE WHEN n >= 2 AND denx > 0 THEN slope END AS slope,
+           CASE WHEN n >= 2 AND denx > 0
+                THEN FLOOR(((syd / 1e6 - slope * (sxd / 1e6))
+                            / CAST(n AS DOUBLE)) * 1e6 + 0.5) / 1e6
+           END AS intercept,
+           CASE WHEN n >= 2 AND denx > 0 AND deny > 0
+                THEN FLOOR(((num * num) / (denx * deny)) * 1e6 + 0.5)
+                     / 1e6
+           END AS r2
+    FROM sl
+    """,
+)
+
+# Pairwise source-vocabulary Jaccard: distinct (source, word)
+# incidence table feeds sizes and the word-keyed intersection join
+# (fan-out bounded by #sources² per word); exact counts, one snapped
+# division per pair.
+register(
+    "source_jaccard",
+    corpus.source_jaccard,
+    """
+    WITH st AS MATERIALIZED (
+      SELECT DISTINCT src, word FROM (
+        SELECT COALESCE(source, '<null>') AS src,
+               unnest(list_filter(string_split_regex(text, '\\s+'),
+                                  x -> len(x) > 0)) AS word
+        FROM documents
+      )
+    ), sizes AS (
+      SELECT src, CAST(COUNT(*) AS BIGINT) AS n FROM st GROUP BY 1
+    ), inter AS (
+      SELECT x.src AS sa, y.src AS sb, CAST(COUNT(*) AS BIGINT) AS c
+      FROM st x JOIN st y ON x.word = y.word AND x.src < y.src
+      GROUP BY 1, 2
+    )
+    SELECT a.src AS src_a, b.src AS src_b, a.n AS n_a, b.n AS n_b,
+           CAST(COALESCE(i.c, 0) AS BIGINT) AS n_common,
+           FLOOR((CAST(COALESCE(i.c, 0) AS DOUBLE)
+                  / (CAST(a.n AS DOUBLE) + CAST(b.n AS DOUBLE)
+                     - CAST(COALESCE(i.c, 0) AS DOUBLE)))
+                 * 1e6 + 0.5) / 1e6 AS jaccard
+    FROM sizes a JOIN sizes b ON a.src < b.src
+    LEFT JOIN inter i ON i.sa = a.src AND i.sb = b.src
+    """,
+)

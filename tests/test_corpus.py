@@ -267,3 +267,83 @@ def test_ngram_novelty_matches_pure_python(spark, duck, sf_dir):
         novel = sum(1 for g in grams if first[g] == doc_id)
         assert (r.n_grams, r.n_novel) == (len(grams), novel), doc_id
         assert abs(r.novelty - novel / len(grams)) < 1e-12
+
+
+def test_zipf_fit_matches_pure_python(spark, tmp_path):
+    """OLS of ln(freq) on ln(rank) recomputed in raw Python over a
+    crafted corpus with a known rank-frequency ladder, including the
+    snap-before-intercept ordering the engine pins."""
+    import math
+
+    # word w_i appears (10 - i) times -> exact known counts/ranks
+    words = []
+    for i in range(8):
+        words += [f"w{i}"] * (10 - i)
+    docs = _write_docs(spark, tmp_path, [(" ".join(words), "en", "s")])
+    row = corpus.zipf_fit(spark, docs).collect()[0]
+    counts = sorted(
+        [(10 - i, f"w{i}") for i in range(8)],
+        key=lambda t: (-t[0], t[1]),
+    )
+    pts = [
+        (
+            math.floor(math.log(r + 1) * 1e6 + 0.5),
+            math.floor(math.log(c) * 1e6 + 0.5),
+        )
+        for r, (c, _) in enumerate(counts)
+    ]
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    syy = sum(y * y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    num = n * sxy - sx * sy
+    denx = n * sxx - sx * sx
+    deny = n * syy - sy * sy
+    slope = math.floor((num / denx) * 1e6 + 0.5) / 1e6
+    intercept = (
+        math.floor(((sy / 1e6 - slope * (sx / 1e6)) / n) * 1e6 + 0.5) / 1e6
+    )
+    r2 = math.floor(((num * num) / (denx * deny)) * 1e6 + 0.5) / 1e6
+    assert row.n_words == n
+    assert row.slope == pytest.approx(slope, abs=1e-12)
+    assert row.intercept == pytest.approx(intercept, abs=1e-12)
+    assert row.r2 == pytest.approx(r2, abs=1e-12)
+    assert row.slope < 0 and 0 <= row.r2 <= 1
+
+
+def test_zipf_fit_degenerate_heads(spark, tmp_path):
+    """n < 2 distinct words cannot support a line: stats must be NULL,
+    not NaN/inf; the single-word corpus still reports n_words."""
+    docs = _write_docs(spark, tmp_path, [("same same same", "en", "s")])
+    row = corpus.zipf_fit(spark, docs).collect()[0]
+    assert row.n_words == 1
+    assert row.slope is None and row.intercept is None and row.r2 is None
+
+
+def test_source_jaccard_known_overlap(spark, tmp_path):
+    """Three crafted sources with hand-countable vocabulary overlap,
+    including a NULL source slice and a disjoint pair (jaccard 0)."""
+    docs = _write_docs(
+        spark,
+        tmp_path,
+        [
+            ("apple banana cherry", "en", "s1"),
+            ("banana cherry date", "en", "s2"),
+            ("quux zorp", "en", None),
+        ],
+    )
+    rows = {
+        (r.src_a, r.src_b): r
+        for r in corpus.source_jaccard(spark, docs).collect()
+    }
+    assert set(rows) == {
+        ("<null>", "s1"), ("<null>", "s2"), ("s1", "s2"),
+    }
+    r = rows[("s1", "s2")]
+    assert (r.n_a, r.n_b, r.n_common) == (3, 3, 2)
+    assert r.jaccard == pytest.approx(0.5, abs=1e-9)
+    r = rows[("<null>", "s1")]
+    assert (r.n_a, r.n_b, r.n_common) == (2, 3, 0)
+    assert r.jaccard == 0.0

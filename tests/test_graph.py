@@ -191,3 +191,66 @@ def test_clustering_coefficient_consistent_with_triangle_count(
     for node, t in tc.items():
         assert cc.get(node) == t, node
     assert all(t == 0 for n, t in cc.items() if n not in tc)
+
+
+def test_assortativity_matches_pure_python(spark, duck, sf_dir):
+    """Newman's r recomputed the textbook way — Pearson over the fully
+    symmetrized (deg_a, deg_b) edge-endpoint pairs — against the
+    per-edge collapsed sufficient statistics under test."""
+    import math
+
+    import pytest
+
+    edges = duck.execute(
+        "SELECT DISTINCT x.l_suppkey, y.l_suppkey FROM lineitem x "
+        "JOIN lineitem y ON x.l_orderkey = y.l_orderkey "
+        "AND x.l_suppkey < y.l_suppkey"
+    ).fetchall()
+    deg: dict = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    xs = [deg[a] for a, b in edges] + [deg[b] for a, b in edges]
+    ys = [deg[b] for a, b in edges] + [deg[a] for a, b in edges]
+    n = len(xs)
+    sx, sxx = sum(xs), sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    num = n * sxy - sx * sx
+    den = n * sxx - sx * sx
+    row = graph.graph_assortativity(spark, sf_dir).collect()[0]
+    assert row.n_nodes == len(deg)
+    assert row.n_edges == len(edges)
+    if den > 0:
+        want = math.floor((num / den) * 1e6 + 0.5) / 1e6
+        assert row.assortativity == pytest.approx(want, abs=1e-12)
+        assert -1.0 - 1e-9 <= row.assortativity <= 1.0 + 1e-9
+    else:
+        assert row.assortativity is None
+
+
+def test_assortativity_signed_shapes(spark, tmp_path):
+    """A star graph must come out strongly negative (hub attaches only
+    to leaves); a perfect clique (regular graph, zero degree variance)
+    yields NULL rather than NaN."""
+
+    def build(dirname, pairs):
+        d = str(tmp_path / dirname)
+        # one order per edge, two lineitems sharing the order key
+        rows = []
+        for i, (a, b) in enumerate(pairs):
+            rows.append((i, a))
+            rows.append((i, b))
+        spark.createDataFrame(
+            rows, "l_orderkey long, l_suppkey long"
+        ).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+        return d
+
+    star = build("star", [(0, i) for i in range(1, 6)])
+    r = graph.graph_assortativity(spark, star).collect()[0]
+    assert r.n_nodes == 6 and r.n_edges == 5
+    assert r.assortativity is not None and r.assortativity < -0.99
+
+    tri = build("clique3", [(1, 2), (1, 3), (2, 3)])
+    r = graph.graph_assortativity(spark, tri).collect()[0]
+    assert r.n_nodes == 3 and r.n_edges == 3
+    assert r.assortativity is None  # regular graph: zero variance

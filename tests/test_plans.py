@@ -1027,6 +1027,7 @@ SCAN_BUDGETS = {
     "gini_mad": 1,
     "global_count": 1,
     "global_enumerate": 2,
+    "graph_assortativity": 0,  # edges localCheckpoint-ed eagerly (the triangle_count pattern)
     "graph_degree": 1,
     "groupby_count": 2,
     "groupby_cube": 1,
@@ -1149,6 +1150,7 @@ SCAN_BUDGETS = {
     "skew_salted_agg": 1,
     "skew_salted_join": 2,
     "skyline": 1,
+    "source_jaccard": 1,  # distinct (src, word) incidence cached; feeds sizes + both join sides
     "sort_asc": 2,
     "sort_desc": 1,
     "sql_api": 2,
@@ -1206,6 +1208,7 @@ SCAN_BUDGETS = {
     "window_rank": 2,
     "window_running_sum": 1,
     "winnow_fingerprint": 1,
+    "zipf_fit": 1,
     "zorder_cluster": 1,
 }
 
