@@ -878,3 +878,77 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor((num / den) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6),
         ).alias("assortativity"),
     )
+
+
+# Hash-min round budget for connected_components: labels converge once
+# rounds reach the graph's min-label eccentricity (<= diameter), and
+# every derived co-occurrence graph here has diameter 2-4; 12 is the
+# same fixed-contract move as BFS_ROUNDS / pagerank's iters — it makes
+# the operator EXACTLY mirrorable by a 12-round unrolled oracle (an
+# accumulate-all-reachable-pairs recursive CTE is Θ(Σ|C_i|²·deg) and
+# never finished on the 2M-edge skew twin), while the Spark side may
+# still stop early at the fixpoint, which cannot change the result.
+CC_ROUNDS = 12
+
+
+def connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the co-supplier graph via hash-min label
+    propagation — the graph-curation primitive a corpus pipeline runs
+    before sampling (drop/cap the giant component, stratify by
+    component size).
+
+    Each round every node takes the minimum label in its closed
+    neighborhood: ONE join of the symmetrized edge list against the
+    current labels + ONE min-aggregate, both keyed on node id — the
+    per-round cost is Θ(|E|) with no triangle/wedge blow-up, so unlike
+    the triad family this runs on the RAW (unbounded) co-supplier
+    graph. The contract is ``CC_ROUNDS`` rounds (= min node id within
+    CC_ROUNDS min-label hops — the true component id whenever that
+    covers the component's min-label eccentricity, which diameter-2-4
+    derived graphs clear by 3x); the loop stops EARLY when a round
+    changes zero labels (one metadata-sized count per round — a
+    fixpoint makes the remaining rounds no-ops, so early-stop and the
+    oracle's full 12-round unroll are bit-identical on every input).
+    ``localCheckpoint`` truncates lineage per round (the ``pagerank``
+    discipline — the plan stays O(1) deep instead of growing per
+    iteration). The component id is the smallest node id in the
+    component — a total, engine-free order. Isolated suppliers (no
+    co-order partner) have no edge and are out of contract, matching
+    the other graph keys. Columns: node, component.
+    """
+    e = _co_supplier_edges(spark, sf_dir).localCheckpoint()
+    sym = e.union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component"))
+        .localCheckpoint()
+    )
+    for _ in range(CC_ROUNDS):
+        nbr_min = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "node")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.col("nbr_component")
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", "component")

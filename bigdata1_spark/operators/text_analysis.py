@@ -1462,3 +1462,152 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             "logprob_per_bigram"
         ),
     )
+
+
+def _lang_confusion_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(true lang, predicted lang, n) confusion cells of ``lang_id``
+    against the labeled ``lang`` column — the shared frame under both
+    eval keys. Cardinality is bounded by #langs·(#langs+1) (the 'und'
+    fallback adds one predicted class), so everything downstream is
+    metadata-sized regardless of corpus scale. NULL truth labels are a
+    real class (``<null>``, the log_odds convention) — mapping them
+    keeps every downstream join NULL-free, where Spark and SQL equality
+    semantics would otherwise quietly diverge."""
+    truth = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce(F.col("lang"), F.lit("<null>")).alias("lang")
+    )
+    pred = lang_id(spark, sf_dir).select("doc_id", "pred_lang")
+    return (
+        truth.join(pred, "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class evaluation of the ``lang_id`` classifier against the
+    labeled ``lang`` column: support, tp/fp/fn and precision / recall /
+    F1 — the eval table a pipeline reads before trusting a heuristic
+    labeler at corpus scale.
+
+    One confusion-cell aggregate (bounded by #langs², see
+    ``_lang_confusion_cells``) feeds three metadata-sized rollups:
+    per-truth-class support, per-predicted-class volume, and the
+    diagonal. Classes are the UNION of truth and prediction labels, so
+    a never-predicted class still reports recall 0 and 'und'
+    (predicted, never true) reports precision 0. Each metric is ONE
+    IEEE division of exact integers — f1 = 2tp/(2tp+fp+fn) avoids
+    compounding rounded precision/recall — 1e-6 floor-snapped; a zero
+    denominator yields NULL, not NaN. Columns: cls, support, tp, fp,
+    fn, precision, recall, f1.
+    """
+    cells = _lang_confusion_cells(spark, sf_dir).cache()
+    truth = cells.groupBy(F.col("lang").alias("cls")).agg(
+        F.sum("n").alias("support")
+    )
+    pred = cells.groupBy(F.col("pred_lang").alias("cls")).agg(
+        F.sum("n").alias("predicted")
+    )
+    diag = cells.filter(F.col("lang") == F.col("pred_lang")).select(
+        F.col("lang").alias("cls"), F.col("n").alias("tp")
+    )
+    snap = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    z = F.lit(0).cast("long")
+    base = (
+        truth.join(pred, "cls", "full")
+        .join(diag, "cls", "left")
+        .select(
+            "cls",
+            F.coalesce(F.col("support"), z).alias("support"),
+            F.coalesce(F.col("predicted"), z).alias("predicted"),
+            F.coalesce(F.col("tp"), z).alias("tp"),
+        )
+    )
+    fp = (F.col("predicted") - F.col("tp")).alias("fp")
+    fn = (F.col("support") - F.col("tp")).alias("fn")
+    return base.select(
+        "cls",
+        "support",
+        "tp",
+        fp,
+        fn,
+        F.when(
+            F.col("predicted") > 0,
+            snap(F.col("tp").cast("double") / F.col("predicted").cast("double")),
+        ).alias("precision"),
+        F.when(
+            F.col("support") > 0,
+            snap(F.col("tp").cast("double") / F.col("support").cast("double")),
+        ).alias("recall"),
+        F.when(
+            (F.col("support") + F.col("predicted")) > 0,
+            snap(
+                (F.lit(2.0) * F.col("tp").cast("double"))
+                / (F.col("support") + F.col("predicted")).cast("double")
+            ),
+        ).alias("f1"),
+    )
+
+
+def cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the labeled ``lang`` column and the
+    ``lang_id`` prediction — chance-corrected agreement, the standard
+    one-number check that a heuristic labeler beats marginal guessing
+    before its labels steer sampling.
+
+    From the same bounded confusion cells: with n docs, D the diagonal
+    mass and S = Σ_c support_c · predicted_c, the textbook
+    (p_o − p_e)/(1 − p_e) collapses over the common 1/n² factor to
+    **(n·D − S)/(n² − S)** — kappa as ONE IEEE division of exact
+    integers (DECIMAL products, no intermediate rounding to compound).
+    p_o and p_e are reported alongside as single snapped divisions. A
+    degenerate table (n² = S — e.g. a constant predictor over a
+    constant truth) yields NULL kappa rather than 0/0. Columns:
+    n_docs, observed_agreement, expected_agreement, kappa.
+    """
+    cells = _lang_confusion_cells(spark, sf_dir).cache()
+    truth = cells.groupBy(F.col("lang").alias("cls")).agg(
+        F.sum("n").alias("support")
+    )
+    pred = cells.groupBy(F.col("pred_lang").alias("cls")).agg(
+        F.sum("n").alias("predicted")
+    )
+    marg = (
+        truth.join(pred, "cls", "full")
+        .select(
+            F.coalesce(F.col("support"), F.lit(0)).cast("decimal(19,0)").alias("s"),
+            F.coalesce(F.col("predicted"), F.lit(0)).cast("decimal(19,0)").alias("p"),
+        )
+        .agg(F.sum(F.col("s") * F.col("p")).alias("S"))
+    )
+    tot = cells.agg(
+        F.sum("n").cast("decimal(19,0)").alias("n"),
+        F.sum(
+            F.when(F.col("lang") == F.col("pred_lang"), F.col("n")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("decimal(19,0)")
+        .alias("D"),
+    )
+    snap = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    n = F.col("n")
+    nn = (n * n).alias("nn")
+    joined = tot.crossJoin(F.broadcast(marg))
+    return joined.select(
+        n.cast("long").alias("n_docs"),
+        F.when(
+            n > 0, snap(F.col("D").cast("double") / n.cast("double"))
+        ).alias("observed_agreement"),
+        F.when(
+            n > 0,
+            snap(F.col("S").cast("double") / (n * n).cast("double")),
+        ).alias("expected_agreement"),
+        F.when(
+            (n * n) != F.col("S"),
+            snap(
+                (n * F.col("D") - F.col("S")).cast("double")
+                / ((n * n) - F.col("S")).cast("double")
+            ),
+        ).alias("kappa"),
+    )

@@ -7303,3 +7303,161 @@ register(
     LEFT JOIN inter i ON i.sa = a.src AND i.sb = b.src
     """,
 )
+
+# Shared lang_id-vs-truth confusion-cell CTE chain for the two eval
+# keys: the lang_id oracle's marker/argmax logic verbatim, joined to
+# the COALESCE(lang, '<null>') truth label and rolled to bounded
+# (lang, pred_lang, n) cells.
+_LANG_CELLS_SQL = f"""
+    tok AS (
+      SELECT doc_id, unnest({_DUCK_TOKENS}) AS tok FROM documents
+    ), markers(m_lang, m_word) AS (
+      VALUES {_DUCK_MARKERS}
+    ), hits AS (
+      SELECT doc_id, m_lang AS pred_lang, COUNT(*) AS hits
+      FROM tok JOIN markers ON tok = m_word GROUP BY 1, 2
+    ), best AS (
+      SELECT doc_id, pred_lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY hits DESC, pred_lang ASC) AS rn
+      FROM hits
+    ), cells AS (
+      SELECT COALESCE(d.lang, '<null>') AS lang,
+             COALESCE(b.pred_lang, 'und') AS pred_lang,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents d
+      LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+      GROUP BY 1, 2
+    )
+"""
+
+# Per-class precision/recall/F1 off the bounded confusion cells:
+# classes are the union of truth and prediction labels; each metric is
+# ONE division of exact integers (f1 = 2tp/(2tp+fp+fn) = 2tp/(support
+# + predicted) avoids compounding rounded precision/recall).
+register(
+    "classifier_eval",
+    text_analysis.classifier_eval,
+    f"""
+    WITH {_LANG_CELLS_SQL},
+    truth AS (
+      SELECT lang AS cls, SUM(n) AS support FROM cells GROUP BY 1
+    ), predv AS (
+      SELECT pred_lang AS cls, SUM(n) AS predicted FROM cells GROUP BY 1
+    ), diag AS (
+      SELECT lang AS cls, n AS tp FROM cells WHERE lang = pred_lang
+    ), base AS (
+      SELECT COALESCE(t.cls, p.cls) AS cls,
+             COALESCE(t.support, 0) AS support,
+             COALESCE(p.predicted, 0) AS predicted,
+             COALESCE(d.tp, 0) AS tp
+      FROM truth t FULL JOIN predv p ON t.cls = p.cls
+      LEFT JOIN diag d ON COALESCE(t.cls, p.cls) = d.cls
+    )
+    SELECT cls,
+           CAST(support AS BIGINT) AS support,
+           CAST(tp AS BIGINT) AS tp,
+           CAST(predicted - tp AS BIGINT) AS fp,
+           CAST(support - tp AS BIGINT) AS fn,
+           CASE WHEN predicted > 0
+                THEN FLOOR((CAST(tp AS DOUBLE) / CAST(predicted AS DOUBLE))
+                           * 1e6 + 0.5) / 1e6
+           END AS precision,
+           CASE WHEN support > 0
+                THEN FLOOR((CAST(tp AS DOUBLE) / CAST(support AS DOUBLE))
+                           * 1e6 + 0.5) / 1e6
+           END AS recall,
+           CASE WHEN support + predicted > 0
+                THEN FLOOR((2.0 * CAST(tp AS DOUBLE)
+                            / CAST(support + predicted AS DOUBLE))
+                           * 1e6 + 0.5) / 1e6
+           END AS f1
+    FROM base
+    """,
+)
+
+# Cohen's kappa collapsed to ONE integer division: with D the diagonal
+# mass and S = sum(support_c * predicted_c), (p_o - p_e)/(1 - p_e)
+# = (n*D - S)/(n^2 - S) over the common 1/n^2 factor; HUGEINT products,
+# NULL on the degenerate n^2 = S table.
+register(
+    "cohens_kappa",
+    text_analysis.cohens_kappa,
+    f"""
+    WITH {_LANG_CELLS_SQL},
+    truth AS (
+      SELECT lang AS cls, SUM(n) AS support FROM cells GROUP BY 1
+    ), predv AS (
+      SELECT pred_lang AS cls, SUM(n) AS predicted FROM cells GROUP BY 1
+    ), marg AS (
+      SELECT SUM(CAST(COALESCE(t.support, 0) AS HUGEINT)
+                 * COALESCE(p.predicted, 0)) AS S
+      FROM truth t FULL JOIN predv p ON t.cls = p.cls
+    ), tot AS (
+      SELECT CAST(SUM(n) AS HUGEINT) AS n,
+             CAST(SUM(CASE WHEN lang = pred_lang THEN n ELSE 0 END)
+                  AS HUGEINT) AS D
+      FROM cells
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           CASE WHEN n > 0
+                THEN FLOOR((CAST(D AS DOUBLE) / CAST(n AS DOUBLE))
+                           * 1e6 + 0.5) / 1e6
+           END AS observed_agreement,
+           CASE WHEN n > 0
+                THEN FLOOR((CAST(S AS DOUBLE) / CAST(n * n AS DOUBLE))
+                           * 1e6 + 0.5) / 1e6
+           END AS expected_agreement,
+           CASE WHEN n * n <> S
+                THEN FLOOR((CAST(n * D - S AS DOUBLE)
+                            / CAST(n * n - S AS DOUBLE))
+                           * 1e6 + 0.5) / 1e6
+           END AS kappa
+    FROM tot CROSS JOIN marg
+    """,
+)
+
+# Connected components: CC_ROUNDS unrolled hash-min rounds (the
+# pagerank-unroll move — a recursive CTE cannot do per-round min
+# REPLACEMENT without USING KEY, and the accumulate-all-pairs form is
+# Θ(Σ|C|²·deg): it never finished on the 2M-edge skew twin). Each
+# round is one |E|-sized join + one |V|-sized min — linear at any
+# scale; the Spark side's early-stop at the fixpoint is bit-identical
+# to the full unroll.
+
+
+def _cc_unrolled_sql(rounds: int) -> str:
+    steps = []
+    prev = "l0"
+    for i in range(1, rounds + 1):
+        steps.append(
+            f"""l{i} AS MATERIALIZED (
+      SELECT s.nb AS node, MIN(LEAST(p.lbl, q.lbl)) AS lbl
+      FROM sym s
+      JOIN {prev} p ON p.node = s.node
+      JOIN {prev} q ON q.node = s.nb
+      GROUP BY 1
+    )"""
+        )
+        prev = f"l{i}"
+    return f"""
+    WITH e AS MATERIALIZED (
+      SELECT DISTINCT x.l_suppkey AS a, y.l_suppkey AS b
+      FROM lineitem x JOIN lineitem y
+        ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+    ), sym AS MATERIALIZED (
+      SELECT a AS node, b AS nb FROM e
+      UNION ALL SELECT b, a FROM e
+    ), l0 AS MATERIALIZED (
+      SELECT DISTINCT node, node AS lbl
+      FROM (SELECT a AS node FROM e UNION SELECT b FROM e)
+    ), {', '.join(steps)}
+    SELECT node, CAST(lbl AS BIGINT) AS component FROM {prev}
+    """
+
+
+register(
+    "connected_components",
+    graph.connected_components,
+    _cc_unrolled_sql(graph.CC_ROUNDS),
+)

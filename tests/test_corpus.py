@@ -347,3 +347,71 @@ def test_source_jaccard_known_overlap(spark, tmp_path):
     r = rows[("<null>", "s1")]
     assert (r.n_a, r.n_b, r.n_common) == (2, 3, 0)
     assert r.jaccard == 0.0
+
+
+def test_classifier_eval_and_kappa_known_confusion(spark, tmp_path):
+    """Crafted docs with a fully hand-computable confusion table:
+    2 true-en docs predicted en, 1 true-en predicted fr, 1 true-de
+    predicted de, 1 marker-free doc (true de, predicted 'und') and a
+    NULL-lang doc predicted en — per-class P/R/F1 and kappa checked
+    against the textbook formulas."""
+    from bigdata1_spark.operators import text_analysis as ta
+
+    docs = _write_docs(
+        spark,
+        tmp_path,
+        [
+            ("the of and", "en", "s"),        # en -> en
+            ("the to a", "en", "s"),          # en -> en
+            ("le la et", "en", "s"),          # en -> fr
+            ("der die das", "de", "s"),       # de -> de
+            ("zzz qqq", "de", "s"),           # de -> und
+            ("the and", None, "s"),           # <null> -> en
+        ],
+    )
+    rows = {r.cls: r for r in ta.classifier_eval(spark, docs).collect()}
+    assert set(rows) == {"en", "de", "fr", "und", "<null>"}
+    en = rows["en"]
+    assert (en.support, en.tp, en.fp, en.fn) == (3, 2, 1, 1)
+    assert en.precision == pytest.approx(2 / 3, abs=1e-6)
+    assert en.recall == pytest.approx(2 / 3, abs=1e-6)
+    assert en.f1 == pytest.approx(2 * 2 / (3 + 3), abs=1e-6)
+    de = rows["de"]
+    assert (de.support, de.tp, de.fp, de.fn) == (2, 1, 0, 1)
+    assert de.precision == 1.0 and de.recall == 0.5
+    fr = rows["fr"]
+    assert (fr.support, fr.tp, fr.fp) == (0, 0, 1)
+    assert fr.precision == 0.0 and fr.recall is None and fr.f1 == 0.0
+    nl = rows["<null>"]
+    assert (nl.support, nl.tp, nl.fn) == (1, 0, 1)
+
+    k = ta.cohens_kappa(spark, docs).collect()[0]
+    # n=6, D=3; S = sum over classes of support*predicted:
+    # en 3*3 + de 2*1 + fr 0*1 + und 0*1 + <null> 1*0 = 11
+    import math
+
+    n, D, S = 6, 3, 11
+    assert k.n_docs == n
+    assert k.observed_agreement == pytest.approx(
+        math.floor(D / n * 1e6 + 0.5) / 1e6, abs=1e-12
+    )
+    assert k.expected_agreement == pytest.approx(
+        math.floor(S / n**2 * 1e6 + 0.5) / 1e6, abs=1e-12
+    )
+    want = math.floor((n * D - S) / (n * n - S) * 1e6 + 0.5) / 1e6
+    assert k.kappa == pytest.approx(want, abs=1e-12)
+
+
+def test_cohens_kappa_degenerate_constant_table(spark, tmp_path):
+    """A constant predictor over a constant truth drives p_e to 1 —
+    kappa must be NULL (0/0), agreements exactly 1."""
+    from bigdata1_spark.operators import text_analysis as ta
+
+    docs = _write_docs(
+        spark, tmp_path, [("the of", "en", "s"), ("the and", "en", "s")]
+    )
+    k = ta.cohens_kappa(spark, docs).collect()[0]
+    assert k.n_docs == 2
+    assert k.observed_agreement == 1.0
+    assert k.expected_agreement == 1.0
+    assert k.kappa is None

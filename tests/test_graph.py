@@ -254,3 +254,56 @@ def test_assortativity_signed_shapes(spark, tmp_path):
     r = graph.graph_assortativity(spark, tri).collect()[0]
     assert r.n_nodes == 3 and r.n_edges == 3
     assert r.assortativity is None  # regular graph: zero variance
+
+
+def test_connected_components_matches_union_find(spark, duck, sf_dir):
+    """Components recomputed with a plain union-find over the same
+    derived edge list — a different algorithm than the hash-min loop
+    under test; component ids must be the component-min node id."""
+    edges = duck.execute(
+        "SELECT DISTINCT x.l_suppkey, y.l_suppkey FROM lineitem x "
+        "JOIN lineitem y ON x.l_orderkey = y.l_orderkey "
+        "AND x.l_suppkey < y.l_suppkey"
+    ).fetchall()
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min: dict = {}
+    for v in parent:
+        r = find(v)
+        comp_min[r] = min(comp_min.get(r, v), v)
+    want = {v: comp_min[find(v)] for v in parent}
+    got = {
+        r.node: r.component
+        for r in graph.connected_components(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_connected_components_disjoint_blocks(spark, tmp_path):
+    """Two hand-built disjoint chains must come out as two components
+    labeled by their min node — exercises >1 hash-min round (chain
+    diameter 3) and the convergence stop."""
+    rows = []
+    for i, (a, b) in enumerate([(1, 2), (2, 3), (3, 4), (10, 11), (11, 12)]):
+        rows += [(i, a), (i, b)]
+    d = str(tmp_path / "chains")
+    spark.createDataFrame(
+        rows, "l_orderkey long, l_suppkey long"
+    ).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    got = {
+        r.node: r.component
+        for r in graph.connected_components(spark, d).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}

@@ -967,7 +967,10 @@ SCAN_BUDGETS = {
     "cogrouped_map": 2,
     "collect_list_agg": 2,
     "column_profile": 2,  # deliberate plain-stats + distinct split: one agg forced a 5x Expand over all 24 aggregates (2.6x slower measured)
+    "classifier_eval": 3,  # truth scan + lang_id's tok + doc_id base scans
     "clustering_coefficient": 0,  # edges localCheckpoint-ed eagerly (the triangle_count pattern)
+    "cohens_kappa": 3,  # truth scan + lang_id's tok + doc_id base scans
+    "connected_components": 0,  # edges localCheckpoint-ed eagerly (the triangle_count pattern)
     "concurrency": 1,
     "contamination_ngrams": 2,
     "chi_square_assoc": 1,
