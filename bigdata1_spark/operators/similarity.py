@@ -663,3 +663,106 @@ def mutual_knn(
         F.col("x.nbr").alias("vec_b"),
         F.col("x.cos_sim").alias("cos_sim"),
     )
+
+
+# Query-sample size for the ANN recall audit: brute-force ground truth
+# is affordable on a bounded query sample at any corpus scale (the
+# standard production recall protocol); 8 keeps the oracle cheap while
+# giving per-query variance something to show.
+ANN_QUERIES = 8
+# Salt fan-out for the two-phase per-query top-k: stage 1 keeps each
+# (query, salt)'s local top-K, stage 2 ranks the <= SALT*K survivors.
+ANN_SALT = 32
+
+
+def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k audit of the LSH-bucketed ANN path against exact
+    brute-force cosine top-k, per query — the eval every production ANN
+    deployment ships next to its index (approximate retrieval without a
+    measured recall is a silent-quality bug, not a feature).
+
+    Queries are the bounded ``ANN_QUERIES`` sample (vec_id <
+    ANN_QUERIES, broadcast); ground truth scores the full corpus per
+    query. The per-query top-k is TWO-PHASE: stage 1 ranks inside
+    (query, vec_id % ANN_SALT) — every global top-k row is necessarily
+    inside its own salt bucket's top-k, so keeping k per (query, salt)
+    is lossless — and stage 2 ranks the ≤ SALT·k survivors. The big
+    N·NQ score set therefore shuffles into NQ·SALT partitions instead
+    of NQ hot ones (the plain window would funnel the whole corpus
+    through 8 tasks at 100 TB). The approximate side mirrors
+    ``sim_topk_lsh`` exactly (same hyperplane key: n_planes=4, dim=64,
+    seed=7). Both top-k orders are total — (cos_sim DESC, vec_id ASC)
+    — so the set intersection is engine-free; recall = |approx ∩
+    exact| / |exact| is ONE snapped division of exact counts, NULL
+    only when a query has no candidates at all. Columns: qid, n_exact,
+    n_approx, n_common, recall_at_k.
+    """
+    from pyspark.sql import Window
+
+    emb = _emb(spark, sf_dir).withColumn(
+        "bucket", _hyperplane_sign_key(F.col("v"), 4, 64, seed=7)
+    ).cache()
+    q = emb.filter(F.col("vec_id") < ANN_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qb"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            (F.col("bucket") == F.col("qb")).alias("in_bucket"),
+            vectors.cosine(F.col("v"), F.col("qv")).alias("cs"),
+        )
+    )
+
+    def topk(df):
+        w1 = Window.partitionBy(
+            "qid", F.pmod(F.col("vec_id"), F.lit(ANN_SALT))
+        ).orderBy(F.desc("cs"), F.asc("vec_id"))
+        w2 = Window.partitionBy("qid").orderBy(
+            F.desc("cs"), F.asc("vec_id")
+        )
+        pre = (
+            df.withColumn("rn", F.row_number().over(w1))
+            .filter(F.col("rn") <= TOP_K)
+            .drop("rn")
+        )
+        return (
+            pre.withColumn("rn", F.row_number().over(w2))
+            .filter(F.col("rn") <= TOP_K)
+            .select("qid", "vec_id")
+        )
+
+    exact = topk(scored)
+    approx = topk(scored.filter(F.col("in_bucket")))
+    ne = exact.groupBy("qid").agg(F.count(F.lit(1)).alias("n_exact"))
+    na = approx.groupBy("qid").agg(F.count(F.lit(1)).alias("n_approx"))
+    nc = (
+        exact.join(approx, ["qid", "vec_id"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    z = F.lit(0).cast("long")
+    return (
+        ne.join(na, "qid", "left")
+        .join(nc, "qid", "left")
+        .select(
+            "qid",
+            "n_exact",
+            F.coalesce(F.col("n_approx"), z).alias("n_approx"),
+            F.coalesce(F.col("n_common"), z).alias("n_common"),
+            F.when(
+                F.col("n_exact") > 0,
+                F.floor(
+                    F.coalesce(F.col("n_common"), z).cast("double")
+                    / F.col("n_exact").cast("double")
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6),
+            ).alias("recall_at_k"),
+        )
+    )

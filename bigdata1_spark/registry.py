@@ -7461,3 +7461,60 @@ register(
     graph.connected_components,
     _cc_unrolled_sql(graph.CC_ROUNDS),
 )
+
+# ANN recall audit: the oracle computes plain per-query top-k on both
+# sides (the Spark side's lossless salt pre-rank needs no mirroring —
+# only the final total-order top-k matters); counts are exact
+# integers, recall one snapped division.
+register(
+    "ann_recall",
+    similarity.ann_recall,
+    f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), b AS (
+      SELECT vec_id, v,
+             {_duck_hyperplane_bucket('v', seed=7)} AS bucket
+      FROM e
+    ), q AS (
+      SELECT vec_id AS qid, v AS qv, bucket AS qb FROM b
+      WHERE vec_id < {similarity.ANN_QUERIES}
+    ), scored AS (
+      SELECT q.qid, b.vec_id, b.bucket = q.qb AS in_bucket,
+             {_DUCK_COS.format(a='b.v', b='q.qv')} AS cs
+      FROM b CROSS JOIN q WHERE b.vec_id <> q.qid
+    ), exact AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id, ROW_NUMBER() OVER (
+          PARTITION BY qid ORDER BY cs DESC, vec_id ASC) AS rn
+        FROM scored
+      ) WHERE rn <= {similarity.TOP_K}
+    ), approx AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id, ROW_NUMBER() OVER (
+          PARTITION BY qid ORDER BY cs DESC, vec_id ASC) AS rn
+        FROM scored WHERE in_bucket
+      ) WHERE rn <= {similarity.TOP_K}
+    ), ne AS (
+      SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_exact
+      FROM exact GROUP BY 1
+    ), na AS (
+      SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_approx
+      FROM approx GROUP BY 1
+    ), nc AS (
+      SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM exact JOIN approx USING (qid, vec_id) GROUP BY qid
+    )
+    SELECT ne.qid, ne.n_exact,
+           CAST(COALESCE(na.n_approx, 0) AS BIGINT) AS n_approx,
+           CAST(COALESCE(nc.n_common, 0) AS BIGINT) AS n_common,
+           CASE WHEN ne.n_exact > 0
+                THEN FLOOR((CAST(COALESCE(nc.n_common, 0) AS DOUBLE)
+                            / CAST(ne.n_exact AS DOUBLE))
+                           * 1e6 + 0.5) / 1e6
+           END AS recall_at_k
+    FROM ne
+    LEFT JOIN na ON na.qid = ne.qid
+    LEFT JOIN nc ON nc.qid = ne.qid
+    """,
+)

@@ -1225,3 +1225,28 @@ def test_conversion_lag_matches_pure_python(spark, duck, sf_dir):
         else:
             assert (r.lag_us, r.converted) == (None, 0)
     assert any(r.converted == 1 for r in got.values())
+
+
+def test_ann_recall_invariants_and_exact_side(spark, sf_dir):
+    """Counting identities (n_common <= min(n_exact, n_approx) <= k,
+    snapped recall formula) plus a cross-check: for qid 0 the audit's
+    exact ground-truth set must equal the hash-green sim_topk result
+    (same query, same total order)."""
+    import math
+
+    from bigdata1_spark.operators import similarity as sim
+
+    rows = {r.qid: r for r in sim.ann_recall(spark, sf_dir).collect()}
+    assert set(rows) == set(range(sim.ANN_QUERIES))
+    for qid, r in rows.items():
+        assert 0 <= r.n_common <= min(r.n_exact, r.n_approx)
+        assert r.n_exact <= sim.TOP_K and r.n_approx <= sim.TOP_K
+        want = math.floor(r.n_common / r.n_exact * 1e6 + 0.5) / 1e6
+        assert r.recall_at_k == want, qid
+    # qid 0's exact top-k == sim_topk's result set
+    brute = {x.vec_id for x in sim.sim_topk(spark, sf_dir).collect()}
+    lsh = {
+        x.vec_id for x in sim.sim_topk_lsh(spark, sf_dir).collect()
+    }
+    assert rows[0].n_exact == len(brute)
+    assert rows[0].n_common == len(brute & lsh)

@@ -1030,6 +1030,7 @@ SCAN_BUDGETS = {
     "gini_mad": 1,
     "global_count": 1,
     "global_enumerate": 2,
+    "ann_recall": 1,  # embeddings cached; queries broadcast off the same cache
     "graph_assortativity": 0,  # edges localCheckpoint-ed eagerly (the triangle_count pattern)
     "graph_degree": 1,
     "groupby_count": 2,
