@@ -141,10 +141,15 @@ def dedup_jaccard(
             "n",
             F.explode(
                 F.transform(
-                    F.slice(F.col("rk"), 1, prefix_len), lambda s: s["h"]
+                    F.slice(F.col("rk"), 1, prefix_len),
+                    lambda s, i: F.struct(
+                        s["h"].alias("h"), (i + 1).alias("pos")
+                    ),
                 )
-            ).alias("h"),
+            ).alias("hp"),
         )
+        .select("doc_id", "n", F.col("hp.h").alias("h"),
+                F.col("hp.pos").alias("pos"))
         # the self-join below aliases this subtree twice with distinct
         # expr-ids, so neither static nor AQE exchange reuse dedupes it
         # (verified: no ReusedExchange in the executed plan) — without
@@ -156,6 +161,23 @@ def dedup_jaccard(
         .cache()
     )
     t = float(threshold)
+    # PPJoin positional filter: J ≥ t requires overlap α =
+    # ⌈t/(1+t)·(nₐ+n_b)⌉; for a match at ranks (i, j) of the SHARED
+    # global (df, h) order, every later common element ranks after
+    # both, so overlap ≤ 1 + min(nₐ−i, n_b−j). The pair's globally
+    # FIRST common element sits inside both prefixes (the prefix-
+    # filter lemma) and passes this bound whenever the pair truly
+    # qualifies, so keep-if-any-match-passes is exact — but random
+    # coincidental matches land deep in both prefixes and die here
+    # BEFORE the distinct and the array_intersect verify (measured on
+    # the sf3 twin: 351M raw match rows → 163M after this filter; the
+    # verify join is the dominant cost, see SCALE.md §Round-15).
+    alpha = F.ceil(
+        (F.col("a.n") + F.col("b.n")).cast("double") * F.lit(t / (1.0 + t))
+    )
+    ubound = F.lit(1) + F.least(
+        F.col("a.n") - F.col("a.pos"), F.col("b.n") - F.col("b.pos")
+    )
     cand = (
         prefixes.alias("a")
         .join(prefixes.alias("b"),
@@ -163,7 +185,8 @@ def dedup_jaccard(
               & (F.col("a.doc_id") < F.col("b.doc_id"))
               # length filter: J ≥ t bounds the size ratio by t
               & (F.col("b.n") >= F.col("a.n") * t)
-              & (F.col("a.n") >= F.col("b.n") * t))
+              & (F.col("a.n") >= F.col("b.n") * t)
+              & (ubound >= alpha))
         .select(
             F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2")
         )
@@ -853,26 +876,60 @@ def dedup_containment(
         "doc_id", F.size("hs").alias("n"), F.explode("hs").alias("h")
     )
     df_tbl = ex.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-    ranked = ex.join(df_tbl, "h").groupBy("doc_id", "n").agg(
-        F.array_sort(F.collect_list(F.struct("df", "h"))).alias("rk")
+    # probe AND index need per-doc ranks in the SAME global (df, h)
+    # order (the positional filter below). One row_number window over
+    # the exploded postings replaces the df-join + collect_list +
+    # array_sort + re-explode pipeline — stays flat (no fat array
+    # rows), and the cached result feeds both join sides (session-
+    # cache lifecycle, the dedup_jaccard convention). Shingle hashes
+    # are distinct within a doc, so (df, h) totally orders each
+    # partition and the rank is engine-deterministic.
+    from pyspark.sql import Window
+
+    w_rk = Window.partitionBy("doc_id").orderBy("df", "h")
+    rk_ex = (
+        ex.join(df_tbl, "h")
+        .select(
+            "doc_id", "n", "h", F.row_number().over(w_rk).alias("pos")
+        )
+        .cache()
     )
     prefix_len = F.floor(F.col("n") * (1.0 - t)).cast("int") + 1
-    probe = ranked.select(
+    probe = rk_ex.filter(F.col("pos") <= prefix_len).select(
         F.col("doc_id").alias("id1"),
         F.col("n").alias("n1"),
-        F.explode(
-            F.transform(F.slice(F.col("rk"), 1, prefix_len), lambda s: s["h"])
-        ).alias("h"),
+        "h",
+        F.col("pos").alias("pos1"),
     )
-    index = ex.select(
-        F.col("doc_id").alias("id2"), F.col("n").alias("n2"), "h"
+    index = rk_ex.select(
+        F.col("doc_id").alias("id2"),
+        F.col("n").alias("n2"),
+        "h",
+        F.col("pos").alias("pos2"),
+    )
+    # positional filter under the SHARED (df, h) order (the
+    # dedup_jaccard argument, containment geometry): C(A→B) ≥ t needs
+    # overlap α = ⌈t·n1⌉, and a match at ranks (i, j) bounds it by
+    # 1 + min(n1−i, n2−j); the pair's globally-first common element is
+    # inside A's prefix and B posts everything, so keep-if-any-passes
+    # is exact. Measured honestly: ~15% of match rows die (sf3 twin,
+    # SCALE.md §Round-15) — rarest-first ordering anti-correlates with
+    # the filter, because a rare shingle ranks EARLY in every doc that
+    # holds it, keeping pos2 small exactly where the match happens.
+    # Kept because the cut is free at match time and grows with
+    # doc-length variance (real corpora; the synthetic twin's docs are
+    # near-equal length, the filter's worst case).
+    alpha_c = F.ceil(F.col("n1").cast("double") * F.lit(t))
+    ubound_c = F.lit(1) + F.least(
+        F.col("n1") - F.col("pos1"), F.col("n2") - F.col("pos2")
     )
     cand = (
         probe.join(
             index,
             (probe["h"] == index["h"])
             & (F.col("id1") != F.col("id2"))
-            & (F.col("n2") >= F.col("n1") * t),
+            & (F.col("n2") >= F.col("n1") * t)
+            & (ubound_c >= alpha_c),
         )
         .select("id1", "id2")
         .distinct()
