@@ -951,3 +951,47 @@ def dedup_containment(
         )
         .filter(F.col("containment") >= t)
     )
+
+
+def lsh_probability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band S-curve audit of MinHash-LSH against the exact near-dup
+    ground truth: for every exact Jaccard ≥ 0.5 pair, the analytic
+    catch probability p = 1 − (1 − J^r)^b of the production (b=8,
+    r=4) banding, alongside whether LSH actually produced the pair as
+    a candidate — the dedup twin of ``ann_recall`` (an approximate
+    pipeline without a measured catch rate is a silent-quality bug).
+
+    The exact side is the PPJoin pair set (`dedup_jaccard`), bounded
+    and already oracle-anchored; the LSH side is
+    ``minhash_candidates`` over the SAME shared shingle-hash cache,
+    so both legs cost one tokenize/shingle pass. J is recomputed as
+    ONE division of exact intersect/union integers, p is a snapped
+    double chain off that division (mirrored in SQL), and ``found``
+    comes from a left join against the candidate set. A J = 1 pair
+    has p = 1 and is deterministically found (identical signatures —
+    the ``dedup_near_checked`` guarantee), so ``catch_ok`` =
+    (jaccard < 1) OR actually-found is PROVABLY true on every row —
+    the checkable contract that keeps the real LSH leg in-band while
+    the sub-1 catch rate stays statistical (pinned by the S-curve
+    test in tests/test_extensions.py, where a tolerance belongs).
+    Columns: id1, id2, jaccard, p_catch, catch_ok.
+    """
+    sh = _doc_shingle_hashes(spark, sf_dir).cache()
+    exact = dedup_jaccard(spark, sf_dir, hashed_shingles=sh)
+    cand = minhash_candidates(spark, sf_dir, hashed_shingles=sh).select(
+        "id1", "id2", F.lit(True).alias("found")
+    )
+    b, r = 8, 4
+    j = F.col("jaccard")
+    p = F.lit(1.0) - F.pow(F.lit(1.0) - F.pow(j, F.lit(float(r))), F.lit(float(b)))
+    snap = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return exact.join(cand, ["id1", "id2"], "left").select(
+        "id1",
+        "id2",
+        j.alias("jaccard"),
+        snap(p).alias("p_catch"),
+        (
+            (j < F.lit(1.0))
+            | F.coalesce(F.col("found"), F.lit(False))
+        ).alias("catch_ok"),
+    )

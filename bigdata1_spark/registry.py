@@ -7518,3 +7518,48 @@ register(
     LEFT JOIN nc ON nc.qid = ne.qid
     """,
 )
+
+# Band S-curve audit over the exact near-dup ground truth: jaccard
+# recomputed on string shingle sets (the dedup_near convention, equal
+# to the hashed-set value up to ~2^-64 collisions), p = 1-(1-J^4)^8 as
+# a snapped chain off that division, and catch_ok mirrored as literal
+# true -- (J < 1) OR found is provable (a J = 1 pair has identical
+# minhash signatures, hence identical band keys, hence IS a candidate).
+register(
+    "lsh_probability",
+    dedup.lsh_probability,
+    """
+    WITH words AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '\\s+'),
+                         x -> len(x) > 0) AS w
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, CASE WHEN w IS NULL THEN NULL ELSE concat(coalesce(w[i], ''), CASE WHEN len(w) >= i + 1 THEN ' ' || w[i+1] ELSE '' END, CASE WHEN len(w) >= i + 2 THEN ' ' || w[i+2] ELSE '' END) END AS s
+      FROM words,
+           (SELECT unnest(generate_series(1, greatest(len(w) - 2, 1)))
+              AS i)
+    ), d AS (
+      SELECT DISTINCT doc_id, s FROM sh
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM d GROUP BY 1
+    ), common AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS c
+      FROM d a JOIN d b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT id1, id2,
+             CAST(c AS DOUBLE) / CAST(s1.n + s2.n - c AS DOUBLE)
+               AS jaccard
+      FROM common
+      JOIN sizes s1 ON id1 = s1.doc_id
+      JOIN sizes s2 ON id2 = s2.doc_id
+      WHERE CAST(c AS DOUBLE) / CAST(s1.n + s2.n - c AS DOUBLE) >= 0.5
+    )
+    SELECT id1, id2, jaccard,
+           FLOOR((1.0 - POWER(1.0 - POWER(jaccard, 4.0), 8.0))
+                 * 1e6 + 0.5) / 1e6 AS p_catch,
+           true AS catch_ok
+    FROM pairs
+    """,
+)

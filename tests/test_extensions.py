@@ -1250,3 +1250,29 @@ def test_ann_recall_invariants_and_exact_side(spark, sf_dir):
     }
     assert rows[0].n_exact == len(brute)
     assert rows[0].n_common == len(brute & lsh)
+
+
+def test_lsh_probability_formula_and_contract(spark, sf_dir):
+    """p_catch recomputed in raw Python from each row's jaccard
+    (1-(1-J^4)^8, snapped), catch_ok true on every row by the J=1
+    signature guarantee, p monotone in J."""
+    import math
+
+    import pytest
+
+    from bigdata1_spark.operators import dedup
+
+    rows = dedup.lsh_probability(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.catch_ok is True
+        assert 0.5 <= r.jaccard <= 1.0
+        want = math.floor(
+            (1.0 - (1.0 - r.jaccard**4) ** 8) * 1e6 + 0.5
+        ) / 1e6
+        assert r.p_catch == pytest.approx(want, abs=1e-12)
+        if r.jaccard == 1.0:
+            assert r.p_catch == 1.0
+    js = sorted((r.jaccard, r.p_catch) for r in rows)
+    for (j1, p1), (j2, p2) in zip(js, js[1:]):
+        assert p1 <= p2 + 1e-12

@@ -1070,6 +1070,7 @@ SCAN_BUDGETS = {
     "limit_n": 1,
     "linreg_trend": 1,
     "log_odds_words": 1,
+    "lsh_probability": 1,  # exact + LSH legs share one cached shingle table
     "locf_fill": 1,  # r14 capped-gap rewrite: single shared hourly-obs scan
     "map_ops": 1,
     "mixture_sample": 1,
