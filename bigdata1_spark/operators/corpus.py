@@ -161,6 +161,7 @@ def contamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Columns: doc_id, n_grams, n_overlap, overlap_frac, contaminated.
     """
+    # no spread: the key's 4-exchange plan budget is a pinned contract
     docs = load_table(spark, sf_dir, "documents")
     # let-bind the token array: _ngrams_n references it CONTAM_N times
     # per gram position inside a transform lambda, and HOF lambdas sit
@@ -387,6 +388,8 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk (the word_shingles degenerate-doc convention).
     Columns: doc_id, chunk_id, n_tokens, chunk_md5.
     """
+    # no spread: the key's 0-exchange (pure narrow map) budget is a
+    # pinned contract — chunking parallelism follows scan tasks at scale
     docs = load_table(spark, sf_dir, "documents")
     chunked = docs.select(
         "doc_id",
@@ -606,7 +609,7 @@ def dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULL gram fell out of the bucket join — and the two engines'
     # model DENOMINATORS diverged with it (.nulldata sweep). NULL lang
     # needs no handling: it is simply never equal to the target lang.
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = load_table(spark, sf_dir, "documents", spread=True).select(
         "doc_id", "lang", "text"
     ).filter(F.col("text").isNotNull())
     # materialize the token array in its own projection before the
@@ -730,7 +733,7 @@ def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Columns: doc_id, n_tokens, n_dup_tokens, dup_frac, clean_text
     (whitespace-normalized: tokens re-joined with single spaces).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     tk = docs.select(
         "doc_id", tokens(F.col("text")).alias("w")
     ).withColumn("n_toks", F.size("w"))
@@ -852,7 +855,7 @@ def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unfiltered, both engines emit a (doc_id, NULL, NULL) row whose
     # NULLs coerce the whole oracle column to float in pandas and void
     # the value-hash (found by the .nulldata sweep).
-    docs = load_table(spark, sf_dir, "documents").filter(
+    docs = load_table(spark, sf_dir, "documents", spread=True).filter(
         F.col("text").isNotNull()
     )
     # materialize the token array in its own projection before the

@@ -40,7 +40,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_table(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     return docs.select(
         "doc_id",
         textfns.word_shingles(textfns.tokens(F.col("text")), n).alias("shingles"),
@@ -83,7 +83,7 @@ def _doc_shingle_hashes(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFra
     a ~2^-64-per-pair collision (the DuckDB oracle cross-checks at test
     scale)."""
     return shingle_hashes_of(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text"), n
+        load_table(spark, sf_dir, "documents", spread=True).select("doc_id", "text"), n
     )
 
 

@@ -18,9 +18,9 @@ Scale notes: every step is a keyed shuffle on node/edge ids; triangle
 counting uses degree-ordered edge orientation (each triangle counted
 from its lowest-degree vertex — the standard arboricity bound that
 keeps wedge generation sub-quadratic on skewed degree distributions);
-PageRank truncates lineage per iteration with ``localCheckpoint`` and
-sums contributions through decimal so partial-agg order cannot drift
-ranks between runs.
+PageRank unrolls its fixed iterations into one job (lineage truncated
+every ``_CKPT_EVERY`` rounds for long runs) and sums contributions
+through decimal so partial-agg order cannot drift ranks between runs.
 """
 
 from __future__ import annotations
@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from bigdata1_spark.sources.tables import load_table
+from bigdata1_spark.sources.tables import load_table, parquet_row_count
 
 # Dense-mode cutoff for triangle counting. The kernel is TILED over
 # the neighbor-index range (r14 VERDICT item 2: the flat |V|-bit
@@ -48,6 +48,21 @@ _DENSE_MAX_NODES = 65536
 # the budget, clamped to [1024, 16384] (floor bounds the loop count,
 # ceiling bounds the zero-padding on tiny graphs).
 _DENSE_TILE_BITS_BUDGET = 1 << 28
+
+# Lineage-truncation cadence for the iterative kernels (pagerank,
+# kcore, bfs_hops, label_prop): checkpoint every N rounds instead of
+# every round. A round's plan is a constant-size join+aggregate, so N
+# unrolled rounds are exactly the oracle's chained-CTE shape — one job
+# instead of N sequential jobs, with no per-round materialization
+# barrier (optimization guide §1.2/§2.4: remove passes, not tune
+# them). N bounds plan depth for long production runs; the fixed-round
+# registry keys (3 rounds) run as a single unrolled job. Rounds whose
+# output is consumed by more than one downstream subtree per round
+# (kcore's pruned edges, bfs/label_prop's self-union) still checkpoint
+# each round — without materialization their lineage re-expands
+# multiplicatively — but the LAST round's output is consumed exactly
+# once by the final action, so its checkpoint is skipped everywhere.
+_CKPT_EVERY = 8
 
 
 def _co_supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -80,6 +95,25 @@ def _co_supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("e")
     )
     return pairs.select("e.a", "e.b").distinct()
+
+
+def _symmetrized_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirectional (src, dst) view of the co-supplier edge list,
+    emitted in ONE pass over the edge generation: explode both
+    orientations array-locally instead of union-ing two selects (whose
+    legs would each re-run the generation lineage — scan, shuffle,
+    distinct — before any materialization). Callers checkpoint the
+    result once and reuse it across rounds (bfs_hops, label_prop,
+    connected_components)."""
+    e = _co_supplier_edges(spark, sf_dir)
+    return e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+            )
+        ).alias("s")
+    ).select("s.src", "s.dst")
 
 
 def graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -342,7 +376,7 @@ def triangle_count(
     uses plain id-ordering. Columns: node, n_triangles (bigint; nodes
     in ≥1 triangle).
     """
-    n_sup = load_table(spark, sf_dir, "supplier").count()
+    n_sup = parquet_row_count(spark, sf_dir, "supplier")
     if n_sup <= dense_max_nodes:
         return _triangle_count_dense(spark, sf_dir, n_sup)
     return _triangle_count_sparse(spark, sf_dir)
@@ -378,9 +412,10 @@ def pagerank(
     exactly; invariant tests (rank mass conservation ≈ N, determinism
     across runs, monotone damping bounds) remain as the convergence-
     mode evidence the unrolled oracle cannot give. Each iteration is
-    ONE join + ONE aggregate keyed on node id; ``localCheckpoint`` truncates
-    lineage so the plan stays O(1) per iteration instead of growing
-    (same discipline as ``dedup.dedup_clusters``). Contributions are
+    ONE join + ONE aggregate keyed on node id over the checkpointed
+    edge list; rounds unroll into a single job (the oracle's own
+    chained-CTE shape) with ``localCheckpoint`` every ``_CKPT_EVERY``
+    rounds bounding plan depth for long runs. Contributions are
     summed through decimal(27,15): decimal addition is associative, so
     ranks are bit-stable across shuffle orderings — required for any
     resumable 100 TB run. Columns: node_type, node_id, rank (1e-6
@@ -402,7 +437,11 @@ def pagerank(
         .distinct()
     )
     # symmetrize in one scan (union's two legs would each run the
-    # join+distinct lineage before the cache is populated)
+    # join+distinct lineage twice), then materialize ONCE: the edge
+    # list is referenced by every iteration's contribution join plus
+    # the degree pass, so localCheckpoint pins one copy for all of
+    # them (a lazy .cache() would race its population across the
+    # final job's parallel stages).
     edges = (
         cs.select(
             F.explode(
@@ -413,13 +452,11 @@ def pagerank(
             ).alias("e")
         )
         .select("e.src", "e.dst")
-        .cache()
+        .localCheckpoint()
     )
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     nodes = outdeg.select(F.col("src").alias("node"), "outdeg")
-    ranks = nodes.select(
-        "node", "outdeg", F.lit(1.0).alias("rank")
-    ).localCheckpoint()
+    ranks = nodes.select("node", "outdeg", F.lit(1.0).alias("rank"))
     # Bit-identical to the oracle's literal ``0.15``: the Python float
     # expression ``1.0 - 0.85`` lands one ulp ABOVE the 0.15 double
     # (0.15000000000000002), which would skew every rank ~1 ulp per
@@ -428,7 +465,7 @@ def pagerank(
     from decimal import Decimal
 
     base = float(Decimal(1) - Decimal(str(damping)))
-    for _ in range(iters):
+    for i in range(iters):
         contribs = (
             ranks.join(edges, F.col("node") == F.col("src"))
             .select(
@@ -440,19 +477,20 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("contrib").cast("double").alias("in_sum"))
         )
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .select(
-                "node",
-                "outdeg",
-                (
-                    F.lit(base)
-                    + F.lit(damping) * F.coalesce("in_sum", F.lit(0.0))
-                ).alias("rank"),
-            )
-            .localCheckpoint()
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            "outdeg",
+            (
+                F.lit(base)
+                + F.lit(damping) * F.coalesce("in_sum", F.lit(0.0))
+            ).alias("rank"),
         )
-    edges.unpersist(blocking=False)
+        # ranks feeds exactly ONE subtree per round (the next round's
+        # contribution join), so the unrolled plan grows linearly —
+        # checkpoint only every _CKPT_EVERY rounds to bound plan depth
+        # for long runs; a 3-iteration registry run is one job.
+        if (i + 1) % _CKPT_EVERY == 0 and (i + 1) < iters:
+            ranks = ranks.localCheckpoint()
     return ranks.select(
         F.when(F.col("node") > 0, F.lit("customer"))
         .otherwise(F.lit("supplier"))
@@ -488,7 +526,7 @@ def kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     subgraph).
     """
     edges = _co_supplier_edges(spark, sf_dir).localCheckpoint(eager=True)
-    for _ in range(KCORE_ROUNDS):
+    for r in range(KCORE_ROUNDS):
         deg = (
             edges.select(F.explode(F.array("a", "b")).alias("node"))
             .groupBy("node")
@@ -501,8 +539,13 @@ def kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .join(keep.withColumnRenamed("node", "b"), "b", "semi")
             .select("a", "b")
-            .localCheckpoint(eager=True)
         )
+        # each round's edges fan into THREE subtrees next round (the
+        # degree agg + both semi-joins), so intermediate rounds must
+        # materialize — but the last round's output is consumed once
+        # by the final aggregate, so its checkpoint job is skipped
+        if r + 1 < KCORE_ROUNDS:
+            edges = edges.localCheckpoint(eager=True)
     return (
         edges.select(F.explode(F.array("a", "b")).alias("node"))
         .groupBy("node")
@@ -535,12 +578,11 @@ def bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-to-end. Columns: node, hop (0 for the source itself; nodes
     farther than BFS_ROUNDS are absent).
     """
-    edges = _co_supplier_edges(spark, sf_dir).localCheckpoint(eager=True)
-    bidir = edges.select(
-        F.col("a").alias("src"), F.col("b").alias("dst")
-    ).unionAll(
-        edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    )
+    # symmetrize in ONE pass over the edge generation (explode both
+    # orientations) and checkpoint the bidirectional list directly —
+    # one materialization job instead of edges-then-lazy-union, and
+    # each round scans one RDD instead of two
+    bidir = _symmetrized_edges(spark, sf_dir).localCheckpoint(eager=True)
     dist = spark.range(1).select(
         F.lit(BFS_SOURCE).cast("long").alias("node"),
         F.lit(0).cast("long").alias("hop"),
@@ -556,8 +598,12 @@ def bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.unionAll(nbrs)
             .groupBy("node")
             .agg(F.min("hop").alias("hop"))
-            .localCheckpoint(eager=True)
         )
+        # dist fans into two subtrees per round (frontier + union), so
+        # intermediate rounds materialize; the last round's output is
+        # consumed once by the caller's action — skip its checkpoint
+        if r < BFS_ROUNDS:
+            dist = dist.localCheckpoint(eager=True)
     return dist
 
 
@@ -581,16 +627,14 @@ def label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     their label via the self-union. Exact integers. Columns: node,
     label.
     """
-    edges = _co_supplier_edges(spark, sf_dir).localCheckpoint(eager=True)
-    bidir = edges.select(
-        F.col("a").alias("src"), F.col("b").alias("dst")
-    ).unionAll(
-        edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    ).localCheckpoint(eager=True)
+    # one-pass symmetrize + single checkpoint (see bfs_hops): the old
+    # edges-then-union shape paid two materialization jobs for the
+    # same bidirectional list
+    bidir = _symmetrized_edges(spark, sf_dir).localCheckpoint(eager=True)
     labels = bidir.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
-    for _ in range(LABEL_PROP_ROUNDS):
+    for r in range(LABEL_PROP_ROUNDS):
         nbr = labels.join(
             bidir, labels["node"] == bidir["src"]
         ).select(F.col("dst").alias("node"), "label")
@@ -598,8 +642,11 @@ def label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
             labels.unionAll(nbr)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
         )
+        # labels fans into two subtrees per round (join + self-union);
+        # the last round's output is consumed once — skip its checkpoint
+        if r + 1 < LABEL_PROP_ROUNDS:
+            labels = labels.localCheckpoint(eager=True)
     return labels
 
 
@@ -630,7 +677,7 @@ def clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = _co_supplier_edges(spark, sf_dir).localCheckpoint()
     deg = _node_degrees(e)
-    n_sup = load_table(spark, sf_dir, "supplier").count()
+    n_sup = parquet_row_count(spark, sf_dir, "supplier")
     if n_sup <= _DENSE_MAX_NODES:
         tris = _triangle_count_dense(spark, sf_dir, max(n_sup, 1), edges=e)
     else:
@@ -916,10 +963,14 @@ def connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-order partner) have no edge and are out of contract, matching
     the other graph keys. Columns: node, component.
     """
-    e = _co_supplier_edges(spark, sf_dir).localCheckpoint()
-    sym = e.union(
-        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint()
+    # one-pass symmetrize + single checkpoint (see _symmetrized_edges):
+    # the old edges-checkpoint-then-union shape paid two
+    # materialization jobs for the same bidirectional list
+    sym = (
+        _symmetrized_edges(spark, sf_dir)
+        .select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .localCheckpoint()
+    )
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()

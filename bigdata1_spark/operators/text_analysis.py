@@ -129,7 +129,7 @@ def quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id, n_words, mean_word_len, symbol_ratio, digit_ratio,
     top_bigram_ratio, keep.
     """
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_table(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
 
     def from_feats(f: Column) -> Column:
         n_words = f.getField("n_words").cast("double")
@@ -336,7 +336,7 @@ def pipeline_pretraining(spark: SparkSession, sf_dir: str) -> DataFrame:
     a checkpoint/intermediate table). Columns: split, n_docs,
     total_tokens.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     kept = quality_filters(spark, sf_dir).filter(
         F.col("keep") == 1
     ).select("doc_id")
@@ -391,7 +391,7 @@ def pipeline_pretraining_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from bigdata1_spark.operators import dedup
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents", spread=True)
     kept = quality_filters(spark, sf_dir).filter(
         F.col("keep") == 1
     ).select("doc_id")

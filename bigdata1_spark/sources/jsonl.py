@@ -264,7 +264,16 @@ def dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="bigdata1_dpp_")
     try:
         path = os.path.join(work, "orders_part")
-        orders.write.mode("overwrite").partitionBy("month").parquet(path)
+        # cluster by the partition column before the partitioned write:
+        # without it every one of the shuffle's map tasks opens a file
+        # in every month directory (tasks × months tiny files — the
+        # guide §6 small-files trap, ~2.5k files at sf0.1); repartition
+        # makes each month's rows land in one task → one file per
+        # month, and the downstream DPP-pruned read opens 2 files
+        # instead of ~64
+        orders.repartition("month").write.mode("overwrite").partitionBy(
+            "month"
+        ).parquet(path)
         try:
             fact = spark.read.parquet(path)
         except Exception:  # empty source wrote no partition dirs

@@ -69,8 +69,93 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     return df
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one testdata table; parquet scan → pushdown/pruning apply."""
+def parquet_row_count(
+    spark: SparkSession, sf_dir: str, name: str
+) -> int:
+    """Exact row count of one testdata table from parquet FOOTER
+    metadata — no Spark job at all (``df.count()`` on parquet is
+    metadata-optimized but still schedules a job per file; planner-side
+    cardinality probes like triangle_count's dense/sparse dispatch only
+    need the number). Handles both a single ``<name>.parquet`` file and
+    a directory of part files; falls back to a Spark count if pyarrow
+    cannot read a footer."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; one of {TABLES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            total = 0
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    if f.endswith(".parquet") and not f.startswith(
+                        ("_", ".")
+                    ):
+                        total += pq.read_metadata(
+                            os.path.join(root, f)
+                        ).num_rows
+            return total
+        return pq.read_metadata(path).num_rows
+    except Exception:
+        return load_table(spark, sf_dir, name).count()
+
+
+def _parquet_row_groups(path: str) -> int:
+    """Total parquet row groups under ``path`` (file or directory) from
+    footer metadata only — the scan's effective max parallelism, since
+    a row group is unsplittable (one scan task decodes it end to end).
+    Returns a large sentinel when footers can't be read so callers
+    treat unknown layouts as already-parallel."""
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            total = 0
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    if f.endswith(".parquet") and not f.startswith(
+                        ("_", ".")
+                    ):
+                        total += pq.read_metadata(
+                            os.path.join(root, f)
+                        ).num_row_groups
+            return total
+        return pq.read_metadata(path).num_row_groups
+    except Exception:
+        return 1 << 30
+
+
+def spread_if_starved(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Round-robin repartition after an UNSPLITTABLE input — guide §2.5.
+
+    A parquet row group is the scan's parallelism atom: whole-stage
+    codegen fuses every narrow op (parse, tokenize, shingle, hash,
+    explode) into the scan task, so a CPU-heavy derivation over a
+    low-row-group input runs on that few cores no matter how many the
+    cluster has. The gate is FOOTER METADATA, not a local-mode
+    constant: when the input already carries at least half a task per
+    core (the 100 TB case — thousands of files/row groups) this is an
+    identity, and only genuinely starved inputs (one giant file, a toy
+    scale factor) pay one extra exchange to light up the cluster.
+    Round-robin repartition is deterministic under retries
+    (sortBeforeRepartition is on) and none of the callers' results
+    depend on row-to-partition placement."""
+    par = spark.sparkContext.defaultParallelism
+    if _parquet_row_groups(path) * 2 >= par:
+        return df
+    return df.repartition(par)
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
+    """Read one testdata table; parquet scan → pushdown/pruning apply.
+
+    ``spread=True`` opts a CPU-heavy consumer (tokenize/shingle/hash
+    pipelines) into :func:`spread_if_starved`'s unsplittable-input
+    repartition; the default stays a bare scan so partition-count-
+    sensitive plans (exchange budgets, id assignment) are unchanged."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; one of {TABLES}")
     if name == "events":
@@ -80,7 +165,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # driver harness creates, not just our own get_spark(). Harmless
         # for micros-encoded files.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
     if name == "events":
         df = normalize_event_ts(df)
+    if spread:
+        df = spread_if_starved(spark, df, path)
     return df

@@ -524,7 +524,6 @@ def _flush_source(
     deterministic filters below EventTimeWatermark, which would stop
     the sentinels from advancing the clock).
     """
-    import glob
     import shutil
 
     src = os.path.join(work, "src")
@@ -532,8 +531,142 @@ def _flush_source(
     data_file = os.path.join(src, "00_events.parquet")
     shutil.copy(os.path.join(sf_dir, "events.parquet"), data_file)
     os.utime(data_file, (1_000_000, 1_000_000))
-    # The max() probe is a scalar aggregate over one column —
-    # statistics-scale, not a data collect.
+    try:
+        _write_sentinels_arrow(data_file, src, event_types)
+    except Exception:
+        # Conservative fallback: the Spark-job form of the same two
+        # sentinel files (a max() probe + two tiny writes) for any
+        # events encoding the footer fast path doesn't recognize.
+        _write_sentinels_spark(spark, sf_dir, work, src, event_types)
+    return src
+
+
+def _write_sentinels_arrow(
+    data_file: str, src: str, event_types: tuple[str, ...]
+) -> None:
+    """Write the two sentinel parquet files driver-side with pyarrow —
+    the max-ts probe is a FOOTER-statistics read and each sentinel is a
+    ≤2-row table, so spending three Spark jobs on them (max aggregate +
+    two coalesce(1) writes, the pre-r15-opt shape) was pure scheduling
+    overhead (guide §1.2: remove passes). Sentinels reuse the source
+    file's exact arrow schema, so the drain directory stays
+    schema-homogeneous whatever the events encoding (µs/ns timestamps
+    or epoch int64 — the sentinel ts is computed in the SOURCE unit).
+    A 0-row events file yields 0-row sentinels, mirroring the old
+    ``limit(1)`` behaviour on the empty axis."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(data_file)
+    schema = pf.schema_arrow
+    ts_type = schema.field("ts").type
+    n_rows = pf.metadata.num_rows
+
+    def _epoch_int(val) -> int:
+        """stats/compute max → epoch integer in the column's own unit.
+        Timestamp stats surface as datetime (µs precision — a ≤1 µs
+        truncation under ns encoding is irrelevant to a +7/14-day
+        sentinel); int64 columns surface as plain ints."""
+        if hasattr(val, "as_py"):  # pyarrow scalar from the pc.max path
+            val = val.as_py()
+        if isinstance(val, int):
+            return val
+        if not isinstance(val, datetime.datetime):
+            raise TypeError(f"unsupported ts stats value {val!r}")
+        epoch = datetime.datetime(1970, 1, 1, tzinfo=val.tzinfo)
+        micros = (val - epoch) // datetime.timedelta(microseconds=1)
+        unit = ts_type.unit  # timestamp column
+        if unit == "ns":
+            return micros * 1_000
+        if unit == "us":
+            return micros
+        if unit == "ms":
+            return micros // 1_000
+        return micros // 1_000_000  # "s"
+
+    max_int = None
+    if n_rows > 0:
+        stats_max = None
+        md = pf.metadata
+        for rg in range(md.num_row_groups):
+            for c in range(md.row_group(rg).num_columns):
+                col = md.row_group(rg).column(c)
+                if col.path_in_schema == "ts":
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        stats_max = None
+                        break
+                    v = _epoch_int(st.max)
+                    stats_max = v if stats_max is None else max(stats_max, v)
+            else:
+                continue
+            break
+        if stats_max is None:  # footer had no stats: one-column read
+            stats_max = _epoch_int(pc.max(pf.read(columns=["ts"])["ts"]))
+        max_int = stats_max
+    if pa.types.is_timestamp(ts_type):
+        per_day = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[
+            ts_type.unit
+        ] * 86_400
+    else:  # epoch int64; unit decided by magnitude (tables.py rule)
+        per_day = (
+            86_400 * 10**9
+            if max_int is not None and abs(max_int) >= 10**17
+            else 86_400 * 10**6
+        )
+
+    for i, days in enumerate((7, 14), start=1):
+        n = len(event_types) if n_rows > 0 else 0
+        sent_ts = [max_int + days * per_day] * n if n else []
+        values: dict[str, pa.Array] = {
+            "event_id": pa.array(
+                [-(i * 10 + j) for j in range(n)], type=pa.int64()
+            ).cast(schema.field("event_id").type),
+            "ts": pa.array(sent_ts, type=pa.int64()).cast(ts_type),
+            "user_id": pa.array([-1] * n, type=pa.int64()).cast(
+                schema.field("user_id").type
+            ),
+            "event_type": pa.array(
+                list(event_types[:n]), type=pa.string()
+            ).cast(schema.field("event_type").type),
+        }
+        # value/props parity with the Spark writer (0.0 / ""): sentinel
+        # rows are dropped by the user_id filter, but keep the payload
+        # identical so no downstream null-handling path changes.
+        if "value" in schema.names:
+            values["value"] = pa.array(
+                [0.0] * n, type=pa.float64()
+            ).cast(schema.field("value").type)
+        if "props" in schema.names:
+            values["props"] = pa.array(
+                [""] * n, type=pa.string()
+            ).cast(schema.field("props").type)
+        cols = [
+            values.get(f.name, pa.nulls(n, type=f.type)) for f in schema
+        ]
+        dst = os.path.join(src, f"{i:02d}_sentinel.parquet")
+        pq.write_table(
+            pa.Table.from_arrays(cols, schema=pa.schema(list(schema))),
+            dst,
+        )
+        os.utime(dst, (1_000_000 + i, 1_000_000 + i))
+
+
+def _write_sentinels_spark(
+    spark: SparkSession,
+    sf_dir: str,
+    work: str,
+    src: str,
+    event_types: tuple[str, ...],
+) -> None:
+    """Original Spark-job sentinel writer, kept as the fallback for
+    events encodings the arrow fast path can't interpret."""
+    import glob
+    import shutil
+
     ev = load_table(spark, sf_dir, "events")
     max_ts = ev.agg(F.max("ts")).first()[0]
     for i, days in enumerate((7, 14), start=1):
@@ -555,7 +688,6 @@ def _flush_source(
         dst = os.path.join(src, f"{i:02d}_sentinel.parquet")
         shutil.move(part, dst)
         os.utime(dst, (1_000_000 + i, 1_000_000 + i))
-    return src
 
 
 def sessionize_stream(
