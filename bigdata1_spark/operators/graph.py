@@ -977,7 +977,7 @@ def connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", F.col("node").alias("component"))
         .localCheckpoint()
     )
-    for _ in range(CC_ROUNDS):
+    for r in range(CC_ROUNDS):
         nbr_min = (
             sym.join(labels, sym.b == labels.node)
             .groupBy(F.col("a").alias("node"))
@@ -993,13 +993,21 @@ def connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()
         )
-        changed = (
+        # fixpoint probe every round EXCEPT the first: each probe is a
+        # count job over the checkpointed labels, and round 1 cannot be
+        # a fixpoint on any graph with an edge (some node adopts a
+        # smaller neighbor label), so its probe was a pure no-op job —
+        # skipping it saves one job without ever adding a round
+        # (measured: the every-2nd-round cadence traded the probes for
+        # an extra ROUND whenever convergence lands odd — a wash or
+        # worse, so rejected)
+        labels_prev, labels = labels, new_labels
+        if r >= 1 and (
             new_labels.alias("n")
-            .join(labels.alias("o"), "node")
+            .join(labels_prev.alias("o"), "node")
             .filter(F.col("n.component") != F.col("o.component"))
             .count()
-        )
-        labels = new_labels
-        if changed == 0:
+            == 0
+        ):
             break
     return labels.select("node", "component")
