@@ -61,6 +61,54 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _load_ab_registry(gitref: str):
+    """BENCH_AB=<gitref> support: materialize that ref's
+    ``bigdata1_spark`` package under a RENAMED package name
+    (``bigdata1_spark_abref``) in a temp dir, rewrite its absolute
+    imports, and return its registry module — so HEAD and the ref can
+    be timed INTERLEAVED in one warm session (per-key noise hits both
+    variants alike, which single full runs on this shared host cannot
+    guarantee; observed 1.5-5x swings on identical code). Additive
+    only: without BENCH_AB the bench path is byte-identical."""
+    import re
+    import subprocess
+    import tempfile
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    work = tempfile.mkdtemp(prefix="bench_ab_")
+    tar = subprocess.run(
+        ["git", "-C", repo, "archive", gitref, "bigdata1_spark"],
+        check=True,
+        capture_output=True,
+    ).stdout
+    subprocess.run(["tar", "-x", "-C", work], input=tar, check=True)
+    pkg = os.path.join(work, "bigdata1_spark_abref")
+    os.rename(os.path.join(work, "bigdata1_spark"), pkg)
+    for root, _dirs, files in os.walk(pkg):
+        for f in files:
+            if not f.endswith(".py"):
+                continue
+            p = os.path.join(root, f)
+            with open(p) as fh:
+                src = fh.read()
+            # whole-word rewrite so e.g. a docstring's
+            # "bigdata1_spark.operators" also resolves consistently
+            src = re.sub(r"\bbigdata1_spark\b", "bigdata1_spark_abref", src)
+            with open(p, "w") as fh:
+                fh.write(src)
+    sys.path.insert(0, work)
+    # Python workers must also import the renamed package (sources /
+    # UDFs pickle by reference): extend PYTHONPATH BEFORE the JVM
+    # starts so locally-spawned workers inherit it — which is why
+    # callers must load the ref registry before get_spark().
+    os.environ["PYTHONPATH"] = (
+        work + os.pathsep + os.environ.get("PYTHONPATH", "")
+    ).rstrip(os.pathsep)
+    import importlib
+
+    return importlib.import_module("bigdata1_spark_abref.registry")
+
+
 def main() -> None:
     # "sf" is stably typed (float or null) so cross-round tooling can
     # compare numerically; the raw directory name rides in "sf_label".
@@ -74,6 +122,13 @@ def main() -> None:
         )
     except ValueError:  # unconventional dir name → numeric slot stays null
         sf = None
+    # BENCH_AB=<gitref> — interleaved HEAD-vs-ref comparison (VERDICT
+    # r15 item 7). Loaded BEFORE the session so worker PYTHONPATH can
+    # include the ref package. The ONE-line stdout contract and the
+    # headline numbers stay pure HEAD; ref timings + per-key min ratios
+    # ride in the detail file's "ab" block and a stderr summary.
+    ab_ref = os.environ.get("BENCH_AB")
+    ab_registry = _load_ab_registry(ab_ref) if ab_ref else None
     spark = get_spark(app_name="bigdata1-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -105,15 +160,25 @@ def main() -> None:
         if unknown:
             raise RuntimeError(f"BENCH_ONLY names unknown keys: {sorted(unknown)}")
         bench_items = [(k, f) for k, f in bench_items if k in wanted]
+    ab_timings: dict[str, float] = {}
     for key, fn in bench_items:
         # operators that cache intermediates (dedup_*, assoc_rules) leave
         # entries behind; clear BEFORE each key (not after a successful
         # run) so a failed query can't leak its caches into every
         # subsequent timing
         spark.catalog.clearCache()
+        ab_fn = None
+        if ab_registry is not None and key in ab_registry.QUERIES:
+            q = ab_registry.QUERIES[key]
+            ab_fn = getattr(q, "__wrapped__", q)
         samples = []
+        ab_samples = []
         try:
             for _ in range(RUNS):
+                if ab_fn is not None:  # ref first, HEAD second, each rep
+                    t0 = time.perf_counter()
+                    _materialize(ab_fn(spark, SF_DIR))
+                    ab_samples.append(time.perf_counter() - t0)
                 t0 = time.perf_counter()
                 _materialize(fn(spark, SF_DIR))
                 samples.append(time.perf_counter() - t0)
@@ -121,6 +186,14 @@ def main() -> None:
             errors[key] = f"{type(exc).__name__}: {exc}"[:200]
             print(f"[bench] {key} FAILED: {errors[key]}", file=sys.stderr)
             continue
+        if ab_samples:
+            ab_timings[key] = round(min(ab_samples), 4)
+            print(
+                f"[bench-ab] {key}: head {min(samples):.3f}s "
+                f"ref {min(ab_samples):.3f}s "
+                f"speedup {min(ab_samples) / max(min(samples), 1e-9):.3f}",
+                file=sys.stderr,
+            )
         if key in EXTRA_BENCH:
             # kept OUT of the headline total so round-over-round
             # totals stay comparable on registry keys only
@@ -171,6 +244,16 @@ def main() -> None:
         "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         "extra_bench_only": extra_timings,
     }
+    if ab_timings:
+        detail["ab"] = {
+            "ref": ab_ref,
+            "ref_queries": ab_timings,
+            "speedup_vs_ref": {
+                k: round(ab_timings[k] / max(timings[k], 1e-9), 4)
+                for k in ab_timings
+                if k in timings
+            },
+        }
     if errors:
         detail["errors"] = errors
     with open(detail_path, "w") as fh:

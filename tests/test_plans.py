@@ -1109,7 +1109,7 @@ SCAN_BUDGETS = {
     "quality_score": 1,
     "repetition_metrics": 2,
     "resample_interpolate": 1,  # r14 capped-gap rewrite: single scan
-    "rfm_segmentation": 0,  # rank passes localCheckpoint eagerly (the pagerank pattern)
+    "rfm_segmentation": 1,  # the cached per-user base's one fill scan; r16 dropped the three eager rank-pass checkpoints (21 jobs -> 1 lazy plan)
     "retention_cohorts": 2,
     "rsi": 1,
     "rollup_multires": 1,

@@ -8,6 +8,7 @@ Usage: SPARK_GRAFT_SF_DIR=... python tools/profile_key.py key1 [key2 ...]
 
 from __future__ import annotations
 
+import calendar
 import json
 import os
 import sys
@@ -50,11 +51,24 @@ def main() -> None:
         jobs.sort(key=lambda j: j["jobId"])
         print(f"\n=== {key}: wall {wall:.3f}s, {len(jobs)} jobs ===")
         tot = 0.0
+
+        def _epoch(ts: str) -> float:
+            # "2026-08-18T05:41:02.123GMT" — GMT timestamps, parsed as
+            # UTC (calendar.timegm; time.mktime would apply the local
+            # zone) with the fractional part taken from the string tail
+            # rather than a fixed slice (ADVICE r15).
+            base, _, rest = ts.partition(".")
+            frac = rest.rstrip("GMT")
+            return calendar.timegm(
+                time.strptime(base, "%Y-%m-%dT%H:%M:%S")
+            ) + (float(f"0.{frac}") if frac else 0.0)
+
         for j in jobs:
-            t_sub = time.mktime(time.strptime(j["submissionTime"][:19], "%Y-%m-%dT%H:%M:%S"))
-            t_end = time.mktime(time.strptime(j["completionTime"][:19], "%Y-%m-%dT%H:%M:%S"))
-            frac = (float(j["completionTime"][20:23]) - float(j["submissionTime"][20:23])) / 1000.0
-            dur = (t_end - t_sub) + frac
+            if "completionTime" not in j:  # still running: no duration
+                desc = (j.get("description") or j.get("name") or "")[:90]
+                print(f"  job {j['jobId']:>4} RUNNING  {desc}")
+                continue
+            dur = _epoch(j["completionTime"]) - _epoch(j["submissionTime"])
             tot += dur
             desc = (j.get("description") or j.get("name") or "")[:90]
             print(
