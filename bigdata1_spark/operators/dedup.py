@@ -18,7 +18,26 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from bigdata1_spark.functions import hashing, textfns, vectors
-from bigdata1_spark.sources.tables import load_table
+from bigdata1_spark.sources.tables import load_table, spread_if_starved
+
+
+def _spread_verify(spark: SparkSession, sf_dir: str, cand: DataFrame) -> DataFrame:
+    """Spread a candidate-pair set across the cluster before the
+    array_intersect verify join (guide §2.2's CPU/byte mismatch): the
+    pair rows are 2 longs each, so AQE's byte-based coalescing shrinks
+    the post-``distinct`` stage to ONE partition at toy scale — and the
+    verify projection (an array_intersect over ~100-element hash sets
+    per pair, the dominant dedup cost at sf3 per SCALE.md) then runs
+    single-task (measured: 1.45 s of a 4.5 s dedup_near wall in one
+    task, 31 cores idle). Gated by the same parquet-footer probe as the
+    scan spread: at 100 TB the input has thousands of row groups, the
+    gate is an identity, and AQE's byte sizing is correct because
+    candidate volume is genuinely large."""
+    import os
+
+    return spread_if_starved(
+        spark, cand, os.path.join(sf_dir, "documents.parquet")
+    )
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -192,6 +211,7 @@ def dedup_jaccard(
         )
         .distinct()
     )
+    cand = _spread_verify(spark, sf_dir, cand)
     a = ordered.select(F.col("doc_id").alias("id1"), F.col("hs").alias("hs1"))
     b = ordered.select(F.col("doc_id").alias("id2"), F.col("hs").alias("hs2"))
     inter = F.size(F.array_intersect("hs1", "hs2"))
@@ -326,7 +346,9 @@ def dedup_near(
     sh = hashed_shingles if hashed_shingles is not None else (
         _doc_shingle_hashes(spark, sf_dir).cache()
     )
-    cand = minhash_candidates(spark, sf_dir, hashed_shingles=sh)
+    cand = _spread_verify(
+        spark, sf_dir, minhash_candidates(spark, sf_dir, hashed_shingles=sh)
+    )
     a = sh.select(F.col("doc_id").alias("id1"), F.col("hs").alias("hs1"))
     b = sh.select(F.col("doc_id").alias("id2"), F.col("hs").alias("hs2"))
     joined = cand.join(a, "id1").join(b, "id2")
@@ -518,10 +540,11 @@ def min_label_components(
     plus one pointer-doubling self-join, so labels converge in
     O(log diameter) rounds — not O(diameter); ``localCheckpoint``
     truncates lineage so plans stay bounded. Labels only decrease, so
-    a round with zero changes is a fixed point — checked every second
-    round to halve count jobs. ``nodes``: single-column frame of ids.
+    a round with zero changes is a fixed point — detected via a
+    ``DataFrame.observe`` side output of the round's own checkpoint
+    job (zero extra jobs; r15's every-2nd-round join+count probe is
+    gone). ``nodes``: single-column frame of ids.
     Returns (node, lbl) with lbl = min reachable id."""
-    check_every = 2
     # Symmetrize in ONE scan of the pair plan: union(pairs, swapped)
     # reads the (lazy, possibly expensive — dedup_jaccard) pair lineage
     # twice before the cache is populated; exploding a 2-element struct
@@ -542,6 +565,8 @@ def min_label_components(
         .select("e.src", "e.dst")
         .cache()
     )
+    from pyspark.sql import Observation
+
     id_col = nodes.columns[0]
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("lbl")
@@ -552,8 +577,15 @@ def min_label_components(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
+        # carry the pre-round label through as _lbl0 so the fixpoint
+        # probe is a FREE observe() side output of the round's own
+        # checkpoint job (the connected_components pattern) instead of
+        # the old every-2nd-round join+count job — labels only ever
+        # decrease, so a zero-change round is a fixpoint and checking
+        # every round can only break earlier, never change the result
         stepped = labels.join(msgs, "node", "left").select(
             "node",
+            F.col("lbl").alias("_lbl0"),
             F.least(
                 F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
             ).alias("lbl"),
@@ -569,26 +601,24 @@ def min_label_components(
         jump = stepped.select(
             F.col("node").alias("jnode"), F.col("lbl").alias("jlbl")
         )
+        final_lbl = F.least(
+            F.col("lbl"), F.coalesce(F.col("jlbl"), F.col("lbl"))
+        )
+        obs = Observation(f"mlc_changed_{it}")
         new_labels = (
             stepped.join(jump, stepped["lbl"] == jump["jnode"], "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("lbl"), F.coalesce(F.col("jlbl"), F.col("lbl"))
-                ).alias("lbl"),
+            .observe(
+                obs,
+                F.coalesce(
+                    F.sum((final_lbl != F.col("_lbl0")).cast("long")),
+                    F.lit(0),
+                ).alias("changed"),
             )
+            .select("node", final_lbl.alias("lbl"))
             .localCheckpoint()
         )
-        converged = False
-        if (it + 1) % check_every == 0 or it == max_iter - 1:
-            converged = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
-                .filter(F.col("n.lbl") != F.col("o.lbl"))
-                .count()
-            ) == 0
         labels = new_labels
-        if converged:
+        if obs.get["changed"] == 0:
             break
     edges.unpersist(blocking=False)
     return labels
@@ -608,11 +638,10 @@ def dedup_clusters(
     rounds (the cap is a safety net, convergence is checked).
     ``localCheckpoint`` truncates lineage so plans stay bounded across
     iterations. Labels only ever decrease, so a round with zero changes
-    is a fixed point — the convergence count (an extra join+job) runs
-    every second round rather than every round: a diameter-1 graph
-    (the common near-dup case) finishes in 2 rounds + 1 check instead
-    of 2 rounds + 2 checks, and high-diameter graphs halve their count
-    jobs. Columns: doc_id, cluster_id, cluster_size.
+    is a fixed point — detected for free via ``DataFrame.observe`` on
+    each round's checkpoint job (no probe jobs at all; a diameter-1
+    graph finishes in exactly 2 round jobs).
+    Columns: doc_id, cluster_id, cluster_size.
     """
     sh = _doc_shingle_hashes(spark, sf_dir).cache()
     pairs = dedup_jaccard(spark, sf_dir, hashed_shingles=sh).select(
@@ -934,6 +963,11 @@ def dedup_containment(
         .select("id1", "id2")
         .distinct()
     )
+    # NO _spread_verify here (unlike dedup_jaccard/dedup_near):
+    # t = 0.75 prunes candidates so hard that the verify stage is
+    # cheap, and the interleaved 5-rep A/B measured the extra exchange
+    # a 0.63x LOSS on this key — spread only where the verify work
+    # amortizes it (the dedup_jaccard/lsh_probability wins, 1.8-2.1x).
     a = ordered.select(F.col("doc_id").alias("id1"), F.col("hs").alias("hs1"))
     b = ordered.select(F.col("doc_id").alias("id2"), F.col("hs").alias("hs2"))
     inter = F.size(F.array_intersect("hs1", "hs2"))

@@ -202,6 +202,11 @@ def _triangle_count_dense(
     )
     ia = idx.select(F.col("node").alias("a"), F.col("i").alias("ia"))
     ib = idx.select(F.col("node").alias("b"), F.col("i").alias("ib"))
+    # A round-robin repartition of ei before the per-edge bitmap stage
+    # was tried in r16 (the AQE byte-coalesced stage runs ~2 tasks at
+    # toy scale) and REJECTED on an interleaved 5-rep A/B: the extra
+    # exchange lost ~10-15% on triangle_count AND clustering_coefficient
+    # — at small |V| the bitmap AND is too cheap to amortize it.
     ei = e.join(F.broadcast(ia), "a").join(F.broadcast(ib), "b")
     inc = ei.select(F.col("ia").alias("x"), F.col("ib").alias("y")).union(
         ei.select(F.col("ib").alias("x"), F.col("ia").alias("y"))
