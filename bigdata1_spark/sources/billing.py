@@ -141,6 +141,20 @@ def total_per_month_b(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.collect_list("ci").alias("cis"))
         .select(F.concat_ws(",", F.col("d"), F.col("cis")).alias("value"))
     )
+    # Spread the rendered lines before the parse leg (footer-gated, the
+    # dedup-verify pattern): line rows are small strings so AQE's
+    # byte-based coalescing ran the whole split/to_date/try_cast/explode
+    # round-trip in 3 tasks at sf0.1 (measured: 2.4 s of a 4.2 s wall —
+    # guide §2.2's CPU/byte mismatch). The round-trip result is
+    # partition-invariant: bill_id (the one partition-sensitive column,
+    # from monotonically_increasing_id in normalize) is aggregated away
+    # by this key's (item, month) rollup.
+    from bigdata1_spark.sources.tables import spread_if_starved
+    import os
+
+    lines = spread_if_starved(
+        spark, lines, os.path.join(sf_dir, "lineitem.parquet")
+    )
     norm = normalize(parse_billings_b(lines), costed=True)
     return (
         norm.groupBy(

@@ -223,3 +223,53 @@ def test_all_queries_survive_empty_tables(spark, tmp_path, sf_dir):
         except Exception as ex:  # noqa: BLE001
             failures[key] = f"{type(ex).__name__}: {ex}"[:120]
     assert not failures, failures
+
+
+# --- r16 optimization contracts -------------------------------------------
+
+def test_stream_reader_offset_shape():
+    """python_stream_source's r16 termination reads the committed offset
+    from the checkpoint's offset log instead of running a third (empty)
+    query lifecycle — pin the reader-side offset contract that read
+    depends on: dict offsets of the form {"pos": N} advancing by
+    STREAM_STEP up to STREAM_ROWS."""
+    from bigdata1_spark.sources import pydatasource as p
+
+    r = p.BillingStreamReader({})
+    off = r.initialOffset()
+    assert off == {"pos": 0}
+    it, off = r.read(off)
+    assert off == {"pos": p.STREAM_STEP}
+    assert len(list(it)) == p.STREAM_STEP
+    it, off = r.read(off)
+    assert off == {"pos": p.STREAM_ROWS}
+    # exhausted source: offset stops advancing (the loop's exit signal)
+    it, off2 = r.read(off)
+    assert off2 == off and list(it) == []
+
+
+def test_bench_ab_registry_loads_head():
+    """BENCH_AB's renamed-package loader must materialize a committed
+    ref's registry with the same key set as the live one (the
+    interleaved A/B times ref and HEAD key-by-key)."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if subprocess.run(
+        ["git", "-C", repo, "rev-parse", "HEAD"], capture_output=True
+    ).returncode != 0:
+        import pytest
+
+        pytest.skip("not a git checkout")
+    _sys.path.insert(0, repo)
+    import bench
+
+    ref_registry = bench._load_ab_registry("HEAD")
+    from bigdata1_spark import registry as live
+
+    assert set(ref_registry.QUERIES) & set(live.QUERIES), "no shared keys"
+    # the wrapper convention (__wrapped__) must survive the rename
+    k = sorted(ref_registry.QUERIES)[0]
+    assert hasattr(ref_registry.QUERIES[k], "__wrapped__")
